@@ -1,0 +1,200 @@
+"""Code-aware tokenization + text-analysis kernels (SURVEY.md §2 M2/M3/M8).
+
+ONE source of truth shared by the Ray engine, the single-process oracle
+(tests/oracle.py) and — step for step — the DuckDB oracle SQL in
+``__ray_entry__.py`` (ref: n/a, SURVEY.md §0: the reference checkout is empty;
+behavior specified by BASELINE.json:6,15).
+
+The tokenizer is deliberately ASCII-regex-only (RE2-compatible classes) so the
+exact same pipeline is expressible in pyarrow.compute (RE2), Python ``re`` and
+DuckDB ``regexp_*`` (RE2):
+
+  1. split ALLCAPS runs before CamelCase:  ``([A-Z]+)([A-Z][a-z])`` → ``\\1 \\2``
+  2. split camelCase boundaries:           ``([a-z0-9])([A-Z])``    → ``\\1 \\2``
+  3. lowercase
+  4. every non-``[a-z0-9]`` run (incl. ``_`` → splits snake_case) → single space
+  5. whitespace-split; keep tokens with len >= 2 that are not pure digits
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+RE_CAPS_RUN = r"([A-Z]+)([A-Z][a-z])"
+RE_CAMEL = r"([a-z0-9])([A-Z])"
+RE_NONWORD = r"[^a-z0-9]+"
+RE_PURE_INT = r"^[0-9]+$"
+MIN_TOKEN_LEN = 2
+
+# SQL fragment computing the identical token list from a column expression.
+# Used by __ray_entry__.oracle_sql so DuckDB (RE2) parity is exact.
+SQL_TOKENIZE = (
+    "list_filter(string_split(regexp_replace(lower(regexp_replace(regexp_replace({col}, "
+    "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+    "'([a-z0-9])([A-Z])', '\\1 \\2', 'g')), "
+    "'[^a-z0-9]+', ' ', 'g'), ' '), "
+    "t -> length(t) >= 2 AND NOT regexp_matches(t, '^[0-9]+$'))"
+)
+
+_py_caps = re.compile(RE_CAPS_RUN)
+_py_camel = re.compile(RE_CAMEL)
+_py_nonword = re.compile(RE_NONWORD)
+_py_pure_int = re.compile(RE_PURE_INT)
+
+
+def tokenize(text: str) -> list[str]:
+    """Single-string tokenizer (oracle path). Must match tokenize_column."""
+    s = _py_caps.sub(r"\1 \2", text)
+    s = _py_camel.sub(r"\1 \2", s)
+    s = _py_nonword.sub(" ", s.lower())
+    return [
+        t
+        for t in s.split(" ")
+        if len(t) >= MIN_TOKEN_LEN and not _py_pure_int.match(t)
+    ]
+
+
+def tokenize_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized batch tokenizer: string column → list<string> column.
+
+    Pure pyarrow.compute (RE2) kernels — zero Python per-row work.
+    """
+    s = pc.replace_substring_regex(col, RE_CAPS_RUN, r"\1 \2")
+    s = pc.replace_substring_regex(s, RE_CAMEL, r"\1 \2")
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, RE_NONWORD, " ")
+    toks = pc.split_pattern(s, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.and_(
+        pc.greater_equal(pc.utf8_length(flat), MIN_TOKEN_LEN),
+        pc.invert(pc.match_substring_regex(flat, RE_PURE_INT)),
+    )
+    flat_kept = pc.filter(flat, keep)
+    parent_kept = pc.filter(parent, keep)
+    # rebuild a list array with the original row count
+    n_rows = len(s)
+    counts = np.zeros(n_rows + 1, dtype=np.int64)
+    pk = parent_kept.to_numpy(zero_copy_only=False)
+    np.add.at(counts, pk + 1, 1)
+    offsets = np.cumsum(counts)
+    if isinstance(flat_kept, pa.ChunkedArray):
+        flat_kept = flat_kept.combine_chunks()
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()) if offsets[-1] < 2**31 else pa.array(offsets, type=pa.int64()), flat_kept)
+
+
+def flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    """string column → (flat token array, row index per token).
+
+    Same tokenization as :func:`tokenize_column` but skips list reassembly —
+    this is the hot path feeding the postings explode (M4).
+    """
+    s = pc.replace_substring_regex(col, RE_CAPS_RUN, r"\1 \2")
+    s = pc.replace_substring_regex(s, RE_CAMEL, r"\1 \2")
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, RE_NONWORD, " ")
+    toks = pc.split_pattern(s, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.and_(
+        pc.greater_equal(pc.utf8_length(flat), MIN_TOKEN_LEN),
+        pc.invert(pc.match_substring_regex(flat, RE_PURE_INT)),
+    )
+    flat_kept = pc.filter(flat, keep)
+    parent_kept = pc.filter(parent, keep).to_numpy(zero_copy_only=False)
+    if isinstance(flat_kept, pa.ChunkedArray):
+        flat_kept = flat_kept.combine_chunks()
+    return flat_kept, parent_kept
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis kernels for training-data pipelines (task brief: language-ID,
+# quality scoring, token counting, document fingerprinting).
+# ---------------------------------------------------------------------------
+
+# Tiny deterministic stopword lists for an n-gram-free language heuristic.
+LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for on with as are was".split()),
+    "de": frozenset("der die und das ist nicht ein eine mit von auf für".split()),
+    "fr": frozenset("le la les et des une est dans pour que qui pas".split()),
+    "es": frozenset("el la los las de que en una es por con para".split()),
+}
+
+
+def lang_id_tokens(tokens: list[str]) -> str:
+    """Stopword-vote language heuristic; 'und' (unknown) when no vote."""
+    best_lang, best = "und", 0
+    for lang in sorted(LANG_STOPWORDS):
+        hits = sum(1 for t in tokens if t in LANG_STOPWORDS[lang])
+        if hits > best:
+            best_lang, best = lang, hits
+    return best_lang
+
+
+def quality_stats(table_text: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
+    """Vectorized per-doc quality signals over a string column.
+
+    Returns n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    upper_ratio — the length/punct ratio scores of the task brief, each
+    expressible 1:1 in DuckDB SQL for oracle parity.
+    """
+    n_chars = pc.utf8_length(table_text).to_numpy(zero_copy_only=False).astype(np.float64)
+    flat, parent = flat_tokens(table_text)
+    n_rows = len(table_text)
+    n_tokens = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_tokens, parent, 1)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    tok_len_sum = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(tok_len_sum, parent, tok_lens)
+
+    def _matched_count(pattern: str) -> np.ndarray:
+        """Per-row count of chars matching ``pattern`` (len minus stripped len)."""
+        stripped = pc.replace_substring_regex(table_text, pattern, "")
+        return n_chars - pc.utf8_length(stripped).to_numpy(zero_copy_only=False)
+
+    denom = np.maximum(n_chars, 1.0)
+    return {
+        "n_chars": n_chars.astype(np.int64),
+        "n_tokens": n_tokens,
+        "mean_token_len": tok_len_sum / np.maximum(n_tokens, 1),
+        "punct_ratio": _matched_count(r"[\.,;:!\?]") / denom,
+        "digit_ratio": _matched_count(r"[0-9]") / denom,
+        "upper_ratio": _matched_count(r"[A-Z]") / denom,
+    }
+
+
+def rolling_fingerprint(text: str, window: int = 16, base: int = 257) -> int:
+    """Deterministic rolling-hash document fingerprint: min of window hashes.
+
+    Polynomial Rabin-Karp hash mod 2^32 over utf-8 bytes; the *minimum*
+    window hash is a shift-robust fingerprint (winnowing-style, Schleimer et
+    al. SIGMOD 2003).  Vectorized: sliding-window dot product with the power
+    vector — per-term products < 2^40, window sums < 2^45, safe in uint64.
+    """
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    mask = np.uint64(0xFFFFFFFF)
+    powers = np.array(
+        [pow(base, k, 1 << 32) for k in range(window - 1, -1, -1)], dtype=np.uint64
+    )
+    if data.size == 0:
+        return 0
+    if data.size < window:
+        h = np.uint64(0)
+        for ch in data:  # < window iterations
+            h = (h * np.uint64(base) + np.uint64(ch)) & mask
+        return int(h)
+    win = np.lib.stride_tricks.sliding_window_view(data, window).astype(np.uint64)
+    hashes = (win * powers).sum(axis=1) & mask
+    return int(hashes.min())
+
+
+def fingerprint_column(col: pa.Array | pa.ChunkedArray, window: int = 16) -> np.ndarray:
+    """rolling_fingerprint applied per row → int64 numpy array."""
+    vals = col.to_pylist()
+    return np.array(
+        [rolling_fingerprint(t or "", window=window) for t in vals], dtype=np.int64
+    )

@@ -1,0 +1,168 @@
+"""Flagship pipeline 1: checkpoint-resumable inverted-index build.
+
+SURVEY.md §3.1 (ref: n/a, §0 — reference checkout empty; contract
+BASELINE.json:6,14,15).  Stages, each gated by a manifest (resume skips
+complete stages):
+
+  docvec   : read corpus → sha256 fingerprint → deterministic dense doc ids
+             (sort + distributed prefix-sum) → per-doc sorted term vectors
+             (content dropped) → parquet checkpoint.  The ONLY stage that
+             touches raw content; resume never re-tokenizes.
+  stats    : N, avgdl, total_tokens → stats.json sidecar.
+  segments : explode postings → hot-term pre-pass → salted bucket keys →
+             groupby(bucket) encode (delta+varbyte+block-max) → optional
+             merge of salted partials → parquet partitioned by term_bucket.
+
+All heavy transforms are stateless ``map_batches`` over zero-copy Arrow; the
+single all-to-all exchange is the bucketed groupby (see stages/encode.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..functions.bm25 import B, K1
+from ..stages.docvec import (
+    add_fingerprint,
+    assign_doc_ids,
+    explode_postings,
+    to_term_vectors,
+)
+from ..stages.encode import (
+    SaltPlan,
+    detect_hot_terms,
+    make_bucket_assigner,
+    make_bucket_encoder,
+    make_salted_merger,
+)
+from ..state.manifest import BuildState
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    n_buckets: int = 64
+    block_size: int = 128
+    k1: float = K1
+    b: float = B
+    hot_top_m: int = 128
+    salt_threshold: int = 100_000     # min est. postings before a term is "hot"
+    salt_target_group: int = 100_000  # postings per salted partial
+    merge_salted: bool = True         # False = leave multi-row terms (extreme scale)
+    langs: tuple[str, ...] | None = None
+
+
+def _clean_dir(path: str) -> None:
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
+def build_index(
+    corpus: ray.data.Dataset,
+    build_dir: str,
+    cfg: BuildConfig | None = None,
+    resume: bool = True,
+) -> BuildState:
+    """Run (or resume) the index build; returns the BuildState handle."""
+    cfg = cfg or BuildConfig()
+    state = BuildState(build_dir, asdict(cfg))
+
+    # ---- stage: docvec -----------------------------------------------------
+    docvec_dir = state.stage_dir("docvec")
+    if not (resume and state.is_complete("docvec")):
+        m = state.begin("docvec", inputs=["corpus"], upstream=[])
+        ds = corpus
+        if cfg.langs:
+            allowed = pa.array(list(cfg.langs))
+            ds = ds.map_batches(
+                lambda t, _a=allowed: t.filter(pc.is_in(t["lang"], value_set=_a)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        ds = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+        ds = assign_doc_ids(ds)
+        ds = ds.map_batches(to_term_vectors, batch_format="pyarrow", zero_copy_batch=True)
+        _clean_dir(docvec_dir)
+        ds.write_parquet(docvec_dir)
+        m.rows_out = ray.data.read_parquet(docvec_dir, columns=["doc_id"]).count()
+        m.metrics["stage"] = "ingest+fingerprint+docid+termvec"
+        state.commit(m)
+
+    docvec = ray.data.read_parquet(docvec_dir)
+
+    # ---- stage: stats ------------------------------------------------------
+    if not (resume and state.is_complete("stats")):
+        m = state.begin("stats", inputs=[docvec_dir], upstream=["docvec"])
+        agg = docvec.aggregate(Count(), Sum("doc_len"))
+        n_docs = int(agg["count()"])
+        total = int(agg["sum(doc_len)"] or 0)
+        # exact int sum / count (not a float Mean): bit-identical to the oracle
+        avgdl = float(total) / n_docs if n_docs else 0.0
+        state.write_sidecar(
+            "stats.json",
+            {
+                "n_docs": n_docs,
+                "total_tokens": total,
+                "avgdl": avgdl,
+                "k1": cfg.k1,
+                "b": cfg.b,
+                "block_size": cfg.block_size,
+                "n_buckets": cfg.n_buckets,
+            },
+        )
+        m.rows_out = 1
+        m.metrics = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total}
+        state.commit(m)
+    stats = state.read_sidecar("stats.json")
+
+    # ---- stage: segments ---------------------------------------------------
+    seg_dir = state.stage_dir("segments")
+    if not (resume and state.is_complete("segments")):
+        m = state.begin("segments", inputs=[docvec_dir], upstream=["docvec", "stats"])
+
+        def _postings() -> ray.data.Dataset:
+            slim = ray.data.read_parquet(
+                docvec_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
+            )
+            return slim.map_batches(
+                explode_postings, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        hot = detect_hot_terms(_postings(), top_m=cfg.hot_top_m)
+        hot = {t: c for t, c in hot.items() if c >= cfg.salt_threshold}
+        plan = SaltPlan.plan(hot, cfg.n_buckets, stats["n_docs"], cfg.salt_target_group)
+        m.metrics["hot_terms"] = {t: list(plan.salts[t]) for t in plan.salts}
+
+        keyed = _postings().map_batches(
+            make_bucket_assigner(plan), batch_format="pyarrow", zero_copy_batch=True
+        )
+        encoder = make_bucket_encoder(
+            stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
+        )
+        seg = keyed.groupby("bucket").map_groups(encoder, batch_format="pyarrow")
+        if cfg.merge_salted and plan.salts:
+            finals = seg.map_batches(
+                lambda t: t.filter(pc.equal(t["salt_idx"], pa.scalar(-1, pa.int32()))),
+                batch_format="pyarrow",
+            )
+            partials = seg.map_batches(
+                lambda t: t.filter(pc.not_equal(t["salt_idx"], pa.scalar(-1, pa.int32()))),
+                batch_format="pyarrow",
+            )
+            merger = make_salted_merger(
+                stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
+            )
+            merged = partials.groupby("term").map_groups(merger, batch_format="pyarrow")
+            seg = finals.union(merged)
+        _clean_dir(seg_dir)
+        seg.write_parquet(seg_dir, partition_cols=["term_bucket"])
+        m.rows_out = ray.data.read_parquet(seg_dir, columns=["df"]).count()
+        state.commit(m)
+
+    return state

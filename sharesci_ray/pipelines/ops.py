@@ -1,0 +1,671 @@
+"""Operator registry: one Ray pipeline + matching DuckDB oracle SQL per
+SURVEY.md §2 operator (driver contract, __ray_entry__.py).
+
+Float-safety policy (the driver hashes values order-insensitively, so every
+output must be BIT-deterministic across summation orders):
+  * counts / mins / maxes / integer sums → exact in any order.
+  * money/value sums → per-row conversion to integer cents FIRST, then an
+    integer sum (exact, order-independent); column names say ``*_cents``.
+  * ratios/averages → exact integer sums divided once (IEEE double division
+    is deterministic given identical operands).
+Each Ray op and its SQL twin use the *same* expression tree and the same
+output column names.
+
+(ref: n/a — SURVEY.md §0: the reference checkout is empty; op inventory from
+SURVEY.md §2, which binds each op to BASELINE.json lines.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import SQL_TOKENIZE, flat_tokens, tokenize
+from ..sources.corpus import documents_as_corpus, read_table
+
+REGISTRY: dict[str, Callable[[str], Any]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+_TOKS = SQL_TOKENIZE.format(col="text")
+
+
+def op(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _rename(ds, mapping: dict[str, str], int64_cols: tuple[str, ...] = ()):
+    """Rename columns and pin the listed columns to int64 — Ray's Sum
+    aggregate sometimes widens int64 to float64, which would fail the
+    driver's schema comparison."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([mapping.get(c, c) for c in t.column_names])
+        for c in int64_cols:
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.cast(pc.round(t[c]), pa.int64()))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cents(col) -> pa.Array:
+    """double currency → exact int64 cents (round-half-even ~ never at .5)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+# ===========================================================================
+# A. Search-engine core over `documents` (M2/M4/G1/G2, Q1, K1/K3, U2)
+# ===========================================================================
+
+@op(
+    "term_df",
+    f"""
+    SELECT term, count(*) AS df FROM (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ) GROUP BY term
+    """,
+)
+def term_df(sf_dir: str):
+    """G1: document frequency per term.  Partial per-batch distinct counts →
+    small groupby (pre-aggregation pattern, SURVEY.md G3)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(batch["text"])
+        pairs = (
+            pa.table({"row": pa.array(parent), "term": flat})
+            .group_by(["row", "term"])  # distinct (doc, term)
+            .aggregate([])
+        )
+        g = pa.table({"term": pairs["term"]}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _rename(parts.groupby("term").sum("cnt"), {"sum(cnt)": "df"}, int64_cols=("df",))
+
+
+@op(
+    "term_tf_total",
+    f"""
+    SELECT term, count(*) AS tf_total FROM (
+      SELECT unnest({_TOKS}) AS term FROM documents
+    ) GROUP BY term
+    """,
+)
+def term_tf_total(sf_dir: str):
+    """G1/G3: total occurrences per term (partial + final)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(batch["text"])
+        g = pa.table({"term": flat}).group_by("term").aggregate([([], "count_all")])
+        return pa.table({"term": g["term"], "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _rename(parts.groupby("term").sum("cnt"), {"sum(cnt)": "tf_total"}, int64_cols=("tf_total",))
+
+
+@op(
+    "doc_token_stats",
+    f"SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents",
+)
+def doc_token_stats(sf_dir: str):
+    """M3: tokens per document."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, parent = flat_tokens(batch["text"])
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(n, parent, 1)
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n)})
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@op(
+    "corpus_stats",
+    f"""
+    SELECT count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+           sum(n_tokens)::DOUBLE / count(*) AS avgdl
+    FROM (SELECT len({_TOKS})::BIGINT AS n_tokens FROM documents)
+    """,
+)
+def corpus_stats(sf_dir: str):
+    """G2: global scalar stats (exact int sums; one double division)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = doc_token_stats(sf_dir)
+    agg = ds.aggregate(Count(), Sum("n_tokens"))
+    n, total = int(agg["count()"]), int(agg["sum(n_tokens)"])
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+            "avgdl": pa.array([float(total) / n], pa.float64()),
+        }
+    )
+
+
+@op(
+    "top_docs_by_chars",
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
+)
+def top_docs_by_chars(sf_dir: str):
+    """K3: global top-k with deterministic tie-break."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return docs.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+@op(
+    "filter_lang_en",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 500",
+)
+def filter_lang_en(sf_dir: str):
+    """M5/M7: predicate filter + projection, vectorized mask."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return docs.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["lang"], "en"), pc.greater(t["n_chars"], 500))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+@op("lang_counts", "SELECT lang, count(*) AS n FROM documents GROUP BY lang")
+def lang_counts(sf_dir: str):
+    """G4: distinct + count per group."""
+    docs = read_table(sf_dir, "documents", columns=["lang"])
+    return _rename(docs.groupby("lang").count(), {"count()": "n"}, int64_cols=("n",))
+
+
+@op(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(sf_dir: str):
+    """U2: exact dedup — hash text, keep first doc per hash group.
+
+    Pre-aggregates (min doc_id, count) per batch before the groupby so only
+    one tiny row per (hash, batch) shuffles — the 100TB-safe shape.
+    """
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        h = pa.array(
+            [_h.md5((s or "").encode()).hexdigest() for s in batch["text"].to_pylist()]
+        )
+        g = (
+            pa.table({"h": h, "doc_id": batch["doc_id"]})
+            .group_by("h")
+            .aggregate([("doc_id", "min"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "h": g["h"],
+                "doc_id": g["doc_id_min"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby("h").aggregate(Min("doc_id"), Sum("n"))
+    out = _rename(agg, {"min(doc_id)": "doc_id", "sum(n)": "n_dupes"}, int64_cols=("doc_id", "n_dupes"))
+    return out.select_columns(["doc_id", "n_dupes"])
+
+
+@op(
+    "distinct_terms",
+    f"SELECT count(DISTINCT term)::BIGINT AS n_terms FROM (SELECT unnest({_TOKS}) AS term FROM documents)",
+)
+def distinct_terms(sf_dir: str):
+    """G4: global distinct count via per-batch unique partials."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(batch["text"])
+        return pa.table({"term": pc.unique(flat)})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    n = parts.unique("term")
+    return pa.table({"n_terms": pa.array([len(n)], pa.int64())})
+
+
+# ---- flagship: BM25 top-k with a full SQL BM25 oracle ---------------------
+
+DOC_QUERIES = [
+    "table scan",
+    "hash join merge",
+    "sort window",
+    "spark batch",
+    "key value",
+    "slow query plan",
+    "agg row",
+    "fast part",
+    "line item filter",
+    "shuffle partition spill",
+]
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (or reuse) the inverted index for a testdata dir's documents."""
+    from .build import BuildConfig, build_index
+
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    build_dir = os.path.join(tempfile.gettempdir(), f"sharesci_idx_{tag}")
+    build_index(documents_as_corpus(sf_dir), build_dir, BuildConfig(n_buckets=16))
+    _INDEX_CACHE[sf_dir] = build_dir
+    return build_dir
+
+
+def _bm25_sql() -> str:
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {values}),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN df ON df.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN st
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    ) WHERE rank <= 10
+    """
+
+
+@op("bm25_topk", _bm25_sql())
+def bm25_topk(sf_dir: str):
+    """Flagship: full index build + BM25 top-10, mapped back to the original
+    documents.doc_id (engine ids are dense sort-order ids; ``path`` carries
+    the original id through the adapter).  Scores are deliberately excluded
+    from the comparison payload — DuckDB's summation order differs in the
+    last ulp — rank identity is the contract (BASELINE.json:14).
+    """
+    import ray
+    import ray.data
+
+    from .query import run_queries
+
+    build_dir = _index_for(sf_dir)
+    # engine doc_id -> original doc id (path column of the adapter), broadcast
+    docvec = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=docvec"), columns=["doc_id", "path"]
+    ).take_all()
+    id_map = {r["doc_id"]: int(r["path"]) for r in docvec}
+    map_ref = ray.put(id_map)
+
+    q_tbl = pa.table(
+        {
+            "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+            "text": pa.array(DOC_QUERIES, pa.string()),
+        }
+    )
+    res = run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="bmw")
+
+    def remap(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        orig = pa.array(
+            [m[d] for d in batch["doc_id"].to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "rank": pc.cast(batch["rank"], pa.int64()),
+                "doc_id": orig,
+            }
+        )
+
+    return res.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# B. Relational generic ops (J/G/K/M8/U) over the TPC-H-ish tables
+# ===========================================================================
+
+@op(
+    "grouped_agg_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           count(*) AS count_order,
+           sum(CAST(l_quantity AS BIGINT))::DOUBLE / count(*) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def grouped_agg_lineitem(sf_dir: str):
+    """G3 (TPC-H Q1-like): partial per-batch aggregation, tiny final groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "qty": pc.cast(t["l_quantity"], pa.int64()),
+                    "cents": _cents(t["l_extendedprice"]),
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "cents", "n"]
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty"), Sum("cents"), Sum("n")
+    )
+    out = _rename(
+        agg,
+        {"sum(qty)": "sum_qty", "sum(cents)": "sum_price_cents", "sum(n)": "count_order"},
+        int64_cols=("sum_qty", "sum_price_cents", "count_order"),
+    )
+
+    def add_avg(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t["sum_qty"], pa.float64()), pc.cast(t["count_order"], pa.float64())
+        )
+        return t.append_column("avg_qty", avg)
+
+    return out.map_batches(add_avg, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@op(
+    "join_orders_customer",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_orders_customer(sf_dir: str):
+    """J2: native hash join (Dataset.join) + grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"c_mktsegment": t["c_mktsegment"], "cents": _cents(t["o_totalprice"])}
+            )
+            .group_by("c_mktsegment")
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["c_mktsegment", "cents", "n"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby("c_mktsegment").aggregate(Sum("n"), Sum("cents"))
+    out = _rename(agg, {"sum(n)": "n_orders", "sum(cents)": "total_cents"}, int64_cols=("n_orders", "total_cents"))
+    return out.select_columns(["c_mktsegment", "n_orders", "total_cents"])
+
+
+@op(
+    "broadcast_join_nation_region",
+    """
+    SELECT r_name, count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def broadcast_join_nation_region(sf_dir: str):
+    """J1: small side via ray.put broadcast, lookup inside map_batches."""
+    import ray
+
+    region = read_table(sf_dir, "region").take_all()
+    lut_ref = ray.put({r["r_regionkey"]: r["r_name"] for r in region})
+    nation = read_table(sf_dir, "nation", columns=["n_regionkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        names = pa.array(
+            [lut[k] for k in t["n_regionkey"].to_pylist()], pa.string()
+        )
+        return pa.table({"r_name": names})
+
+    named = nation.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+    return _rename(named.groupby("r_name").count(), {"count()": "n_nations"}, int64_cols=("n_nations",))
+
+
+@op(
+    "semi_join_customers",
+    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def semi_join_customers(sf_dir: str):
+    """J3 semi: native left_semi join."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    return cust.join(
+        orders, join_type="left_semi", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+
+@op(
+    "anti_join_customers",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def anti_join_customers(sf_dir: str):
+    """J3 anti: customers with no high-value order.  Broadcast key-set +
+    vectorized is_in mask (the 100TB-safe shape when the excluded side's key
+    set is small)."""
+    import ray
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 150000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    keys = big.unique("o_custkey")
+    key_ref = ray.put(np.asarray(keys, dtype=np.int64))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        keep = pc.invert(pc.is_in(t["c_custkey"], value_set=pa.array(ks)))
+        return t.filter(keep)
+
+    return cust.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@op(
+    "global_sort_orders",
+    """
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def global_sort_orders(sf_dir: str):
+    """K2/K3: global sort (range shuffle) + limit."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "total_cents": _cents(t["o_totalprice"])}
+        )
+
+    return top.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@op(
+    "union_filters",
+    """
+    SELECT count(*) AS n FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+      UNION ALL
+      SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.09
+    )
+    """,
+)
+def union_filters(sf_dir: str):
+    """U1: dataset union (UNION ALL semantics)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_discount"])
+    a = li.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 45)).select(["l_orderkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    b = li.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_discount"], 0.09)).select(["l_orderkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n = a.union(b).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+@op(
+    "events_by_type",
+    """
+    SELECT event_type, count(*) AS n,
+           max(CAST(round(value * 100) AS BIGINT)) AS max_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def events_by_type(sf_dir: str):
+    """G3/G4 over the events table (cents-exact)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "cents": _cents(t["value"])})
+
+    c = ev.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+    agg = c.groupby("event_type").aggregate(Count(), Max("cents"), Sum("cents"))
+    out = _rename(
+        agg,
+        {"count()": "n", "max(cents)": "max_cents", "sum(cents)": "sum_cents"},
+        int64_cols=("n", "max_cents", "sum_cents"),
+    )
+    return out
+
+
+@op(
+    "events_hourly",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events GROUP BY event_type, hour
+    """,
+)
+def events_hourly(sf_dir: str):
+    """M8+G3: temporal bucketing (floor to hour) + grouped count."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            }
+        )
+
+    b = ev.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return _rename(b.groupby(["event_type", "hour"]).count(), {"count()": "n"}, int64_cols=("n",))
+
+
+@op(
+    "scalar_fns_events",
+    """
+    SELECT event_id, upper(event_type) AS etype_upper,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+)
+def scalar_fns_events(sf_dir: str):
+    """M8: scalar string/regex/math functions, all pyarrow.compute kernels."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "props", "value"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "etype_upper": pc.utf8_upper(t["event_type"]),
+                "k_val": k,
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return ev.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@op(
+    "systematic_sample",
+    "SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0",
+)
+def systematic_sample(sf_dir: str):
+    """K4: deterministic systematic sample (seeded random_sample is exercised
+    in tests; this registry entry is the oracle-checkable variant)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,326 @@
+"""Flagship pipeline 2: BM25 top-k query engine (SURVEY.md §3.2, A2/Q1-Q3/K1).
+
+(ref: n/a, SURVEY.md §0 — reference checkout empty; contract BASELINE.json:6:
+"BM25 top-k query engine using block-max WAND over the materialized index".)
+
+Execution model: the *query* dataset flows through an actor pool
+(``map_batches(ScorerActor, concurrency=N)``); each actor loads stats + the
+segment tables ONCE in ``__init__`` and answers every query in a batch
+locally — one query never crosses workers (its few posting lists are
+co-resident), parallelism is across queries.
+
+Determinism (rank-identity contract, BASELINE.json:14): scores are float64;
+per doc, term contributions are accumulated in SORTED-TERM order — both the
+vectorized exhaustive DAAT path (np.add.at walks terms in sorted order) and
+the BMW path (full evaluation iterates sorted terms) reproduce the oracle's
+summation order bit-for-bit.  Ties break (score desc, doc_id asc).
+
+Scorers:
+  daat : exhaustive document-at-a-time, fully vectorized (numpy gather+add).
+  wand : WAND (Broder et al., CIKM 2003) with per-term upper bounds.
+  bmw  : block-max WAND (Ding & Suel, SIGIR 2011) using per-block maxes.
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..functions.bm25 import idf as bm25_idf
+from ..functions.bm25 import tf_norm, top_k_with_ties
+from ..functions.codecs import decode_docids, decode_values
+from ..functions.hashing import polyhash_column
+from ..functions.text import tokenize
+
+# relative slack on WAND/BMW upper bounds: bounds and scores are both float64
+# sums taken in different orders, so a strict comparison could drop a doc that
+# ties the threshold within rounding; the slack keeps skipping conservative.
+_UB_EPS = 1e-9
+
+
+class _TermPostings:
+    __slots__ = ("df", "docids", "tfs", "dls", "blk_first", "blk_max", "blk_bounds")
+
+    def __init__(self, df, docids, tfs, dls, blk_first, blk_max):
+        self.df = df
+        self.docids = docids
+        self.tfs = tfs
+        self.dls = dls
+        self.blk_first = blk_first
+        self.blk_max = blk_max
+
+
+class ScorerActor:
+    """Stateful scorer: one instance per pool actor; state loaded once.
+
+    ``preload=True`` pins every segment row in memory (fits easily at sandbox
+    scale; at 10^12-doc scale set ``preload=False`` for lazy per-bucket
+    parquet reads with row-group pruning on the sorted ``term`` column).
+    """
+
+    def __init__(
+        self,
+        build_dir: str,
+        k: int = 10,
+        scorer: str = "daat",
+        preload: bool = True,
+    ):
+        with open(os.path.join(build_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.k = k
+        self.scorer = scorer
+        self.build_dir = build_dir
+        self.n_buckets = int(self.stats["n_buckets"])
+        self.seg_root = os.path.join(build_dir, "stage=segments")
+        self._terms: dict[str, list[_TermPostings]] = {}
+        self._loaded_buckets: set[int] = set()
+        if preload:
+            for b in range(self.n_buckets):
+                self._load_bucket(b)
+
+    # ---- segment access ---------------------------------------------------
+    def _load_bucket(self, bucket: int) -> None:
+        if bucket in self._loaded_buckets:
+            return
+        self._loaded_buckets.add(bucket)
+        part = os.path.join(self.seg_root, f"term_bucket={bucket}")
+        files = sorted(glob.glob(os.path.join(part, "*.parquet")))
+        if not files:
+            return
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        terms = t["term"].to_pylist()
+        dfs = t["df"].to_pylist()
+        salt = t["salt_idx"].to_pylist()
+        docids = t["docids"].to_pylist()
+        tfs = t["tfs"].to_pylist()
+        dls = t["dls"].to_pylist()
+        bf = t["block_first_docid"].to_pylist()
+        bm = t["block_max_tfnorm"].to_pylist()
+        order = sorted(range(len(terms)), key=lambda i: (terms[i], salt[i]))
+        for i in order:
+            self._terms.setdefault(terms[i], []).append(
+                _TermPostings(
+                    dfs[i],
+                    docids[i],
+                    tfs[i],
+                    dls[i],
+                    np.asarray(bf[i], dtype=np.int64),
+                    np.asarray(bm[i], dtype=np.float64),
+                )
+            )
+
+    def _postings(self, term: str):
+        """term → (df_total, docids, tfs, dls, blk_first, blk_max) or None.
+
+        Multi-row terms (unmerged salted partials) concatenate in salt order —
+        partials cover disjoint ascending doc-id ranges by construction.
+        """
+        bucket = int(polyhash_column(pa.array([term])) [0] % self.n_buckets)
+        self._load_bucket(bucket)
+        rows = self._terms.get(term)
+        if not rows:
+            return None
+        df = sum(r.df for r in rows)
+        docids = np.concatenate([decode_docids(r.docids) for r in rows])
+        tfs = np.concatenate([decode_values(r.tfs) for r in rows])
+        dls = np.concatenate([decode_values(r.dls) for r in rows])
+        blk_first = np.concatenate([r.blk_first for r in rows])
+        blk_max = np.concatenate([r.blk_max for r in rows])
+        return df, docids, tfs, dls, blk_first, blk_max
+
+    # ---- scoring ----------------------------------------------------------
+    def _score_query_daat(self, terms: list[str]):
+        """Exhaustive DAAT, vectorized. Accumulation in sorted-term order."""
+        all_docs, all_scores = [], []
+        n, avgdl, k1, b = (
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            self.stats["k1"],
+            self.stats["b"],
+        )
+        for term in terms:  # terms already sorted unique
+            p = self._postings(term)
+            if p is None:
+                continue
+            df, docids, tfs, dls, _, _ = p
+            contrib = float(bm25_idf(df, n)) * tf_norm(tfs, dls, avgdl, k1, b)
+            all_docs.append(docids)
+            all_scores.append(contrib)
+        if not all_docs:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        docs = np.concatenate(all_docs)
+        contribs = np.concatenate(all_scores)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        # np.add.at processes elements in array order == sorted-term order per doc
+        np.add.at(scores, inv, contribs)
+        return top_k_with_ties(uniq, scores, self.k)
+
+    def _score_query_wand(self, terms: list[str], use_block_max: bool):
+        """WAND / block-max WAND. Returns (doc_ids, scores) top-k."""
+        n, avgdl, k1, b = (
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            self.stats["k1"],
+            self.stats["b"],
+        )
+        plists = []  # (term order preserved: sorted)
+        for term in terms:
+            p = self._postings(term)
+            if p is None:
+                continue
+            df, docids, tfs, dls, blk_first, blk_max = p
+            w = float(bm25_idf(df, n))
+            plists.append(
+                {
+                    "docids": docids,
+                    "tfs": tfs,
+                    "dls": dls,
+                    "pos": 0,
+                    "idf": w,
+                    "ub": w * float(blk_max.max()) if blk_max.size else 0.0,
+                    "blk_first": blk_first,
+                    "blk_max": blk_max,
+                }
+            )
+        if not plists:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+        k = self.k
+
+        def threshold():
+            return heap[0][0] if len(heap) >= k else -np.inf
+
+        def better(score, doc_id):
+            # would (score, doc_id) beat the current k-th? ties lose to
+            # smaller doc_id already in heap
+            if len(heap) < k:
+                return True
+            ts, tneg = heap[0]
+            if score != ts:
+                return score > ts
+            return doc_id < -tneg
+
+        live = [p for p in plists if p["docids"].size]
+        while True:
+            live = [p for p in live if p["pos"] < p["docids"].size]
+            if not live:
+                break
+            live.sort(key=lambda p: p["docids"][p["pos"]])
+            # find pivot: smallest prefix whose UB sum exceeds threshold
+            ub_sum, pivot = 0.0, None
+            th = threshold()
+            for i, p in enumerate(live):
+                ub_sum += p["ub"]
+                if ub_sum * (1 + _UB_EPS) + 1e-300 > th:
+                    pivot = i
+                    break
+            if pivot is None:
+                break  # even all terms together can't beat the threshold
+            pivot_doc = int(live[pivot]["docids"][live[pivot]["pos"]])
+            # extend the pivot over every list already positioned at pivot_doc:
+            # their block maxes MUST count toward the upper bound, or the
+            # block-max skip below would under-estimate pivot_doc's score
+            while (
+                pivot + 1 < len(live)
+                and int(live[pivot + 1]["docids"][live[pivot + 1]["pos"]]) == pivot_doc
+            ):
+                pivot += 1
+            if use_block_max:
+                # refine with block maxes at the pivot doc
+                bub = 0.0
+                for p in live[: pivot + 1]:
+                    j = int(np.searchsorted(p["blk_first"], pivot_doc, side="right")) - 1
+                    if 0 <= j < p["blk_max"].size:
+                        bub += p["idf"] * float(p["blk_max"][j])
+                if bub * (1 + _UB_EPS) + 1e-300 <= th:
+                    # advance the term with the largest idf past pivot_doc
+                    adv = max(live[: pivot + 1], key=lambda p: p["ub"])
+                    adv["pos"] = int(
+                        np.searchsorted(adv["docids"], pivot_doc, side="right")
+                    )
+                    continue
+            if int(live[0]["docids"][live[0]["pos"]]) == pivot_doc:
+                # fully evaluate pivot_doc: sorted-term order == plists order
+                score = 0.0
+                for p in plists:
+                    pos = int(np.searchsorted(p["docids"], pivot_doc))
+                    if pos < p["docids"].size and p["docids"][pos] == pivot_doc:
+                        score += p["idf"] * float(
+                            tf_norm(
+                                np.array([p["tfs"][pos]], dtype=np.float64),
+                                np.array([p["dls"][pos]], dtype=np.float64),
+                                avgdl,
+                                k1,
+                                b,
+                            )[0]
+                        )
+                if better(score, pivot_doc):
+                    heapq.heappush(heap, (score, -pivot_doc))
+                    if len(heap) > k:
+                        heapq.heappop(heap)
+                for p in live:
+                    if p["pos"] < p["docids"].size and p["docids"][p["pos"]] == pivot_doc:
+                        p["pos"] += 1
+            else:
+                # advance preceding lists to pivot_doc
+                for p in live[:pivot]:
+                    p["pos"] = int(np.searchsorted(p["docids"], pivot_doc))
+        if not heap:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        items = sorted(heap, key=lambda sn: (-sn[0], -sn[1]))
+        return (
+            np.array([-neg for _s, neg in items], dtype=np.int64),
+            np.array([s for s, _n in items], dtype=np.float64),
+        )
+
+    def score_query(self, text: str):
+        terms = sorted(set(tokenize(text)))
+        if self.scorer == "daat":
+            return self._score_query_daat(terms)
+        return self._score_query_wand(terms, use_block_max=(self.scorer == "bmw"))
+
+    # ---- Ray Data entry ---------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            d, s = self.score_query(text or "")
+            for r in range(len(d)):
+                qids.append(qid)
+                ranks.append(r + 1)
+                docs.append(int(d[r]))
+                scores.append(float(s[r]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def run_queries(
+    build_dir: str,
+    queries: ray.data.Dataset,
+    k: int = 10,
+    scorer: str = "daat",
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """S3→A2→S7: queries dataset → ranked (query_id, rank, doc_id, score)."""
+    return queries.map_batches(
+        ScorerActor,
+        fn_constructor_kwargs={"build_dir": build_dir, "k": k, "scorer": scorer},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,52 @@
+"""Corpus sources / adapters (SURVEY.md §2.1 S1-S3).
+
+The engine's native input is a Parquet table (repo, path, commit, lang,
+content) — BASELINE.json:15.  The driver's testdata ``documents`` table
+(doc_id, text, lang, source, n_chars) is adapted to that shape here
+(FIXTURES.md A1 adapter).  All reads prune columns at the source.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_corpus(paths: str | list[str], **kwargs) -> ray.data.Dataset:
+    """S1: read a native corpus Parquet table with column pruning."""
+    return ray.data.read_parquet(paths, columns=CORPUS_COLUMNS, **kwargs)
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """S2: read one driver testdata table."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kwargs
+    )
+
+
+def _documents_to_corpus_batch(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "repo": batch["source"],
+            "path": pc.cast(batch["doc_id"], pa.string()),
+            "commit": pa.array(["t0"] * batch.num_rows, pa.string()),
+            "lang": batch["lang"],
+            "content": batch["text"],
+        }
+    )
+
+
+def documents_as_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Adapter: testdata documents table → native corpus shape (streaming)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    return ds.map_batches(_documents_to_corpus_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_from_table(table: pa.Table, parallelism: int = -1) -> ray.data.Dataset:
+    """Wrap an in-memory corpus table (tests / synthetic benches)."""
+    return ray.data.from_arrow(table)
