@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md measurement plan).
+
+Headline pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1):
+
+  build_index      : flagship inverted-index build (SURVEY.md §3.1) — the
+                     docs/sec number of BASELINE.json:2.
+  bm25_query_batch : fixture query set through the BMW scorer actor pool
+                     (SURVEY.md §3.2).
+  bm25_p50         : single-query p50 latency, warm local scorer (seconds).
+  + representative training-data ops (dedup, ANN) when present.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` reruns the headline build in TWO FRESH PROCESSES at
+num_cpus=N and 4N (default 8 vs 32) on the same input — the sandbox
+stand-in for the N vs 4N-node cluster criterion (BASELINE.json:14) — and
+reports both throughputs plus scaling efficiency = dps_4N / (4 * dps_N).
+
+This script OWNS its Ray session (the driver's entry()/queries() path does
+not — __ray_entry__.py docstring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    import ray.data
+
+    from sharesci_ray.pipelines.build import BuildConfig, build_index
+    from sharesci_ray.pipelines.query import ScorerActor, run_queries
+    from sharesci_ray.sources.corpus import documents_as_corpus, read_table
+    from sharesci_ray.sources.synth import make_queries
+
+    timings: dict[str, float] = {}
+    build_dir = os.path.join(tempfile.gettempdir(), f"sharesci_bench_{os.getpid()}")
+    shutil.rmtree(build_dir, ignore_errors=True)
+
+    n_docs = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+
+    # ---- headline 1: index build -----------------------------------------
+    t0 = time.perf_counter()
+    build_index(
+        documents_as_corpus(sf_dir),
+        build_dir,
+        BuildConfig(n_buckets=max(16, 2 * num_cpus)),
+        resume=False,
+    )
+    timings["build_index"] = time.perf_counter() - t0
+    docs_per_sec = n_docs / timings["build_index"]
+
+    # ---- headline 2: BM25 query batch through the actor pool -------------
+    q_tbl = make_queries(n_queries, seed=43)
+    t0 = time.perf_counter()
+    res = run_queries(
+        build_dir,
+        ray.data.from_arrow(q_tbl),
+        k=10,
+        scorer="bmw",
+        concurrency=(1, max(2, num_cpus // 2)),
+    )
+    n_results = res.count()  # consume the stream
+    timings["bm25_query_batch"] = time.perf_counter() - t0
+
+    # ---- headline 3: single-query p50 latency, warm scorer ---------------
+    scorer = ScorerActor(build_dir, k=10, scorer="bmw")
+    texts = q_tbl["text"].to_pylist()
+    lat = []
+    for text in texts:
+        t0 = time.perf_counter()
+        scorer.score_query(text)
+        lat.append(time.perf_counter() - t0)
+    timings["bm25_p50"] = statistics.median(lat)
+
+    # ---- training-data ops (registered pipelines) ------------------------
+    from sharesci_ray.pipelines import ops as _ops
+
+    def _consume(result) -> None:
+        if hasattr(result, "count") and callable(result.count) and not hasattr(result, "num_rows"):
+            result.count()
+
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "ann_topk_cosine", "quality_score"):
+        fn = _ops.REGISTRY.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _consume(fn(sf_dir))
+        timings[name] = time.perf_counter() - t0
+
+    shutil.rmtree(build_dir, ignore_errors=True)
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_queries": n_queries,
+        "n_results": n_results,
+        "docs_per_sec": round(docs_per_sec, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, n_low: int, n_high: int) -> dict:
+    """Same job, two fresh processes at num_cpus=n_low / n_high."""
+
+    def _one(n: int) -> dict:
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not last:
+            raise RuntimeError(f"bench subprocess ({n} cpus) failed:\n{proc.stderr[-3000:]}")
+        return json.loads(last[-1])
+
+    lo, hi = _one(n_low), _one(n_high)
+    dps_lo, dps_hi = lo["docs_per_sec"], hi["docs_per_sec"]
+    factor = n_high / n_low
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(dps_hi / (factor * dps_lo), 4),
+        "unit": "ratio",
+        "queries": {
+            f"build_docs_per_sec_cpus{n_low}": dps_lo,
+            f"build_docs_per_sec_cpus{n_high}": dps_hi,
+            f"build_sec_cpus{n_low}": lo["queries"]["build_index"],
+            f"build_sec_cpus{n_high}": hi["queries"]["build_index"],
+        },
+        "sf": lo["sf"],
+        "num_cpus": n_high,
+        "cpus_low": n_low,
+        "cpus_high": n_high,
+        "speedup": round(dps_hi / dps_lo, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    )
+    ap.add_argument("--n-queries", type=int, default=200)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus-low", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir, args.cpus_low, args.num_cpus)
+    else:
+        out = run_bench(args.sf_dir, args.num_cpus, args.n_queries)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
