@@ -669,3 +669,9 @@ def systematic_sample(sf_dir: str):
         return t.filter(pa.array(ids % 10 == 0))
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -- extension registries (import side-effect: registers into REGISTRY) -----
+from . import ops_dedup  # noqa: E402,F401  (dedup + similarity search)
+from . import ops_media  # noqa: E402,F401  (multimodal column plumbing)
+from . import ops_text  # noqa: E402,F401  (text analysis)

@@ -1,0 +1,85 @@
+"""Text-analysis ops (ops_text.py) + kernels (functions/text.py §text-analysis):
+language-ID votes, quality ratios, BPE-ish token counting, fingerprints."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sharesci_ray.functions.text import (
+    fingerprint_column,
+    lang_id_tokens,
+    quality_stats,
+    rolling_fingerprint,
+    tokenize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lang_id_tokens_votes():
+    assert lang_id_tokens(tokenize("the cat and the dog is on the mat")) == "en"
+    assert lang_id_tokens(tokenize("der Hund und die Katze ist nicht da")) == "de"
+    assert lang_id_tokens(tokenize("xyzzy plugh")) == "und"
+    assert lang_id_tokens([]) == "und"
+
+
+def test_lang_id_op_matches_scalar_kernel(ray_session):
+    from sharesci_ray.pipelines.ops_text import lang_id
+    from sharesci_ray.sources.corpus import read_table
+
+    got = lang_id(SF).to_pandas().set_index("doc_id")["lang_pred"]
+    docs = read_table(SF, "documents", columns=["doc_id", "text"]).take_all()
+    for r in docs[:50]:
+        assert got[r["doc_id"]] == lang_id_tokens(tokenize(r["text"]))
+
+
+def test_quality_stats_hand_check():
+    q = quality_stats(pa.array(["Hello, World! 42x"]))
+    assert q["n_chars"][0] == 17
+    # tokens: hello, world, 42x ('42' alone would be dropped; '42x' kept)
+    assert q["n_tokens"][0] == 3
+    assert np.isclose(q["punct_ratio"][0], 2 / 17)  # ',' and '!' (not '.')
+    assert np.isclose(q["digit_ratio"][0], 2 / 17)
+    assert np.isclose(q["upper_ratio"][0], 2 / 17)  # H, W
+
+
+def test_quality_stats_empty_string():
+    q = quality_stats(pa.array([""]))
+    assert q["n_chars"][0] == 0 and q["n_tokens"][0] == 0
+    assert q["punct_ratio"][0] == 0.0  # max(denom,1) guards div-by-zero
+
+
+def test_rolling_fingerprint_properties():
+    fp = rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+    assert fp == rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+    # min-window hash is shift-robust: a prefix doesn't change the min unless
+    # it introduces a smaller window
+    shifted = rolling_fingerprint("zz " + "the quick brown fox jumps over the lazy dog")
+    assert shifted <= fp
+    assert rolling_fingerprint("") == 0
+    assert rolling_fingerprint("ab") == rolling_fingerprint("ab")  # < window len
+
+
+def test_fingerprint_column_matches_scalar():
+    texts = ["alpha beta gamma delta epsilon zeta", "short", ""]
+    col = pa.array(texts)
+    got = fingerprint_column(col)
+    for i, t in enumerate(texts):
+        assert got[i] == rolling_fingerprint(t)
+
+
+def test_doc_fingerprint_min_shingle_semantics(ray_session):
+    from sharesci_ray.functions import dedup as dd
+    from sharesci_ray.pipelines.ops_text import doc_fingerprint
+    from sharesci_ray.sources.corpus import read_table
+
+    got = doc_fingerprint(SF).to_pandas().set_index("doc_id")["fingerprint"]
+    docs = read_table(SF, "documents", columns=["doc_id", "text"]).take_all()
+    for r in docs[:20]:
+        toks = tokenize(r["text"])
+        if len(toks) < 3:
+            assert got[r["doc_id"]] == -1
+        else:
+            shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            assert got[r["doc_id"]] == int(dd.md5_int60(shingles).min())
