@@ -38,8 +38,8 @@ from ..stages.docvec import (
 from ..stages.encode import (
     SaltPlan,
     detect_hot_terms,
-    make_bucket_assigner,
-    make_bucket_encoder,
+    make_bucket_packer,
+    make_packed_encoder,
     make_salted_merger,
 )
 from ..state.manifest import BuildState
@@ -52,6 +52,7 @@ class BuildConfig:
     k1: float = K1
     b: float = B
     hot_top_m: int = 128
+    hot_sample: float = 0.1           # row-sample fraction for the hot-term pre-pass
     salt_threshold: int = 100_000     # min est. postings before a term is "hot"
     salt_target_group: int = 100_000  # postings per salted partial
     merge_salted: bool = True         # False = leave multi-row terms (extreme scale)
@@ -61,6 +62,18 @@ class BuildConfig:
 def _clean_dir(path: str) -> None:
     if os.path.isdir(path):
         shutil.rmtree(path)
+
+
+def _parquet_rows(directory: str) -> int:
+    """Row count from parquet footers only (no data pages touched)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(directory):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
 
 
 def build_index(
@@ -85,21 +98,32 @@ def build_index(
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
+        import time as _time
+
+        _t0 = _time.perf_counter()
         ds = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
         ds = assign_doc_ids(ds)
+        m.metrics["sha_sort_docid_s"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
         ds = ds.map_batches(to_term_vectors, batch_format="pyarrow", zero_copy_batch=True)
         _clean_dir(docvec_dir)
         ds.write_parquet(docvec_dir)
-        m.rows_out = ray.data.read_parquet(docvec_dir, columns=["doc_id"]).count()
+        m.metrics["termvec_write_s"] = round(_time.perf_counter() - _t0, 3)
+        m.rows_out = _parquet_rows(docvec_dir)  # metadata-only, no re-read
         m.metrics["stage"] = "ingest+fingerprint+docid+termvec"
         state.commit(m)
 
-    docvec = ray.data.read_parquet(docvec_dir)
+    # downstream stages re-read the checkpoint with COLUMN PRUNING (stats
+    # touches only doc_len; segments only doc_id/doc_len/terms/tfs) — cheaper
+    # than holding full-width materialized blocks in the object store, and
+    # identical between fresh and resumed builds
+    def docvec_cols(columns: list[str]) -> ray.data.Dataset:
+        return ray.data.read_parquet(docvec_dir, columns=columns)
 
     # ---- stage: stats ------------------------------------------------------
     if not (resume and state.is_complete("stats")):
         m = state.begin("stats", inputs=[docvec_dir], upstream=["docvec"])
-        agg = docvec.aggregate(Count(), Sum("doc_len"))
+        agg = docvec_cols(["doc_len"]).aggregate(Count(), Sum("doc_len"))
         n_docs = int(agg["count()"])
         total = int(agg["sum(doc_len)"] or 0)
         # exact int sum / count (not a float Mean): bit-identical to the oracle
@@ -126,27 +150,47 @@ def build_index(
     if not (resume and state.is_complete("segments")):
         m = state.begin("segments", inputs=[docvec_dir], upstream=["docvec", "stats"])
 
-        def _postings() -> ray.data.Dataset:
-            slim = ray.data.read_parquet(
-                docvec_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
-            )
-            return slim.map_batches(
+        def _postings(source: ray.data.Dataset) -> ray.data.Dataset:
+            return source.map_batches(
                 explode_postings, batch_format="pyarrow", zero_copy_batch=True
             )
 
-        hot = detect_hot_terms(_postings(), top_m=cfg.hot_top_m)
+        import time as _time
+
+        # hot-term pre-pass on a seeded row sample: only the salting PLAN
+        # depends on it, and salted builds merge to byte-identical segments
+        # (tested), so sampling noise can't change the output — it only
+        # trades a little salting precision for skipping 90% of the pass.
+        _t0 = _time.perf_counter()
+        frac = 1.0 if stats["n_docs"] < 20_000 else cfg.hot_sample
+        # one slim (id/len/terms/tfs) object-store copy feeds BOTH the
+        # hot-term pass and the encode pass — parquet list-column decode is
+        # the expensive part of re-reading the checkpoint, so pay it once
+        slim = docvec_cols(["doc_id", "doc_len", "terms", "tfs"]).materialize()
+        m.metrics["slim_mat_s"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+        src = slim
+        if frac < 1.0:
+            src = src.random_sample(frac, seed=7)
+        hot = detect_hot_terms(_postings(src), top_m=cfg.hot_top_m)
+        hot = {t: int(c / frac) for t, c in hot.items()}
         hot = {t: c for t, c in hot.items() if c >= cfg.salt_threshold}
+        m.metrics["hot_pass_s"] = round(_time.perf_counter() - _t0, 3)
         plan = SaltPlan.plan(hot, cfg.n_buckets, stats["n_docs"], cfg.salt_target_group)
         m.metrics["hot_terms"] = {t: list(plan.salts[t]) for t in plan.salts}
 
-        keyed = _postings().map_batches(
-            make_bucket_assigner(plan), batch_format="pyarrow", zero_copy_batch=True
+        packed = _postings(slim).map_batches(
+            make_bucket_packer(plan), batch_format="pyarrow", zero_copy_batch=True
         )
-        encoder = make_bucket_encoder(
+        encoder = make_packed_encoder(
             stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
         )
-        seg = keyed.groupby("bucket").map_groups(encoder, batch_format="pyarrow")
+        seg = packed.groupby("bucket").map_groups(encoder, batch_format="pyarrow")
         if cfg.merge_salted and plan.salts:
+            # the finals/partials branches below both consume `seg`; Ray Data
+            # re-executes shared subplans per consumer, so pin the encoded
+            # segments in the object store once before branching
+            seg = seg.materialize()
             finals = seg.map_batches(
                 lambda t: t.filter(pc.equal(t["salt_idx"], pa.scalar(-1, pa.int32()))),
                 batch_format="pyarrow",
@@ -160,9 +204,11 @@ def build_index(
             )
             merged = partials.groupby("term").map_groups(merger, batch_format="pyarrow")
             seg = finals.union(merged)
+        _t0 = _time.perf_counter()
         _clean_dir(seg_dir)
         seg.write_parquet(seg_dir, partition_cols=["term_bucket"])
-        m.rows_out = ray.data.read_parquet(seg_dir, columns=["df"]).count()
+        m.metrics["encode_write_s"] = round(_time.perf_counter() - _t0, 3)
+        m.rows_out = _parquet_rows(seg_dir)  # metadata-only, no re-read
         state.commit(m)
 
     return state

@@ -41,9 +41,24 @@ def _documents_to_corpus_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def documents_as_corpus(sf_dir: str) -> ray.data.Dataset:
-    """Adapter: testdata documents table → native corpus shape (streaming)."""
+def documents_as_corpus(sf_dir: str, num_blocks: int | None = None) -> ray.data.Dataset:
+    """Adapter: testdata documents table → native corpus shape (streaming).
+
+    The testdata files are single-row-group parquet, which Ray can't split
+    below one block — so this adapter (and ONLY this sandbox adapter; a real
+    corpus has thousands of files and must not be repartitioned) splits to
+    ``num_blocks`` (default 2× cluster CPUs) so downstream map_batches
+    stages actually parallelize.
+    """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    if num_blocks is None:
+        try:
+            import ray as _ray
+
+            num_blocks = 2 * int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            num_blocks = 16
+    ds = ds.repartition(num_blocks)
     return ds.map_batches(_documents_to_corpus_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 

@@ -96,6 +96,63 @@ def make_corpus(
     )
 
 
+def ensure_scale_corpus(
+    n_docs: int,
+    out_dir: str,
+    seed: int = 42,
+    shard_docs: int = 2_000,
+) -> str:
+    """Materialize a deterministic n_docs synthetic corpus as multi-file
+    parquet (one file per shard, generated IN PARALLEL by Ray tasks — the
+    corpus is born distributed, never assembled on the driver).
+
+    Idempotent: if the directory already holds exactly n_docs rows (parquet
+    footers only), it is reused — scaling runs at different num_cpus read
+    the *same* bytes.  Used by ``bench.py --scaling``.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    done = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(done):
+        total = 0
+        for fn in os.listdir(out_dir):
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(out_dir, fn)).metadata.num_rows
+        if total == n_docs:
+            return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    shards = [
+        (i, min(shard_docs, n_docs - i * shard_docs))
+        for i in range((n_docs + shard_docs - 1) // shard_docs)
+    ]
+
+    @ray.remote
+    def _write_shard(shard_idx: int, n: int) -> int:
+        t = make_corpus(n, seed=seed + 1000 * shard_idx)
+        # shard-unique repo/path so doc identity stays globally unique
+        import pyarrow.compute as _pc
+
+        t = t.set_column(
+            t.column_names.index("repo"),
+            "repo",
+            _pc.binary_join_element_wise(
+                pa.array([f"s{shard_idx}"] * n), t["repo"], "/"
+            ),
+        )
+        pq.write_table(t, os.path.join(out_dir, f"shard_{shard_idx:05d}.parquet"))
+        return n
+
+    ray.get([_write_shard.remote(i, n) for i, n in shards])
+    with open(done, "w") as f:
+        f.write(str(n_docs))
+    return out_dir
+
+
 def make_queries(n: int = 100, seed: int = 43, n_terms: int = 2000) -> pa.Table:
     """Fixture query set: 1-5 terms, 80% in-vocab across deciles, 20% OOV."""
     rng = np.random.default_rng(seed)

@@ -39,6 +39,10 @@ from ..functions.bm25 import tf_norm
 from ..functions.codecs import (
     decode_docids,
     decode_values,
+    delta_decode,
+    delta_encode,
+    varbyte_decode,
+    varbyte_encode,
     varbyte_encode_with_lengths,
 )
 from ..functions.hashing import polyhash_column
@@ -101,9 +105,18 @@ def detect_hot_terms(
         return pa.table({"term": gb["term"], "cnt": pc.cast(gb["count_all"], pa.int64())})
 
     parts = postings.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = parts.groupby("term").sum("cnt")
-    top = merged.sort("sum(cnt)", descending=True).limit(top_m).take_all()
-    return {r["term"]: int(r["sum(cnt)"]) for r in top}
+    # Partials are bounded (≤ 4·top_m rows per block), so merge them on the
+    # driver — a groupby+sort shuffle for a few hundred KB costs more in
+    # scheduling than it saves.  At extreme block counts (10^12-doc scale)
+    # insert a repartition(√n_blocks) partial-merge round before this.
+    from collections import Counter
+
+    acc: Counter = Counter()
+    for row_batch in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        terms = row_batch["term"].to_pylist()
+        cnts = row_batch["cnt"].to_pylist()
+        acc.update(dict(zip(terms, cnts)))
+    return dict(acc.most_common(top_m))
 
 
 def make_bucket_assigner(plan: SaltPlan):
@@ -136,6 +149,160 @@ def make_bucket_assigner(plan: SaltPlan):
         )
 
     return assign
+
+
+def make_bucket_packer(plan: SaltPlan):
+    """Stage 03 (packed + compressed shuffle): one OUTPUT ROW PER
+    (input batch, bucket), with the posting payload varbyte-compressed
+    BEFORE the all-to-all.
+
+    Raw postings cost ~20 B/posting plus a term string each; at 10^12-file
+    scale the exchange is memory/network-bandwidth-bound, so the shuffle
+    unit here is a mini-segment: doc ids delta+varbyte (doc-major explode
+    order keeps them non-decreasing inside a bucket run), tf/dl varbyte,
+    terms as a per-pack dictionary ('\\n'-joined uniques — tokens are
+    [a-z0-9]+ so '\\n' never collides) + varbyte dictionary indices.
+    ~5 B/posting on the wire, ~n_batches × n_buckets rows through the
+    groupby instead of one row per posting.  salt_idx is constant within a
+    pack (a salted bucket IS one (term, salt) slice), so it ships once.
+    """
+    assigner = make_bucket_assigner(plan)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        keyed = assigner(batch)
+        bucket = keyed["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bucket, kind="stable")
+        b_sorted = bucket[order]
+        if order.size:
+            run_start = np.concatenate(
+                [[0], np.flatnonzero(b_sorted[1:] != b_sorted[:-1]) + 1]
+            )
+            run_end = np.concatenate([run_start[1:], [order.size]])
+        else:
+            run_start = run_end = np.empty(0, dtype=np.int64)
+
+        terms = keyed["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        terms_sorted = terms.take(pa.array(order))
+        doc_ids = keyed["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        tfs = keyed["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        dls = keyed["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        salt = keyed["salt_idx"].to_numpy(zero_copy_only=False).astype(np.int32)[order]
+
+        # ---- fully vectorized encode: ONE varbyte call per column over the
+        # whole batch, then byte-sliced per run via the returned lengths ----
+        n_rows = order.size
+
+        # doc gaps: global diff, reset to the absolute id at each run start
+        gaps = doc_ids.copy()
+        if n_rows:
+            gaps[1:] -= doc_ids[:-1]
+            gaps[run_start] = doc_ids[run_start]
+
+        def _enc_offsets(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            enc, lens = varbyte_encode_with_lengths(vals.astype(np.uint64))
+            off = np.concatenate([[0], np.cumsum(lens)])
+            return enc, off
+
+        enc_d, off_d = _enc_offsets(gaps)
+        enc_tf, off_tf = _enc_offsets(tfs)
+        enc_dl, off_dl = _enc_offsets(dls)
+
+        # per-run term dictionary: one GLOBAL dictionary_encode, then per run
+        # remap global codes → dense run-local codes (np.unique per run is
+        # the only loop — O(run vocab), not O(postings))
+        dic = pc.dictionary_encode(terms_sorted)
+        g_idx = np.asarray(dic.indices, dtype=np.int64)
+        g_dict = dic.dictionary
+        local_idx = np.empty(n_rows, dtype=np.int64)
+        uniq_concat: list[np.ndarray] = []
+        uniq_counts = np.empty(run_start.size, dtype=np.int64)
+        for r, (s, e) in enumerate(zip(run_start, run_end)):
+            uniq, inv = np.unique(g_idx[s:e], return_inverse=True)
+            local_idx[s:e] = inv
+            uniq_concat.append(uniq)
+            uniq_counts[r] = uniq.size
+        enc_ti, off_ti = _enc_offsets(local_idx)
+        all_uniq = (
+            np.concatenate(uniq_concat) if uniq_concat else np.empty(0, dtype=np.int64)
+        )
+        dict_offsets = pa.array(
+            np.concatenate([[0], np.cumsum(uniq_counts)]), type=pa.int64()
+        )
+        dict_lists = pa.LargeListArray.from_arrays(
+            dict_offsets, g_dict.take(pa.array(all_uniq))
+        )
+        term_dicts = pc.binary_join(dict_lists, "\n")
+
+        def _slices(enc: np.ndarray, off: np.ndarray) -> list[bytes]:
+            return [
+                enc[off[s] : off[e]].tobytes() for s, e in zip(run_start, run_end)
+            ]
+
+        return pa.table(
+            {
+                "bucket": pa.array(b_sorted[run_start].astype(np.int32)),
+                "salt": pa.array(salt[run_start] if n_rows else salt),
+                "n": pa.array((run_end - run_start).astype(np.int64)),
+                "term_dict": term_dicts,
+                "term_idx": pa.array(_slices(enc_ti, off_ti), pa.large_binary()),
+                "docids_vb": pa.array(_slices(enc_d, off_d), pa.large_binary()),
+                "tfs_vb": pa.array(_slices(enc_tf, off_tf), pa.large_binary()),
+                "dls_vb": pa.array(_slices(enc_dl, off_dl), pa.large_binary()),
+            }
+        )
+
+    return pack
+
+
+def make_packed_encoder(
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    n_route_buckets: int,
+):
+    """A1 (packed shuffle): per-bucket reducer over compressed packs —
+    vectorized varbyte decode, dictionary gather, one (term, doc_id) sort,
+    then the shared run encoder."""
+
+    def encode(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return SEGMENT_SCHEMA.empty_table()
+        term_parts, did_parts, tf_parts, dl_parts, salt_parts = [], [], [], [], []
+        salts = group["salt"].to_pylist()
+        dicts = group["term_dict"].to_pylist()
+        for i in range(group.num_rows):
+            idx = varbyte_decode(group["term_idx"][i].as_py()).astype(np.int64)
+            dict_arr = pa.array(dicts[i].split("\n"), pa.string())
+            term_parts.append(dict_arr.take(pa.array(idx)))
+            did_parts.append(delta_decode(varbyte_decode(group["docids_vb"][i].as_py())))
+            tf_parts.append(varbyte_decode(group["tfs_vb"][i].as_py()).astype(np.int64))
+            dl_parts.append(varbyte_decode(group["dls_vb"][i].as_py()).astype(np.int64))
+            salt_parts.append(np.full(idx.size, salts[i], dtype=np.int32))
+        t = pa.table(
+            {
+                "term": pa.concat_arrays(term_parts),
+                "doc_id": pa.array(np.concatenate(did_parts)),
+                "tf": pa.array(np.concatenate(tf_parts)),
+                "dl": pa.array(np.concatenate(dl_parts)),
+                "salt_idx": pa.array(np.concatenate(salt_parts)),
+            }
+        ).sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        return _encode_runs(
+            t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"],
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            t["tf"].to_numpy(zero_copy_only=False),
+            t["dl"].to_numpy(zero_copy_only=False),
+            t["salt_idx"].to_numpy(zero_copy_only=False),
+            avgdl,
+            k1,
+            b,
+            block_size,
+            n_route_buckets,
+        )
+
+    return encode
 
 
 def _encode_runs(
