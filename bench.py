@@ -196,9 +196,9 @@ def run_scaling_child(num_cpus: int) -> dict:
     # measured pass sees loaded actors — steady-state qps)
     q_tbl = make_queries(2000, seed=43)
     pool = dict(concurrency=(1, max(2, num_cpus // 2)), batch_size=64)
-    run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="bmw", **pool).count()
+    run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
     t0 = time.perf_counter()
-    run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="bmw", **pool).count()
+    run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
     query_s = time.perf_counter() - t0
 
     shutil.rmtree(build_dir, ignore_errors=True)

@@ -111,6 +111,28 @@ def flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
     return flat_kept, parent_kept
 
 
+# -- alternative tokenizer (§2.11 hook example): whitespace-only ------------
+
+def whitespace_tokenize(text: str) -> list[str]:
+    """Scalar twin of :func:`whitespace_flat_tokens` (query side)."""
+    return [t for t in text.lower().split() if t]
+
+
+def whitespace_flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    """Vectorized whitespace-only tokenizer: lowercase + split on \\s+, no
+    camelCase/snake splitting, no length/digit filter.  Plug into
+    ``build_index(..., tokenizer=whitespace_flat_tokens)`` with
+    ``ScorerActor(..., tokenize_fn=whitespace_tokenize)`` at query time."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    flat = pc.filter(flat, pa.array(keep))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parent[keep]
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis kernels for training-data pipelines (task brief: language-ID,
 # quality scoring, token counting, document fingerprinting).

@@ -81,8 +81,18 @@ def build_index(
     build_dir: str,
     cfg: BuildConfig | None = None,
     resume: bool = True,
+    tokenizer=None,
+    extra_stages=None,
 ) -> BuildState:
-    """Run (or resume) the index build; returns the BuildState handle."""
+    """Run (or resume) the index build; returns the BuildState handle.
+
+    §2.11 extension hooks: ``tokenizer`` is a vectorized
+    ``(string column) -> (flat tokens, parent rows)`` callable (default: the
+    shared code-aware tokenizer — queries must use the scalar twin);
+    ``extra_stages`` is a list of ``(name, Dataset -> Dataset)`` transforms
+    applied to the corpus at ingest (before fingerprinting), recorded in the
+    docvec manifest for lineage.
+    """
     cfg = cfg or BuildConfig()
     state = BuildState(build_dir, asdict(cfg))
 
@@ -91,6 +101,9 @@ def build_index(
     if not (resume and state.is_complete("docvec")):
         m = state.begin("docvec", inputs=["corpus"], upstream=[])
         ds = corpus
+        for stage_name, stage_fn in extra_stages or []:
+            ds = stage_fn(ds)
+            m.metrics.setdefault("extra_stages", []).append(stage_name)
         if cfg.langs:
             allowed = pa.array(list(cfg.langs))
             ds = ds.map_batches(
@@ -105,7 +118,16 @@ def build_index(
         ds = assign_doc_ids(ds)
         m.metrics["sha_sort_docid_s"] = round(_time.perf_counter() - _t0, 3)
         _t0 = _time.perf_counter()
-        ds = ds.map_batches(to_term_vectors, batch_format="pyarrow", zero_copy_batch=True)
+        if tokenizer is not None:
+            ds = ds.map_batches(
+                lambda t, _tok=tokenizer: to_term_vectors(t, tokenizer=_tok),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        else:
+            ds = ds.map_batches(
+                to_term_vectors, batch_format="pyarrow", zero_copy_batch=True
+            )
         _clean_dir(docvec_dir)
         ds.write_parquet(docvec_dir)
         m.metrics["termvec_write_s"] = round(_time.perf_counter() - _t0, 3)

@@ -671,6 +671,37 @@ def systematic_sample(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@op(
+    "events_running_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS running_cents
+    FROM events
+    """,
+)
+def events_running_sum(sf_dir: str):
+    """Windowed aggregate (running per-user sum): groupby(user).map_groups
+    with an in-group (ts, event_id) sort + int cumsum — the partitioning
+    assumption is one user's history fits one group (time-bucket the key at
+    extreme per-user volumes)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def running(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        cents = _cents(g["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "running_cents": pa.array(np.cumsum(cents), pa.int64()),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(running, batch_format="pyarrow")
+
+
 # -- extension registries (import side-effect: registers into REGISTRY) -----
 from . import ops_dedup  # noqa: E402,F401  (dedup + similarity search)
 from . import ops_media  # noqa: E402,F401  (multimodal column plumbing)

@@ -71,11 +71,22 @@ class ScorerActor:
         k: int = 10,
         scorer: str = "daat",
         preload: bool = True,
+        scoring=None,
+        tokenize_fn=None,
     ):
+        from ..functions.scoring import Bm25Scoring
+
         with open(os.path.join(build_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.k = k
         self.scorer = scorer
+        # §2.11 extension hooks: scoring model + query tokenizer.  A model
+        # whose upper_bound_valid is False can't use the stored BM25 block
+        # maxes — such models always take the exhaustive DAAT path.
+        self.scoring = scoring or Bm25Scoring(
+            k1=self.stats["k1"], b=self.stats["b"]
+        )
+        self.tokenize_fn = tokenize_fn or tokenize
         self.build_dir = build_dir
         self.n_buckets = int(self.stats["n_buckets"])
         self.seg_root = os.path.join(build_dir, "stage=segments")
@@ -150,7 +161,7 @@ class ScorerActor:
             if p is None:
                 continue
             df, docids, tfs, dls, _, _ = p
-            contrib = float(bm25_idf(df, n)) * tf_norm(tfs, dls, avgdl, k1, b)
+            contrib = self.scoring.idf(df, n) * self.scoring.tf_norm(tfs, dls, avgdl)
             all_docs.append(docids)
             all_scores.append(contrib)
         if not all_docs:
@@ -177,7 +188,7 @@ class ScorerActor:
             if p is None:
                 continue
             df, docids, tfs, dls, blk_first, blk_max = p
-            w = float(bm25_idf(df, n))
+            w = self.scoring.idf(df, n)
             plists.append(
                 {
                     "docids": docids,
@@ -254,12 +265,10 @@ class ScorerActor:
                     pos = int(np.searchsorted(p["docids"], pivot_doc))
                     if pos < p["docids"].size and p["docids"][pos] == pivot_doc:
                         score += p["idf"] * float(
-                            tf_norm(
+                            self.scoring.tf_norm(
                                 np.array([p["tfs"][pos]], dtype=np.float64),
                                 np.array([p["dls"][pos]], dtype=np.float64),
                                 avgdl,
-                                k1,
-                                b,
                             )[0]
                         )
                 if better(score, pivot_doc):
@@ -281,11 +290,35 @@ class ScorerActor:
             np.array([s for s, _n in items], dtype=np.float64),
         )
 
+    # crossover for the "auto" scorer: vectorized exhaustive DAAT costs
+    # ~10ns/posting (numpy gather+add), the Python WAND loop ~µs/pivot —
+    # skipping only pays once the candidate volume is large AND upper
+    # bounds let most of it be skipped.  Below this Σdf, DAAT always wins.
+    AUTO_DAAT_MAX_POSTINGS = 5_000_000
+
+    def _df_total(self, terms: list[str]) -> int:
+        total = 0
+        for term in terms:
+            bucket = int(polyhash_column(pa.array([term]))[0] % self.n_buckets)
+            self._load_bucket(bucket)
+            for r in self._terms.get(term, ()):
+                total += r.df
+        return total
+
     def score_query(self, text: str):
-        terms = sorted(set(tokenize(text)))
-        if self.scorer == "daat":
+        terms = sorted(set(self.tokenize_fn(text)))
+        scorer = self.scorer
+        if not self.scoring.upper_bound_valid:
+            scorer = "daat"  # stored block maxes are BM25-specific
+        if scorer == "auto":
+            scorer = (
+                "daat"
+                if self._df_total(terms) <= self.AUTO_DAAT_MAX_POSTINGS
+                else "bmw"
+            )
+        if scorer == "daat":
             return self._score_query_daat(terms)
-        return self._score_query_wand(terms, use_block_max=(self.scorer == "bmw"))
+        return self._score_query_wand(terms, use_block_max=(scorer == "bmw"))
 
     # ---- Ray Data entry ---------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -314,11 +347,21 @@ def run_queries(
     scorer: str = "daat",
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 32,
+    scoring=None,
+    tokenize_fn=None,
 ) -> ray.data.Dataset:
-    """S3→A2→S7: queries dataset → ranked (query_id, rank, doc_id, score)."""
+    """S3→A2→S7: queries dataset → ranked (query_id, rank, doc_id, score).
+
+    ``scoring`` / ``tokenize_fn`` are the §2.11 hooks, forwarded to each
+    pool actor's constructor (must be picklable)."""
+    kwargs = {"build_dir": build_dir, "k": k, "scorer": scorer}
+    if scoring is not None:
+        kwargs["scoring"] = scoring
+    if tokenize_fn is not None:
+        kwargs["tokenize_fn"] = tokenize_fn
     return queries.map_batches(
         ScorerActor,
-        fn_constructor_kwargs={"build_dir": build_dir, "k": k, "scorer": scorer},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -59,15 +59,19 @@ def assign_doc_ids(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ray.data.from_arrow_refs(out)
 
 
-def to_term_vectors(batch: pa.Table) -> pa.Table:
+def to_term_vectors(batch: pa.Table, tokenizer=flat_tokens) -> pa.Table:
     """M2/M3/M4 (doc-level): content → sorted (terms, tfs) lists + doc_len.
 
     Output schema: doc_id, repo, path, commit, lang, content_sha256,
     doc_len:int64, terms:list<string>, tfs:list<int32>.  ``content`` is
     dropped here (M6).  Terms within a doc are sorted ascending — the scorer
     and oracle both rely on deterministic order.
+
+    ``tokenizer`` is the §2.11 hook: a vectorized callable
+    ``(string column) -> (flat token array, row index per token)``; the
+    default is the shared code-aware tokenizer (functions/text.py).
     """
-    flat, parent = flat_tokens(batch["content"])
+    flat, parent = tokenizer(batch["content"])
     n_rows = batch.num_rows
     # per-(row, term) counts via Arrow hash aggregation (C++, vectorized)
     pairs = pa.table(
