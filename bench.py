@@ -134,7 +134,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200) -> dict:
 
 
 SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "200000"))
-SCALE_DIR = f"/tmp/sharesci_scale_corpus_{SCALE_DOCS}"
+SCALE_DIR = f"/tmp/sharesci_scale_corpus_{SCALE_DOCS}_v50k"
 
 
 def run_scaling_child(num_cpus: int) -> dict:
@@ -160,7 +160,7 @@ def run_scaling_child(num_cpus: int) -> dict:
 
     from sharesci_ray.pipelines.build import BuildConfig, build_index
     from sharesci_ray.pipelines.query import run_queries
-    from sharesci_ray.sources.synth import ensure_scale_corpus, make_queries
+    from sharesci_ray.sources.synth import SCALE_VOCAB, ensure_scale_corpus, make_queries
 
     ensure_scale_corpus(SCALE_DOCS, SCALE_DIR, shard_docs=5000)
 
@@ -194,8 +194,8 @@ def run_scaling_child(num_cpus: int) -> dict:
 
     # query throughput through the scorer actor pool (warm pass first so the
     # measured pass sees loaded actors — steady-state qps)
-    q_tbl = make_queries(2000, seed=43)
-    pool = dict(concurrency=(1, max(2, num_cpus // 2)), batch_size=64)
+    q_tbl = make_queries(10_000, seed=43, n_terms=SCALE_VOCAB)
+    pool = dict(concurrency=max(2, num_cpus // 2), batch_size=64)  # fixed pool: eager actors
     run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
     t0 = time.perf_counter()
     run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
@@ -209,7 +209,7 @@ def run_scaling_child(num_cpus: int) -> dict:
         "build_s": round(build_s, 2),
         "docs_per_sec": round(SCALE_DOCS / build_s, 1),
         "query_s": round(query_s, 2),
-        "queries_per_sec": round(2000 / query_s, 1),
+        "queries_per_sec": round(10_000 / query_s, 1),
     }
     ray.shutdown()
     return out

@@ -46,15 +46,36 @@ _UB_EPS = 1e-9
 
 
 class _TermPostings:
-    __slots__ = ("df", "docids", "tfs", "dls", "blk_first", "blk_max", "blk_bounds")
+    """One segment row, loaded lazily: the bucket table's Arrow buffers are
+    shared; bytes are copied out only when this term is actually queried
+    (keeps actor init metadata-only — important for pool spin-up time)."""
 
-    def __init__(self, df, docids, tfs, dls, blk_first, blk_max):
+    __slots__ = ("df", "_tbl", "_row")
+
+    def __init__(self, df, tbl, row):
         self.df = df
-        self.docids = docids
-        self.tfs = tfs
-        self.dls = dls
-        self.blk_first = blk_first
-        self.blk_max = blk_max
+        self._tbl = tbl
+        self._row = row
+
+    @property
+    def docids(self):
+        return self._tbl["docids"][self._row].as_py()
+
+    @property
+    def tfs(self):
+        return self._tbl["tfs"][self._row].as_py()
+
+    @property
+    def dls(self):
+        return self._tbl["dls"][self._row].as_py()
+
+    @property
+    def blk_first(self):
+        return np.asarray(self._tbl["block_first_docid"][self._row].as_py(), dtype=np.int64)
+
+    @property
+    def blk_max(self):
+        return np.asarray(self._tbl["block_max_tfnorm"][self._row].as_py(), dtype=np.float64)
 
 
 class ScorerActor:
@@ -90,8 +111,13 @@ class ScorerActor:
         self.build_dir = build_dir
         self.n_buckets = int(self.stats["n_buckets"])
         self.seg_root = os.path.join(build_dir, "stage=segments")
+        from collections import OrderedDict
+
         self._terms: dict[str, list[_TermPostings]] = {}
         self._loaded_buckets: set[int] = set()
+        self._decoded: OrderedDict[str, tuple] = OrderedDict()
+        self._contribs: OrderedDict[str, tuple] = OrderedDict()
+        self._cached_postings = 0
         if preload:
             for b in range(self.n_buckets):
                 self._load_bucket(b)
@@ -105,27 +131,20 @@ class ScorerActor:
         files = sorted(glob.glob(os.path.join(part, "*.parquet")))
         if not files:
             return
-        t = pa.concat_tables([pq.read_table(f) for f in files])
+        t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        # only the small metadata columns are materialized at load time; the
+        # posting payload stays in the shared Arrow buffers (lazy per term)
         terms = t["term"].to_pylist()
         dfs = t["df"].to_pylist()
         salt = t["salt_idx"].to_pylist()
-        docids = t["docids"].to_pylist()
-        tfs = t["tfs"].to_pylist()
-        dls = t["dls"].to_pylist()
-        bf = t["block_first_docid"].to_pylist()
-        bm = t["block_max_tfnorm"].to_pylist()
         order = sorted(range(len(terms)), key=lambda i: (terms[i], salt[i]))
         for i in order:
-            self._terms.setdefault(terms[i], []).append(
-                _TermPostings(
-                    dfs[i],
-                    docids[i],
-                    tfs[i],
-                    dls[i],
-                    np.asarray(bf[i], dtype=np.int64),
-                    np.asarray(bm[i], dtype=np.float64),
-                )
-            )
+            self._terms.setdefault(terms[i], []).append(_TermPostings(dfs[i], t, i))
+
+    # decoded-postings LRU: repeated query terms (stopword-like identifiers
+    # dominate real query logs) skip varbyte re-decode.  Budget counts
+    # postings, not entries, so a few huge lists can't blow the heap.
+    _CACHE_MAX_POSTINGS = 20_000_000
 
     def _postings(self, term: str):
         """term → (df_total, docids, tfs, dls, blk_first, blk_max) or None.
@@ -133,6 +152,10 @@ class ScorerActor:
         Multi-row terms (unmerged salted partials) concatenate in salt order —
         partials cover disjoint ascending doc-id ranges by construction.
         """
+        hit = self._decoded.get(term)
+        if hit is not None:
+            self._decoded.move_to_end(term)
+            return hit
         bucket = int(polyhash_column(pa.array([term])) [0] % self.n_buckets)
         self._load_bucket(bucket)
         rows = self._terms.get(term)
@@ -144,30 +167,67 @@ class ScorerActor:
         dls = np.concatenate([decode_values(r.dls) for r in rows])
         blk_first = np.concatenate([r.blk_first for r in rows])
         blk_max = np.concatenate([r.blk_max for r in rows])
-        return df, docids, tfs, dls, blk_first, blk_max
+        out = (df, docids, tfs, dls, blk_first, blk_max)
+        self._decoded[term] = out
+        self._cached_postings += docids.size
+        while self._cached_postings > self._CACHE_MAX_POSTINGS and self._decoded:
+            _t, old = self._decoded.popitem(last=False)
+            self._cached_postings -= old[1].size
+        return out
 
     # ---- scoring ----------------------------------------------------------
-    def _score_query_daat(self, terms: list[str]):
-        """Exhaustive DAAT, vectorized. Accumulation in sorted-term order."""
-        all_docs, all_scores = [], []
-        n, avgdl, k1, b = (
-            self.stats["n_docs"],
-            self.stats["avgdl"],
-            self.stats["k1"],
-            self.stats["b"],
+    def _contrib(self, term: str):
+        """term → (docids, per-posting score contribution) — contribution =
+        idf·tf_norm is QUERY-INDEPENDENT, so it is computed once per term
+        per actor (LRU shared with the decoded-postings budget)."""
+        hit = self._contribs.get(term)
+        if hit is not None:
+            self._contribs.move_to_end(term)
+            return hit
+        p = self._postings(term)
+        if p is None:
+            return None
+        df, docids, tfs, dls, _, _ = p
+        contrib = self.scoring.idf(df, self.stats["n_docs"]) * self.scoring.tf_norm(
+            tfs, dls, self.stats["avgdl"]
         )
+        out = (docids, contrib)
+        self._contribs[term] = out
+        self._cached_postings += docids.size
+        while self._cached_postings > self._CACHE_MAX_POSTINGS and self._contribs:
+            _t, old = self._contribs.popitem(last=False)
+            self._cached_postings -= old[0].size
+        return out
+
+    # dense-accumulator DAAT is used while n_docs * 8 bytes fits comfortably
+    # in a worker heap; past that (multi-hundred-million-doc partitions) the
+    # sparse unique/scatter path takes over
+    _DENSE_MAX_DOCS = 16_000_000
+
+    def _score_query_daat(self, terms: list[str]):
+        """Exhaustive DAAT, vectorized. Accumulation in sorted-term order
+        (term-major — per doc this IS sorted-term-order float64 summation,
+        bit-identical to the oracle)."""
+        n = self.stats["n_docs"]
+        plists = []
         for term in terms:  # terms already sorted unique
-            p = self._postings(term)
-            if p is None:
+            pc_ = self._contrib(term)
+            if pc_ is None:
                 continue
-            df, docids, tfs, dls, _, _ = p
-            contrib = self.scoring.idf(df, n) * self.scoring.tf_norm(tfs, dls, avgdl)
-            all_docs.append(docids)
-            all_scores.append(contrib)
-        if not all_docs:
+            plists.append(pc_)
+        if not plists:
             return np.empty(0, dtype=np.int64), np.empty(0)
-        docs = np.concatenate(all_docs)
-        contribs = np.concatenate(all_scores)
+        total = sum(d.size for d, _ in plists)
+        # dense accumulator only when the candidate volume justifies touching
+        # an n_docs-sized buffer; tail-term queries stay on the sparse path
+        if n <= self._DENSE_MAX_DOCS and total >= max(4096, n // 16):
+            scores = np.zeros(n, dtype=np.float64)
+            for docids, contrib in plists:
+                scores[docids] += contrib  # doc ids are unique within a term
+            hit = np.flatnonzero(scores > 0.0)  # BM25 contributions are > 0
+            return top_k_with_ties(hit, scores[hit], self.k)
+        docs = np.concatenate([d for d, _ in plists])
+        contribs = np.concatenate([c for _, c in plists])
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.zeros(uniq.size, dtype=np.float64)
         # np.add.at processes elements in array order == sorted-term order per doc
@@ -353,7 +413,14 @@ def run_queries(
     """S3→A2→S7: queries dataset → ranked (query_id, rank, doc_id, score).
 
     ``scoring`` / ``tokenize_fn`` are the §2.11 hooks, forwarded to each
-    pool actor's constructor (must be picklable)."""
+    pool actor's constructor (must be picklable).
+
+    The query set is split to ≥2 blocks per pool slot first: one Ray Data
+    block is processed by one actor, so a single-block query table (the
+    common ``from_arrow`` case) would serialize the whole batch through one
+    actor no matter the pool size."""
+    cmax = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    queries = queries.repartition(max(2 * cmax, 2))
     kwargs = {"build_dir": build_dir, "k": k, "scorer": scorer}
     if scoring is not None:
         kwargs["scoring"] = scoring

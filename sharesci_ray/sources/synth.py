@@ -96,11 +96,15 @@ def make_corpus(
     )
 
 
+SCALE_VOCAB = 50_000  # realistic identifier-vocabulary size for scale runs
+
+
 def ensure_scale_corpus(
     n_docs: int,
     out_dir: str,
     seed: int = 42,
     shard_docs: int = 2_000,
+    n_terms: int = SCALE_VOCAB,
 ) -> str:
     """Materialize a deterministic n_docs synthetic corpus as multi-file
     parquet (one file per shard, generated IN PARALLEL by Ray tasks — the
@@ -133,7 +137,7 @@ def ensure_scale_corpus(
 
     @ray.remote
     def _write_shard(shard_idx: int, n: int) -> int:
-        t = make_corpus(n, seed=seed + 1000 * shard_idx)
+        t = make_corpus(n, seed=seed + 1000 * shard_idx, n_terms=n_terms)
         # shard-unique repo/path so doc identity stays globally unique
         import pyarrow.compute as _pc
 
