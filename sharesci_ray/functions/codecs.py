@@ -64,10 +64,29 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
-    """Decode LEB128 bytes → uint64 array. Vectorized via reduceat."""
+    """Decode LEB128 bytes → uint64 array. Vectorized via reduceat, with
+    near-memcpy fast paths for the dominant all-1-byte (tf) and pure-2-byte
+    streams — these carry most query-time decode volume."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    cont = b & _CONT
+    if not cont.any():  # every value fits 7 bits
+        return b.astype(np.uint64)
+    if b.size % 2 == 0:
+        pairs = cont.reshape(-1, 2)
+        if pairs[:, 0].all() and not pairs[:, 1].any():  # uniform 2-byte values
+            lo = b[0::2] & np.uint8(0x7F)
+            return lo.astype(np.uint64) | (b[1::2].astype(np.uint64) << np.uint64(7))
+    contb = cont != 0
+    if not (contb[:-1] & contb[1:]).any():  # mixed 1/2-byte stream (doc gaps)
+        term_pos = np.flatnonzero(~contb)
+        has_prev = np.zeros(term_pos.size, dtype=bool)
+        has_prev[term_pos > 0] = contb[term_pos[term_pos > 0] - 1]
+        vals = b[term_pos].astype(np.uint64)
+        prev = np.where(term_pos > 0, b[term_pos - 1], 0).astype(np.uint64)
+        two = (vals << np.uint64(7)) | (prev & np.uint64(0x7F))
+        return np.where(has_prev, two, vals)
     is_last = (b & _CONT) == 0
     # group id for each byte: 0-based index of the value it belongs to
     group = np.zeros(b.size, dtype=np.int64)

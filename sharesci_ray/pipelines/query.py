@@ -146,14 +146,16 @@ class ScorerActor:
     # postings, not entries, so a few huge lists can't blow the heap.
     _CACHE_MAX_POSTINGS = 20_000_000
 
-    def _postings(self, term: str):
+    def _postings(self, term: str, need_blocks: bool = True):
         """term → (df_total, docids, tfs, dls, blk_first, blk_max) or None.
 
         Multi-row terms (unmerged salted partials) concatenate in salt order —
         partials cover disjoint ascending doc-id ranges by construction.
+        ``need_blocks=False`` (DAAT path) skips materializing the block
+        skip-pointer arrays, which only WAND/BMW consume.
         """
         hit = self._decoded.get(term)
-        if hit is not None:
+        if hit is not None and (hit[4] is not None or not need_blocks):
             self._decoded.move_to_end(term)
             return hit
         bucket = int(polyhash_column(pa.array([term])) [0] % self.n_buckets)
@@ -161,15 +163,21 @@ class ScorerActor:
         rows = self._terms.get(term)
         if not rows:
             return None
-        df = sum(r.df for r in rows)
-        docids = np.concatenate([decode_docids(r.docids) for r in rows])
-        tfs = np.concatenate([decode_values(r.tfs) for r in rows])
-        dls = np.concatenate([decode_values(r.dls) for r in rows])
-        blk_first = np.concatenate([r.blk_first for r in rows])
-        blk_max = np.concatenate([r.blk_max for r in rows])
+        if hit is not None:  # decoded before without blocks; add them now
+            df, docids, tfs, dls = hit[:4]
+        else:
+            df = sum(r.df for r in rows)
+            docids = np.concatenate([decode_docids(r.docids) for r in rows])
+            tfs = np.concatenate([decode_values(r.tfs) for r in rows])
+            dls = np.concatenate([decode_values(r.dls) for r in rows])
+            self._cached_postings += docids.size
+        if need_blocks:
+            blk_first = np.concatenate([r.blk_first for r in rows])
+            blk_max = np.concatenate([r.blk_max for r in rows])
+        else:
+            blk_first = blk_max = None
         out = (df, docids, tfs, dls, blk_first, blk_max)
         self._decoded[term] = out
-        self._cached_postings += docids.size
         while self._cached_postings > self._CACHE_MAX_POSTINGS and self._decoded:
             _t, old = self._decoded.popitem(last=False)
             self._cached_postings -= old[1].size
@@ -184,7 +192,7 @@ class ScorerActor:
         if hit is not None:
             self._contribs.move_to_end(term)
             return hit
-        p = self._postings(term)
+        p = self._postings(term, need_blocks=False)
         if p is None:
             return None
         df, docids, tfs, dls, _, _ = p
