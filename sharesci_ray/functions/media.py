@@ -77,6 +77,34 @@ def decode_video(blob: bytes) -> tuple[int, int, int, int, np.ndarray]:
     return n, w, h, c, px.reshape(n, h, w, c)
 
 
+_AUD_HDR = struct.Struct("<4sIH")
+MAGIC_AUD = b"FAUD"
+
+
+def synth_audio_blob(media_id: int) -> bytes:
+    n = 1000 + (media_id % 7) * 500
+    rate = 8000
+    samples = np.random.RandomState((media_id + 99) % (2**31)).randint(
+        -32768, 32768, size=n, dtype=np.int16
+    )
+    return _AUD_HDR.pack(MAGIC_AUD, n, rate) + samples.tobytes()
+
+
+def decode_audio(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """FAUD blob → (n_samples, sample_rate, int16 samples)."""
+    magic, n, rate = _AUD_HDR.unpack_from(blob, 0)
+    if magic != MAGIC_AUD:
+        raise ValueError(f"not an FAUD blob (magic={magic!r})")
+    samples = np.frombuffer(blob, dtype=np.int16, offset=_AUD_HDR.size, count=n)
+    return n, rate, samples
+
+
+def audio_features(samples: np.ndarray) -> tuple[int, int]:
+    """(sum of |sample|, peak |sample|) — integer-exact energy features."""
+    a = np.abs(samples.astype(np.int64))
+    return int(a.sum()), int(a.max()) if a.size else 0
+
+
 def decode_real_image(blob: bytes) -> np.ndarray:
     """Real-format (JPEG/PNG/...) decode — STUB: requires PIL, which this
     container does not ship.  The FIMG path above exercises the identical

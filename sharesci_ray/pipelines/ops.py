@@ -671,6 +671,145 @@ def systematic_sample(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _tfidf_sql() -> str:
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    st AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM toks),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(st.n * 1.0 / df.df) AS w
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN st
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+    q(query_id, term) AS (VALUES {values}),
+    sc AS (
+      SELECT q.query_id, w.doc_id,
+             sum(ln(st.n * 1.0 / df.df) * w.w) / any_value(nrm.norm) AS score
+      FROM q
+      JOIN w ON w.term = q.term
+      JOIN df ON df.term = q.term
+      JOIN nrm ON nrm.doc_id = w.doc_id
+      CROSS JOIN st
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    ) WHERE rank <= 10
+    """
+
+
+@op("tfidf_cosine_topk", _tfidf_sql())
+def tfidf_cosine_topk(sf_dir: str):
+    """The REFERENCE's original scorer (BASELINE.json:6: sharesci used a
+    TF-IDF/cosine ranker) re-expressed as pure Ray dataflow — capability
+    parity for users migrating from the old engine.  Query weight = idf
+    (binary tf; |q| is rank-invariant), doc weight = tf·idf, score =
+    Σ idf²·tf / |d|.  Ranks only in the output (same float policy as
+    bm25_topk).  Small sides (df map, query terms) broadcast via ray.put;
+    the scale path swaps them for hash joins (J2)."""
+    import ray
+
+    from ..functions.text import flat_tokens
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        g = (
+            pa.table({"doc_id": pa.array(ids), "term": flat})
+            .group_by(["doc_id", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "term": g["term"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+    tf_mat = tf_ds.materialize()  # consumed by df, norms and scores below
+
+    dfc = tf_mat.groupby("term").count().take_all()
+    df_map = {r["term"]: r["count()"] for r in dfc}
+    n_docs = docs.count()
+    idf_map = {t: float(np.log(n_docs / d)) for t, d in df_map.items()}
+    idf_ref = ray.put(idf_map)
+
+    def wsq(batch: pa.Table) -> pa.Table:
+        im = ray.get(idf_ref)
+        idfs = np.array([im[t] for t in batch["term"].to_pylist()])
+        w = batch["tf"].to_numpy(zero_copy_only=False) * idfs
+        return pa.table({"doc_id": batch["doc_id"], "wsq": pa.array(w * w)})
+
+    norms = (
+        tf_mat.map_batches(wsq, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .sum("wsq")
+        .take_all()
+    )
+    norm_map = {r["doc_id"]: float(np.sqrt(r["sum(wsq)"])) for r in norms}
+    norm_ref = ray.put(norm_map)
+
+    q_terms = [(qid, t) for qid, text in enumerate(DOC_QUERIES) for t in sorted(set(tokenize(text)))]
+    q_ref = ray.put(q_terms)
+
+    def score(batch: pa.Table) -> pa.Table:
+        im, nm, qt = ray.get(idf_ref), ray.get(norm_ref), ray.get(q_ref)
+        terms = batch["term"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = batch["tf"].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_s = [], [], []
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(terms):
+            by_term.setdefault(t, []).append(i)
+        for qid, t in qt:
+            rows = by_term.get(t)
+            if not rows:
+                continue
+            idx = np.array(rows)
+            contrib = im[t] * im[t] * tfs[idx]
+            out_q.extend([qid] * idx.size)
+            out_d.extend(ids[idx])
+            out_s.extend(contrib)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "part": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = tf_mat.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    summed = parts.groupby(["query_id", "doc_id"]).sum("part")
+
+    def topk(group: pa.Table) -> pa.Table:
+        nm = ray.get(norm_ref)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        raw = group["sum(part)"].to_numpy(zero_copy_only=False)
+        s = raw / np.array([nm[d] for d in ids])
+        order = np.lexsort((ids, -s))[:10]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+                "doc_id": pa.array(ids[order], pa.int64()),
+            }
+        )
+
+    return summed.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
 @op(
     "events_running_sum",
     """

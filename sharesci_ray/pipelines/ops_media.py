@@ -163,6 +163,92 @@ def media_resize(sf_dir: str):
     )
 
 
+class AudioFeatures:
+    """Actor-pool audio stage: parse FAUD bytes → integer energy features.
+    Real codecs (mp3/wav via soundfile etc.) are not in this container —
+    the blob plumbing and actor signature are identical."""
+
+    def __init__(self) -> None:
+        self.codecs = {b"FAUD": md.decode_audio}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, rates, energy, peak = [], [], [], []
+        for blob in batch["blob"].to_pylist():
+            n, rate, samples = self.codecs[blob[:4]](blob)
+            e, p = md.audio_features(samples)
+            ns.append(n)
+            rates.append(rate)
+            energy.append(e)
+            peak.append(p)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "abs_energy": pa.array(energy, pa.int64()),
+                "peak": pa.array(peak, pa.int64()),
+            }
+        )
+
+
+@op(
+    "media_audio_features",
+    f"""
+    SELECT doc_id AS media_id,
+           1000 + (doc_id % 7) * 500 AS n_samples,
+           8000 AS sample_rate
+    FROM documents WHERE doc_id < {_N_MEDIA}
+    """,
+)
+def media_audio_features(sf_dir: str):
+    """Audio decode roundtrip: n_samples/rate parsed from FAUD bytes must
+    match the id formula (oracle); energy/peak values are pytest-checked
+    (not SQL-expressible)."""
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        keep = [d for d in batch["doc_id"].to_pylist() if d < _N_MEDIA]
+        return pa.table(
+            {
+                "media_id": pa.array(keep, pa.int64()),
+                "blob": pa.array([md.synth_audio_blob(d) for d in keep], pa.binary()),
+            }
+        )
+
+    blobs = ids.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    feats = blobs.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=_MEDIA_BATCH,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return feats.select_columns(["media_id", "n_samples", "sample_rate"])
+
+
+@op("media_audio_energy")  # integer energy features — rows-only + pytest
+def media_audio_energy(sf_dir: str):
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        keep = [d for d in batch["doc_id"].to_pylist() if d < _N_MEDIA]
+        return pa.table(
+            {
+                "media_id": pa.array(keep, pa.int64()),
+                "blob": pa.array([md.synth_audio_blob(d) for d in keep], pa.binary()),
+            }
+        )
+
+    blobs = ids.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    return blobs.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=_MEDIA_BATCH,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 @op(
     "media_frame_sample",
     f"""

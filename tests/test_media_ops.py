@@ -50,6 +50,28 @@ def test_resize_nearest_values():
     assert r[0, 0, 0] == px[0, 0, 0] and r[1, 1, 0] == px[1, 2, 0]
 
 
+def test_audio_roundtrip_and_features():
+    for mid in [0, 3, 42]:
+        blob = md.synth_audio_blob(mid)
+        n, rate, samples = md.decode_audio(blob)
+        assert n == 1000 + (mid % 7) * 500 and rate == 8000
+        e, p = md.audio_features(samples)
+        assert e == np.abs(samples.astype(np.int64)).sum()
+        assert p == np.abs(samples.astype(np.int64)).max()
+    with pytest.raises(ValueError):
+        md.decode_audio(b"WAVE" + b"\x00" * 16)
+
+
+def test_audio_op_values(ray_session):
+    from sharesci_ray.pipelines.ops_media import media_audio_energy
+
+    feats = media_audio_energy(SF).to_pandas().set_index("media_id")
+    for mid in feats.index[:10]:
+        _n, _r, samples = md.decode_audio(md.synth_audio_blob(int(mid)))
+        e, p = md.audio_features(samples)
+        assert feats.loc[mid, "abs_energy"] == e and feats.loc[mid, "peak"] == p
+
+
 def test_media_ops_values(ray_session):
     from sharesci_ray.pipelines.ops_media import (
         media_image_features,
