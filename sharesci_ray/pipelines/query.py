@@ -158,7 +158,9 @@ class ScorerActor:
         if hit is not None and (hit[4] is not None or not need_blocks):
             self._decoded.move_to_end(term)
             return hit
-        bucket = int(polyhash_column(pa.array([term])) [0] % self.n_buckets)
+        # int() BEFORE the mod: numpy uint64 % python int silently promotes
+        # to float64 and rounds the 64-bit hash (wrong bucket)
+        bucket = int(polyhash_column(pa.array([term]))[0]) % self.n_buckets
         self._load_bucket(bucket)
         rows = self._terms.get(term)
         if not rows:
@@ -367,7 +369,7 @@ class ScorerActor:
     def _df_total(self, terms: list[str]) -> int:
         total = 0
         for term in terms:
-            bucket = int(polyhash_column(pa.array([term]))[0] % self.n_buckets)
+            bucket = int(polyhash_column(pa.array([term]))[0]) % self.n_buckets
             self._load_bucket(bucket)
             for r in self._terms.get(term, ()):
                 total += r.df

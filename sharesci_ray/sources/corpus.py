@@ -65,3 +65,23 @@ def documents_as_corpus(sf_dir: str, num_blocks: int | None = None) -> ray.data.
 def corpus_from_table(table: pa.Table, parallelism: int = -1) -> ray.data.Dataset:
     """Wrap an in-memory corpus table (tests / synthetic benches)."""
     return ray.data.from_arrow(table)
+
+
+def read_queries(path: str) -> ray.data.Dataset:
+    """S3: read a (query_id:int64, text:string) query set from JSON-lines or
+    Parquet (by extension).  Query sets are tiny — they broadcast to the
+    scorer pool, they are never the wide side of anything."""
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        ds = ray.data.read_json(path)
+    else:
+        ds = ray.data.read_parquet(path, columns=["query_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pc.cast(t["query_id"], pa.int64()),
+                "text": pc.cast(t["text"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
