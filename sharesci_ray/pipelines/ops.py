@@ -269,13 +269,31 @@ DOC_QUERIES = [
 _INDEX_CACHE: dict[str, str] = {}
 
 
+def _code_fingerprint() -> str:
+    """Hash of the modules that determine the on-disk index bytes — a /tmp
+    index built by an older kernel version must never be resumed (the build
+    config hash can't see code changes)."""
+    import inspect
+
+    from .. import functions, stages
+    from ..functions import codecs, text
+    from ..stages import docvec, encode
+
+    h = hashlib.sha256()
+    for mod in (text, codecs, docvec, encode):
+        h.update(inspect.getsource(mod).encode())
+    return h.hexdigest()[:8]
+
+
 def _index_for(sf_dir: str) -> str:
-    """Build (or reuse) the inverted index for a testdata dir's documents."""
+    """Build (or reuse) the inverted index for a testdata dir's documents.
+    The cache dir is salted with a source-code fingerprint so kernel edits
+    invalidate stale /tmp indexes automatically."""
     from .build import BuildConfig, build_index
 
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.sha256(f"{sf_dir}:{_code_fingerprint()}".encode()).hexdigest()[:10]
     build_dir = os.path.join(tempfile.gettempdir(), f"sharesci_idx_{tag}")
     build_index(documents_as_corpus(sf_dir), build_dir, BuildConfig(n_buckets=16))
     _INDEX_CACHE[sf_dir] = build_dir

@@ -83,3 +83,36 @@ def test_block_layout():
     assert bmax[2] == bounds[256:].max()
     f0, b0 = block_layout(np.array([], dtype=np.int64), np.array([]))
     assert f0.size == 0 and b0.size == 0
+
+
+# ---------------------------------------------------------------------------
+# fast-path coverage for varbyte_decode (1-byte / uniform-2-byte / mixed-1-2
+# streams take dedicated branches — exercise byte-length boundaries hard)
+# ---------------------------------------------------------------------------
+
+def test_varbyte_fastpath_boundaries():
+    from sharesci_ray.functions.codecs import varbyte_decode, varbyte_encode
+
+    cases = [
+        np.array([0, 1, 126, 127], dtype=np.uint64),            # all 1-byte
+        np.array([128, 300, 16383, 200], dtype=np.uint64),      # mixed 1/2
+        np.array([128, 129, 16383, 16383], dtype=np.uint64),    # uniform 2-byte
+        np.array([127, 128, 16383, 16384, 2097151], dtype=np.uint64),  # 1/2/3
+        np.array([16384], dtype=np.uint64),                      # single 3-byte
+        np.array([2**63 - 1, 0, 127, 128], dtype=np.uint64),     # huge + small
+    ]
+    for vals in cases:
+        out = varbyte_decode(varbyte_encode(vals))
+        assert (out == vals).all(), vals
+
+
+def test_varbyte_fastpath_randomized():
+    from sharesci_ray.functions.codecs import varbyte_decode, varbyte_encode
+
+    rng = np.random.default_rng(1234)
+    for width_max in (127, 16383, 2097151, 2**40):
+        for _ in range(20):
+            n = int(rng.integers(1, 500))
+            vals = rng.integers(0, width_max, size=n).astype(np.uint64)
+            out = varbyte_decode(varbyte_encode(vals))
+            assert (out == vals).all()
