@@ -689,6 +689,26 @@ def systematic_sample(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _bm25_meta_sql() -> str:
+    return f"""
+    WITH ranked AS ({_bm25_sql()})
+    SELECT r.query_id, r.rank, r.doc_id, d.lang, d.source
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    """
+
+
+@op("bm25_topk_meta", _bm25_meta_sql())
+def bm25_topk_meta(sf_dir: str):
+    """Flagship + J2 composition: BM25 top-k results hash-joined back to
+    document metadata (the 'return the matching files' step a search user
+    actually sees).  Join is a native Dataset.join on doc_id — the scale
+    shape for a result set too big to broadcast."""
+    res = bm25_topk(sf_dir)
+    meta = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    joined = res.join(meta, join_type="inner", num_partitions=4, on=("doc_id",))
+    return joined.select_columns(["query_id", "rank", "doc_id", "lang", "source"])
+
+
 def _tfidf_sql() -> str:
     q_rows = []
     for qid, text in enumerate(DOC_QUERIES):
@@ -857,6 +877,118 @@ def events_running_sum(sf_dir: str):
         )
 
     return ev.groupby("user_id").map_groups(running, batch_format="pyarrow")
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@op(
+    "user_sessions",
+    f"""
+    SELECT user_id, session_id, count(*) AS n_events, min(ts) AS start_ts
+    FROM (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(sf_dir: str):
+    """Sessionization (30-min inactivity gap): the canonical stateful
+    windowed op of a training-data events pipeline.  One user's history is
+    one group (time-bucket the key for extreme per-user volume)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)  # µs epoch
+        is_new = np.ones(ts.size, dtype=np.int64)
+        if ts.size > 1:
+            is_new[1:] = (ts[1:] - ts[:-1] > _SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(is_new)
+        t = pa.table(
+            {
+                "user_id": g["user_id"],
+                "session_id": pa.array(sid, pa.int64()),
+                "ts": g["ts"],
+            }
+        )
+        agg = t.group_by(["user_id", "session_id"]).aggregate(
+            [([], "count_all"), ("ts", "min")]
+        )
+        return pa.table(
+            {
+                "user_id": agg["user_id"],
+                "session_id": agg["session_id"],
+                "n_events": pc.cast(agg["count_all"], pa.int64()),
+                "start_ts": agg["ts_min"],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+@op(
+    "parts_by_brand",
+    """
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
+    FROM part GROUP BY p_brand
+    """,
+)
+def parts_by_brand(sf_dir: str):
+    """G3 over the part table (cents-exact)."""
+    from ray.data.aggregate import Count, Sum
+
+    p = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def conv(t: pa.Table) -> pa.Table:
+        return pa.table({"p_brand": t["p_brand"], "cents": _cents(t["p_retailprice"])})
+
+    c = p.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+    agg = c.groupby("p_brand").aggregate(Count(), Sum("cents"))
+    return _rename(
+        agg,
+        {"count()": "n_parts", "sum(cents)": "retail_cents"},
+        int64_cols=("n_parts", "retail_cents"),
+    )
+
+
+@op(
+    "supplier_by_region",
+    """
+    SELECT r_name, count(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def supplier_by_region(sf_dir: str):
+    """J1 two-hop broadcast: nation→region lookup chain attached to the
+    supplier stream with one composed driver-side map."""
+    import ray
+
+    nation = read_table(sf_dir, "nation").take_all()
+    region = read_table(sf_dir, "region").take_all()
+    r_name = {r["r_regionkey"]: r["r_name"] for r in region}
+    lut_ref = ray.put({n["n_nationkey"]: r_name[n["n_regionkey"]] for n in nation})
+    sup = read_table(sf_dir, "supplier", columns=["s_nationkey"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        return pa.table(
+            {"r_name": pa.array([lut[k] for k in t["s_nationkey"].to_pylist()], pa.string())}
+        )
+
+    named = sup.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+    return _rename(named.groupby("r_name").count(), {"count()": "n_suppliers"}, int64_cols=("n_suppliers",))
 
 
 # -- extension registries (import side-effect: registers into REGISTRY) -----
