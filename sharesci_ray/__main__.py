@@ -1,0 +1,94 @@
+"""CLI: ``python -m sharesci_ray {build,update,query} ...``.
+
+The operational surface a user of the reference engine would expect:
+
+  build  --input GLOB --build-dir DIR [--n-buckets N] [--langs py,js]
+         [--no-resume]
+  update --input GLOB --build-dir DIR
+  query  --build-dir DIR (--text "..." | --queries FILE.{jsonl,parquet})
+         [--k 10] [--scorer auto] [--output out.parquet]
+
+Owns its Ray session (guarded — a driver that already called ray.init can
+import and call :func:`main` directly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sharesci_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index from corpus parquet")
+    b.add_argument("--input", required=True, help="parquet path/glob (repo,path,commit,lang,content)")
+    b.add_argument("--build-dir", required=True)
+    b.add_argument("--n-buckets", type=int, default=64)
+    b.add_argument("--langs", default=None, help="comma-separated lang allowlist")
+    b.add_argument("--no-resume", action="store_true")
+
+    u = sub.add_parser("update", help="append a delta corpus to an existing index")
+    u.add_argument("--input", required=True)
+    u.add_argument("--build-dir", required=True)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--build-dir", required=True)
+    q.add_argument("--text", default=None, help="single query string")
+    q.add_argument("--queries", default=None, help="query-set file (.jsonl/.parquet)")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--scorer", default="auto", choices=["daat", "wand", "bmw", "auto"])
+    q.add_argument("--output", default=None, help="write results parquet here (else print)")
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    from .pipelines.build import BuildConfig, build_index, update_index
+    from .pipelines.query import run_queries
+    from .sources.corpus import read_corpus, read_queries
+
+    if args.cmd == "build":
+        cfg = BuildConfig(
+            n_buckets=args.n_buckets,
+            langs=tuple(args.langs.split(",")) if args.langs else None,
+        )
+        state = build_index(
+            read_corpus(args.input), args.build_dir, cfg, resume=not args.no_resume
+        )
+        print(json.dumps({"build_dir": args.build_dir,
+                          "stats": state.read_sidecar("stats.json")}))
+    elif args.cmd == "update":
+        state = update_index(args.build_dir, read_corpus(args.input))
+        print(json.dumps({"build_dir": args.build_dir,
+                          "stats": state.read_sidecar("stats.json")}))
+    else:  # query
+        if (args.text is None) == (args.queries is None):
+            ap.error("query: provide exactly one of --text / --queries")
+        if args.text is not None:
+            import pyarrow as pa
+
+            qds = ray.data.from_arrow(
+                pa.table({"query_id": pa.array([0], pa.int64()),
+                          "text": pa.array([args.text], pa.string())})
+            )
+        else:
+            qds = read_queries(args.queries)
+        res = run_queries(args.build_dir, qds, k=args.k, scorer=args.scorer)
+        if args.output:
+            res.write_parquet(args.output)
+            print(json.dumps({"output": args.output, "rows": res.count()}))
+        else:
+            for row in res.sort(["query_id", "rank"]).iter_rows():
+                print(json.dumps(row))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,6 +95,7 @@ def build_index(
     """
     cfg = cfg or BuildConfig()
     state = BuildState(build_dir, asdict(cfg))
+    state.write_sidecar("config.json", asdict(cfg))  # update_index reloads it
 
     # ---- stage: docvec -----------------------------------------------------
     docvec_dir = state.stage_dir("docvec")
@@ -233,4 +234,97 @@ def build_index(
         m.rows_out = _parquet_rows(seg_dir)  # metadata-only, no re-read
         state.commit(m)
 
+    return state
+
+
+def update_index(
+    build_dir: str,
+    new_corpus: ray.data.Dataset,
+    tokenizer=None,
+) -> BuildState:
+    """Incremental build (SURVEY.md U1): append a delta corpus to an
+    existing index WITHOUT re-tokenizing the existing documents.
+
+    Semantics: delta docs get fresh ids appended after the existing id
+    space (old ids are stable — resume/rank determinism preserved);
+    collection stats are updated exactly (integer count/sum addition); the
+    segments stage is re-run over the full docvec CHECKPOINT (term vectors,
+    not raw content — the expensive tokenize/fingerprint work happens only
+    for the delta).  Posting lists and block-max bounds are re-encoded
+    under the new avgdl, so WAND/BMW upper bounds stay tight and query
+    results are exactly what a from-scratch build over old∪new would score
+    (doc ids aside).  The update is recorded as an ``update-<k>`` manifest
+    with the delta's lineage.
+
+    ``tokenizer`` must match the original build's (§2.11 hook, default
+    code-aware tokenizer).
+    """
+    import json
+    import time as _time
+
+    state0 = BuildState(build_dir, {})
+    cfg = BuildConfig(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in state0.read_sidecar("config.json").items()})
+    state = BuildState(build_dir, asdict(cfg))
+    if not (state.is_complete("docvec") and state.is_complete("segments")):
+        raise ValueError(f"{build_dir} is not a complete index; run build_index first")
+    stats = state.read_sidecar("stats.json")
+
+    k = 0
+    while state.read_manifest(f"update-{k}") is not None:
+        k += 1
+    m = state.begin(f"update-{k}", inputs=["delta-corpus"], upstream=["docvec", "stats", "segments"])
+
+    # ---- delta docvec (appended id space), written into the checkpoint ----
+    docvec_dir = state.stage_dir("docvec")
+    ds = new_corpus
+    if cfg.langs:
+        allowed = pa.array(list(cfg.langs))
+        ds = ds.map_batches(
+            lambda t, _a=allowed: t.filter(pc.is_in(t["lang"], value_set=_a)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    ds = assign_doc_ids(ds, base=int(stats["n_docs"]))
+    if tokenizer is not None:
+        ds = ds.map_batches(
+            lambda t, _tok=tokenizer: to_term_vectors(t, tokenizer=_tok),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        ds = ds.map_batches(to_term_vectors, batch_format="pyarrow", zero_copy_batch=True)
+    before_rows = _parquet_rows(docvec_dir)
+    ds.write_parquet(docvec_dir)  # adds uniquely-named files next to the old ones
+    delta_rows = _parquet_rows(docvec_dir) - before_rows
+
+    # ---- exact stats update (integer count/sum addition) ------------------
+    delta = ray.data.read_parquet(docvec_dir, columns=["doc_id", "doc_len"])
+    delta = delta.map_batches(
+        lambda t, _n=int(stats["n_docs"]): t.filter(pc.greater_equal(t["doc_id"], _n)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = delta.aggregate(Count(), Sum("doc_len"))
+    d_n, d_tok = int(agg["count()"]), int(agg["sum(doc_len)"] or 0)
+    stats["n_docs"] = int(stats["n_docs"]) + d_n
+    stats["total_tokens"] = int(stats["total_tokens"]) + d_tok
+    stats["avgdl"] = float(stats["total_tokens"]) / stats["n_docs"] if stats["n_docs"] else 0.0
+    state.write_sidecar("stats.json", stats)
+
+    # ---- re-run segments over the updated checkpoint ----------------------
+    seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
+    os.remove(seg_manifest)
+    build_index(
+        ray.data.from_items([]),  # docvec complete → corpus is never touched
+        build_dir,
+        cfg,
+        resume=True,
+        tokenizer=tokenizer,
+    )
+
+    m.rows_out = delta_rows
+    m.metrics = {"delta_docs": d_n, "delta_tokens": d_tok, "new_n_docs": stats["n_docs"]}
+    state.commit(m)
     return state

@@ -49,12 +49,15 @@ def _attach_doc_ids(block: pa.Table, offset: int) -> pa.Table:
     return block.append_column("doc_id", ids)
 
 
-def assign_doc_ids(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """M9: dense deterministic int64 doc ids via sort + distributed prefix-sum."""
+def assign_doc_ids(ds: ray.data.Dataset, base: int = 0) -> ray.data.Dataset:
+    """M9: dense deterministic int64 doc ids via sort + distributed prefix-sum.
+
+    ``base`` offsets the id space — incremental updates assign the delta
+    corpus ids starting at the existing doc count (append semantics)."""
     sorted_ds = ds.sort(SORT_KEYS).materialize()
     refs = sorted_ds.to_arrow_refs()
     counts = ray.get([_block_num_rows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + base if counts else []
     out = [_attach_doc_ids.remote(r, int(off)) for r, off in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out)
 

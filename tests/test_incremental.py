@@ -1,0 +1,102 @@
+"""Incremental index builds (SURVEY.md U1): update_index appends a delta
+corpus without re-tokenizing existing docs, and queries against the updated
+index score EXACTLY like a from-scratch build over the union (doc-id
+assignment aside — ids are compared through (repo, path) identity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from sharesci_ray.pipelines.build import BuildConfig, build_index, update_index
+from sharesci_ray.pipelines.query import ScorerActor
+from sharesci_ray.sources.corpus import corpus_from_table
+from sharesci_ray.sources.synth import make_corpus, make_queries
+
+N_ALL = 300
+N_OLD = 200
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    full = make_corpus(N_ALL, seed=77)
+    return full, full.slice(0, N_OLD), full.slice(N_OLD)
+
+
+def _path_map(build_dir: str) -> dict[int, tuple]:
+    import glob
+
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["doc_id", "repo", "path"])
+        for f in glob.glob(f"{build_dir}/stage=docvec/*.parquet")
+    )
+    return {
+        d: (r, p)
+        for d, r, p in zip(
+            t["doc_id"].to_pylist(), t["repo"].to_pylist(), t["path"].to_pylist()
+        )
+    }
+
+
+def test_incremental_equals_full_build(ray_session, corpora, tmp_path_factory):
+    full, old, delta = corpora
+    d_full = str(tmp_path_factory.mktemp("full"))
+    d_incr = str(tmp_path_factory.mktemp("incr"))
+    cfg = BuildConfig(n_buckets=8)
+    build_index(corpus_from_table(full), d_full, cfg, resume=False)
+    build_index(corpus_from_table(old), d_incr, cfg, resume=False)
+    state = update_index(d_incr, corpus_from_table(delta))
+
+    # exact stats equality (integer-sum update == recompute)
+    import json
+
+    with open(f"{d_full}/stats.json") as f:
+        s_full = json.load(f)
+    with open(f"{d_incr}/stats.json") as f:
+        s_incr = json.load(f)
+    assert s_full["n_docs"] == s_incr["n_docs"] == N_ALL
+    assert s_full["total_tokens"] == s_incr["total_tokens"]
+    assert s_full["avgdl"] == s_incr["avgdl"]  # bit-equal: same int sums
+
+    # update manifest records the delta lineage
+    man = state.read_manifest("update-0")
+    assert man["metrics"]["delta_docs"] == N_ALL - N_OLD
+    assert man["metrics"]["new_n_docs"] == N_ALL
+
+    # rank/score equality through (repo, path) identity
+    pm_full, pm_incr = _path_map(d_full), _path_map(d_incr)
+    s_f = ScorerActor(d_full, k=10, scorer="daat")
+    s_i = ScorerActor(d_incr, k=10, scorer="daat")
+    queries = make_queries(30, seed=91)["text"].to_pylist()
+    for q in queries:
+        df_, sf_ = s_f.score_query(q)
+        di_, si_ = s_i.score_query(q)
+        assert sf_.size == si_.size, q
+        # scores are bit-identical (same stats, same summation order); the
+        # hit multiset maps to the same documents
+        assert (np.sort(sf_)[::-1] == np.sort(si_)[::-1]).all(), q
+        assert sorted(pm_full[d] for d in df_) == sorted(pm_incr[d] for d in di_), q
+
+
+def test_update_requires_complete_index(ray_session, corpora, tmp_path):
+    _full, _old, delta = corpora
+    with pytest.raises((ValueError, FileNotFoundError)):
+        update_index(str(tmp_path / "nope"), corpus_from_table(delta))
+
+
+def test_second_increment(ray_session, corpora, tmp_path_factory):
+    full, old, delta = corpora
+    d = str(tmp_path_factory.mktemp("incr2"))
+    cfg = BuildConfig(n_buckets=8)
+    build_index(corpus_from_table(old), d, cfg, resume=False)
+    half = (N_ALL - N_OLD) // 2
+    update_index(d, corpus_from_table(delta.slice(0, half)))
+    state = update_index(d, corpus_from_table(delta.slice(half)))
+    assert state.read_manifest("update-1") is not None
+    import json
+
+    with open(f"{d}/stats.json") as f:
+        assert json.load(f)["n_docs"] == N_ALL
