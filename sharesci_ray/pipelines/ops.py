@@ -300,12 +300,17 @@ def _index_for(sf_dir: str) -> str:
     return build_dir
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(facet_lang: str | None = None) -> str:
     q_rows = []
     for qid, text in enumerate(DOC_QUERIES):
         for term in sorted(set(tokenize(text))):
             q_rows.append(f"({qid}, '{term}')")
     values = ", ".join(q_rows)
+    facet = (
+        f"JOIN documents fd ON fd.doc_id = sc.doc_id AND fd.lang = '{facet_lang}'"
+        if facet_lang
+        else ""
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -327,9 +332,9 @@ def _bm25_sql() -> str:
       GROUP BY 1, 2
     )
     SELECT query_id, rank, doc_id FROM (
-      SELECT query_id, doc_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-      FROM sc
+      SELECT query_id, sc.doc_id AS doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rank
+      FROM sc {facet}
     ) WHERE rank <= 10
     """
 
@@ -687,6 +692,55 @@ def systematic_sample(sf_dir: str):
         return t.filter(pa.array(ids % 10 == 0))
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_FACET_LANG = "en"
+
+
+@op("bm25_topk_lang", _bm25_sql(facet_lang=_FACET_LANG))
+def bm25_topk_lang(sf_dir: str):
+    """Faceted search: BM25 top-10 restricted to lang='en' documents —
+    collection stats stay global, only candidates are filtered (standard
+    filtered-search semantics).  The facet doc-id set is broadcast once per
+    scorer actor via ray.put."""
+    import ray
+    import ray.data
+
+    from .query import run_queries
+
+    build_dir = _index_for(sf_dir)
+    docvec = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=docvec"), columns=["doc_id", "path", "lang"]
+    ).take_all()
+    id_map = {r["doc_id"]: int(r["path"]) for r in docvec}
+    allowed = np.sort(
+        np.array([r["doc_id"] for r in docvec if r["lang"] == _FACET_LANG], dtype=np.int64)
+    )
+    map_ref = ray.put(id_map)
+    allowed_ref = ray.put(allowed)
+
+    q_tbl = pa.table(
+        {
+            "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+            "text": pa.array(DOC_QUERIES, pa.string()),
+        }
+    )
+    res = run_queries(
+        build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", allowed_ref=allowed_ref
+    )
+
+    def remap(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        orig = pa.array([m[d] for d in batch["doc_id"].to_pylist()], pa.int64())
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "rank": pc.cast(batch["rank"], pa.int64()),
+                "doc_id": orig,
+            }
+        )
+
+    return res.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _bm25_meta_sql() -> str:

@@ -94,7 +94,11 @@ class ScorerActor:
         preload: bool = True,
         scoring=None,
         tokenize_fn=None,
+        allowed_ref=None,
     ):
+        """``allowed_ref``: optional ``ray.put`` ObjectRef of a sorted int64
+        doc-id array — every query this actor answers is restricted to that
+        facet (broadcast once per actor, not per batch)."""
         from ..functions.scoring import Bm25Scoring
 
         with open(os.path.join(build_dir, "stats.json")) as f:
@@ -108,6 +112,12 @@ class ScorerActor:
             k1=self.stats["k1"], b=self.stats["b"]
         )
         self.tokenize_fn = tokenize_fn or tokenize
+        if allowed_ref is not None:
+            import ray as _ray
+
+            self.allowed = np.asarray(_ray.get(allowed_ref), dtype=np.int64)
+        else:
+            self.allowed = None
         self.build_dir = build_dir
         self.n_buckets = int(self.stats["n_buckets"])
         self.seg_root = os.path.join(build_dir, "stage=segments")
@@ -214,10 +224,11 @@ class ScorerActor:
     # sparse unique/scatter path takes over
     _DENSE_MAX_DOCS = 16_000_000
 
-    def _score_query_daat(self, terms: list[str]):
+    def _score_query_daat(self, terms: list[str], allowed: np.ndarray | None = None):
         """Exhaustive DAAT, vectorized. Accumulation in sorted-term order
         (term-major — per doc this IS sorted-term-order float64 summation,
-        bit-identical to the oracle)."""
+        bit-identical to the oracle).  ``allowed`` filters candidates BEFORE
+        the top-k cut (filtered-search semantics)."""
         n = self.stats["n_docs"]
         plists = []
         for term in terms:  # terms already sorted unique
@@ -235,6 +246,8 @@ class ScorerActor:
             for docids, contrib in plists:
                 scores[docids] += contrib  # doc ids are unique within a term
             hit = np.flatnonzero(scores > 0.0)  # BM25 contributions are > 0
+            if allowed is not None:
+                hit = hit[np.isin(hit, allowed)]
             return top_k_with_ties(hit, scores[hit], self.k)
         docs = np.concatenate([d for d, _ in plists])
         contribs = np.concatenate([c for _, c in plists])
@@ -242,6 +255,9 @@ class ScorerActor:
         scores = np.zeros(uniq.size, dtype=np.float64)
         # np.add.at processes elements in array order == sorted-term order per doc
         np.add.at(scores, inv, contribs)
+        if allowed is not None:
+            keep = np.isin(uniq, allowed)
+            uniq, scores = uniq[keep], scores[keep]
         return top_k_with_ties(uniq, scores, self.k)
 
     def _score_query_wand(self, terms: list[str], use_block_max: bool):
@@ -375,11 +391,17 @@ class ScorerActor:
                 total += r.df
         return total
 
-    def score_query(self, text: str):
+    def score_query(self, text: str, allowed: np.ndarray | None = None):
+        """Rank top-k for one query; ``allowed`` (optional sorted int64 doc-id
+        array, e.g. a facet like lang=py) restricts RESULTS to that subset
+        while keeping collection statistics (df, avgdl) global — standard
+        filtered-search semantics."""
         terms = sorted(set(self.tokenize_fn(text)))
         scorer = self.scorer
         if not self.scoring.upper_bound_valid:
             scorer = "daat"  # stored block maxes are BM25-specific
+        if allowed is not None:
+            return self._score_query_daat(terms, allowed=allowed)
         if scorer == "auto":
             scorer = (
                 "daat"
@@ -394,7 +416,7 @@ class ScorerActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
-            d, s = self.score_query(text or "")
+            d, s = self.score_query(text or "", allowed=self.allowed)
             for r in range(len(d)):
                 qids.append(qid)
                 ranks.append(r + 1)
@@ -419,6 +441,7 @@ def run_queries(
     batch_size: int = 32,
     scoring=None,
     tokenize_fn=None,
+    allowed_ref=None,
 ) -> ray.data.Dataset:
     """S3→A2→S7: queries dataset → ranked (query_id, rank, doc_id, score).
 
@@ -436,6 +459,8 @@ def run_queries(
         kwargs["scoring"] = scoring
     if tokenize_fn is not None:
         kwargs["tokenize_fn"] = tokenize_fn
+    if allowed_ref is not None:
+        kwargs["allowed_ref"] = allowed_ref
     return queries.map_batches(
         ScorerActor,
         fn_constructor_kwargs=kwargs,

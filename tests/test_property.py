@@ -1,0 +1,71 @@
+"""Hypothesis property tests for the pure kernels (SURVEY.md §5.2):
+codec roundtrips over arbitrary value distributions (every decode fast path
+and the general path), tokenizer scalar/vectorized agreement on arbitrary
+unicode, and minhash permutation bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sharesci_ray.functions.codecs import (
+    delta_decode,
+    delta_encode,
+    varbyte_decode,
+    varbyte_encode,
+)
+from sharesci_ray.functions.dedup import P31, minhash_signatures
+from sharesci_ray.functions.text import flat_tokens, tokenize
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(0, 127),            # 1-byte band
+            st.integers(128, 16383),        # 2-byte band
+            st.integers(16384, 2**21 - 1),  # 3-byte band
+            st.integers(0, 2**63 - 1),      # anything
+        ),
+        min_size=0,
+        max_size=300,
+    )
+)
+def test_varbyte_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = varbyte_decode(varbyte_encode(arr))
+    assert out.dtype == np.uint64 and (out == arr).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**40), min_size=0, max_size=200))
+def test_delta_roundtrip_property(vals):
+    arr = np.sort(np.array(vals, dtype=np.int64))
+    assert (delta_decode(delta_encode(arr)) == arr).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_tokenize_scalar_equals_vectorized(text):
+    scalar = tokenize(text)
+    flat, parent = flat_tokens(pa.array([text], pa.string()))
+    assert flat.to_pylist() == scalar
+    assert (parent == 0).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**60 - 1), min_size=1, max_size=50),
+    st.integers(1, 5),
+)
+def test_minhash_bounds_and_permutation_invariance(hashes, n_rows):
+    h = np.array(hashes, dtype=np.int64)
+    parent = np.array([i % n_rows for i in range(h.size)], dtype=np.int64)
+    rows, sigs = minhash_signatures(h, parent, n_rows)
+    assert (sigs >= 0).all() and (sigs < P31).all()
+    # permuting the shingle order must not change any signature
+    perm = np.random.RandomState(0).permutation(h.size)
+    rows2, sigs2 = minhash_signatures(h[perm], parent[perm], n_rows)
+    assert (rows == rows2).all() and (sigs == sigs2).all()
