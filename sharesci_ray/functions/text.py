@@ -11,7 +11,10 @@ DuckDB ``regexp_*`` (RE2):
 
   1. split ALLCAPS runs before CamelCase:  ``([A-Z]+)([A-Z][a-z])`` → ``\\1 \\2``
   2. split camelCase boundaries:           ``([a-z0-9])([A-Z])``    → ``\\1 \\2``
-  3. lowercase
+  3. lowercase (ASCII-ONLY casefold — Python str.lower() does full Unicode
+     case mapping while Arrow's utf8_lower does simple mapping; they diverge
+     on e.g. U+0130, so both paths casefold ASCII letters only and any
+     non-[a-z0-9] codepoint is a separator)
   4. every non-``[a-z0-9]`` run (incl. ``_`` → splits snake_case) → single space
   5. whitespace-split; keep tokens with len >= 2 that are not pure digits
 """
@@ -40,6 +43,10 @@ SQL_TOKENIZE = (
     "t -> length(t) >= 2 AND NOT regexp_matches(t, '^[0-9]+$'))"
 )
 
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 _py_caps = re.compile(RE_CAPS_RUN)
 _py_camel = re.compile(RE_CAMEL)
 _py_nonword = re.compile(RE_NONWORD)
@@ -50,7 +57,7 @@ def tokenize(text: str) -> list[str]:
     """Single-string tokenizer (oracle path). Must match tokenize_column."""
     s = _py_caps.sub(r"\1 \2", text)
     s = _py_camel.sub(r"\1 \2", s)
-    s = _py_nonword.sub(" ", s.lower())
+    s = _py_nonword.sub(" ", s.translate(_ASCII_LOWER))
     return [
         t
         for t in s.split(" ")
@@ -65,7 +72,7 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     """
     s = pc.replace_substring_regex(col, RE_CAPS_RUN, r"\1 \2")
     s = pc.replace_substring_regex(s, RE_CAMEL, r"\1 \2")
-    s = pc.utf8_lower(s)
+    s = pc.ascii_lower(s)
     s = pc.replace_substring_regex(s, RE_NONWORD, " ")
     toks = pc.split_pattern(s, " ")
     flat = pc.list_flatten(toks)
@@ -95,7 +102,7 @@ def flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
     """
     s = pc.replace_substring_regex(col, RE_CAPS_RUN, r"\1 \2")
     s = pc.replace_substring_regex(s, RE_CAMEL, r"\1 \2")
-    s = pc.utf8_lower(s)
+    s = pc.ascii_lower(s)
     s = pc.replace_substring_regex(s, RE_NONWORD, " ")
     toks = pc.split_pattern(s, " ")
     flat = pc.list_flatten(toks)
@@ -115,7 +122,7 @@ def flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
 
 def whitespace_tokenize(text: str) -> list[str]:
     """Scalar twin of :func:`whitespace_flat_tokens` (query side)."""
-    return [t for t in text.lower().split() if t]
+    return [t for t in text.translate(_ASCII_LOWER).split() if t]
 
 
 def whitespace_flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
@@ -123,7 +130,7 @@ def whitespace_flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, n
     camelCase/snake splitting, no length/digit filter.  Plug into
     ``build_index(..., tokenizer=whitespace_flat_tokens)`` with
     ``ScorerActor(..., tokenize_fn=whitespace_tokenize)`` at query time."""
-    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    toks = pc.split_pattern_regex(pc.ascii_lower(col), r"\s+")
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)

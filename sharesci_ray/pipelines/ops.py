@@ -275,12 +275,12 @@ def _code_fingerprint() -> str:
     config hash can't see code changes)."""
     import inspect
 
-    from .. import functions, stages
     from ..functions import codecs, text
+    from ..sources import corpus as corpus_mod
     from ..stages import docvec, encode
 
     h = hashlib.sha256()
-    for mod in (text, codecs, docvec, encode):
+    for mod in (text, codecs, docvec, encode, corpus_mod):
         h.update(inspect.getsource(mod).encode())
     return h.hexdigest()[:8]
 
@@ -339,26 +339,35 @@ def _bm25_sql(facet_lang: str | None = None) -> str:
     """
 
 
-@op("bm25_topk", _bm25_sql())
-def bm25_topk(sf_dir: str):
-    """Flagship: full index build + BM25 top-10, mapped back to the original
-    documents.doc_id (engine ids are dense sort-order ids; ``path`` carries
-    the original id through the adapter).  Scores are deliberately excluded
-    from the comparison payload — DuckDB's summation order differs in the
-    last ulp — rank identity is the contract (BASELINE.json:14).
-    """
+def _bm25_run(sf_dir: str, facet_lang: str | None = None, scorer: str = "bmw"):
+    """Shared flagship runner: index build/reuse → BM25 top-10 over
+    DOC_QUERIES (optionally restricted to a lang facet) → remap engine ids
+    back to the original documents.doc_id (the adapter's zero-padded
+    ``path`` carries it, and makes engine-id order == numeric id order so
+    tie-breaks agree with the SQL oracle).  Scores are excluded from the
+    comparison payload — DuckDB's summation order differs in the last ulp —
+    rank identity is the contract (BASELINE.json:14)."""
     import ray
     import ray.data
 
     from .query import run_queries
 
     build_dir = _index_for(sf_dir)
-    # engine doc_id -> original doc id (path column of the adapter), broadcast
+    cols = ["doc_id", "path"] + (["lang"] if facet_lang else [])
     docvec = ray.data.read_parquet(
-        os.path.join(build_dir, "stage=docvec"), columns=["doc_id", "path"]
+        os.path.join(build_dir, "stage=docvec"), columns=cols
     ).take_all()
     id_map = {r["doc_id"]: int(r["path"]) for r in docvec}
     map_ref = ray.put(id_map)
+    allowed_ref = None
+    if facet_lang:
+        allowed = np.sort(
+            np.array(
+                [r["doc_id"] for r in docvec if r["lang"] == facet_lang],
+                dtype=np.int64,
+            )
+        )
+        allowed_ref = ray.put(allowed)
 
     q_tbl = pa.table(
         {
@@ -366,13 +375,17 @@ def bm25_topk(sf_dir: str):
             "text": pa.array(DOC_QUERIES, pa.string()),
         }
     )
-    res = run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="bmw")
+    res = run_queries(
+        build_dir,
+        ray.data.from_arrow(q_tbl),
+        k=10,
+        scorer=scorer,
+        allowed_ref=allowed_ref,
+    )
 
     def remap(batch: pa.Table) -> pa.Table:
         m = ray.get(map_ref)
-        orig = pa.array(
-            [m[d] for d in batch["doc_id"].to_pylist()], pa.int64()
-        )
+        orig = pa.array([m[d] for d in batch["doc_id"].to_pylist()], pa.int64())
         return pa.table(
             {
                 "query_id": batch["query_id"],
@@ -382,6 +395,12 @@ def bm25_topk(sf_dir: str):
         )
 
     return res.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@op("bm25_topk", _bm25_sql())
+def bm25_topk(sf_dir: str):
+    """Flagship: full index build + BM25 top-10 (see _bm25_run)."""
+    return _bm25_run(sf_dir)
 
 
 # ===========================================================================
@@ -701,46 +720,10 @@ _FACET_LANG = "en"
 def bm25_topk_lang(sf_dir: str):
     """Faceted search: BM25 top-10 restricted to lang='en' documents —
     collection stats stay global, only candidates are filtered (standard
-    filtered-search semantics).  The facet doc-id set is broadcast once per
-    scorer actor via ray.put."""
-    import ray
-    import ray.data
-
-    from .query import run_queries
-
-    build_dir = _index_for(sf_dir)
-    docvec = ray.data.read_parquet(
-        os.path.join(build_dir, "stage=docvec"), columns=["doc_id", "path", "lang"]
-    ).take_all()
-    id_map = {r["doc_id"]: int(r["path"]) for r in docvec}
-    allowed = np.sort(
-        np.array([r["doc_id"] for r in docvec if r["lang"] == _FACET_LANG], dtype=np.int64)
-    )
-    map_ref = ray.put(id_map)
-    allowed_ref = ray.put(allowed)
-
-    q_tbl = pa.table(
-        {
-            "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
-            "text": pa.array(DOC_QUERIES, pa.string()),
-        }
-    )
-    res = run_queries(
-        build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", allowed_ref=allowed_ref
-    )
-
-    def remap(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        orig = pa.array([m[d] for d in batch["doc_id"].to_pylist()], pa.int64())
-        return pa.table(
-            {
-                "query_id": batch["query_id"],
-                "rank": pc.cast(batch["rank"], pa.int64()),
-                "doc_id": orig,
-            }
-        )
-
-    return res.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+    filtered-search semantics; facet doc-id set broadcast once per actor).
+    The faceted path is exhaustive DAAT by construction (see
+    query.ScorerActor.score_query)."""
+    return _bm25_run(sf_dir, facet_lang=_FACET_LANG)
 
 
 def _bm25_meta_sql() -> str:

@@ -247,7 +247,10 @@ class ScorerActor:
                 scores[docids] += contrib  # doc ids are unique within a term
             hit = np.flatnonzero(scores > 0.0)  # BM25 contributions are > 0
             if allowed is not None:
-                hit = hit[np.isin(hit, allowed)]
+                # both sides sorted unique → searchsorted membership, no sort
+                pos = np.searchsorted(allowed, hit)
+                pos[pos == allowed.size] = 0
+                hit = hit[allowed[pos] == hit]
             return top_k_with_ties(hit, scores[hit], self.k)
         docs = np.concatenate([d for d, _ in plists])
         contribs = np.concatenate([c for _, c in plists])
@@ -256,7 +259,9 @@ class ScorerActor:
         # np.add.at processes elements in array order == sorted-term order per doc
         np.add.at(scores, inv, contribs)
         if allowed is not None:
-            keep = np.isin(uniq, allowed)
+            pos = np.searchsorted(allowed, uniq)
+            pos[pos == allowed.size] = 0
+            keep = allowed[pos] == uniq
             uniq, scores = uniq[keep], scores[keep]
         return top_k_with_ties(uniq, scores, self.k)
 
@@ -392,15 +397,22 @@ class ScorerActor:
         return total
 
     def score_query(self, text: str, allowed: np.ndarray | None = None):
-        """Rank top-k for one query; ``allowed`` (optional sorted int64 doc-id
-        array, e.g. a facet like lang=py) restricts RESULTS to that subset
-        while keeping collection statistics (df, avgdl) global — standard
-        filtered-search semantics."""
+        """Rank top-k for one query; ``allowed`` (optional SORTED unique
+        int64 doc-id array, e.g. a facet like lang=py) restricts RESULTS to
+        that subset while keeping collection statistics (df, avgdl) global —
+        standard filtered-search semantics.
+
+        Faceted queries always take the exhaustive-DAAT path: the stored
+        block maxes bound UNfiltered scores, so WAND/BMW skipping cannot be
+        applied to a filtered candidate set without facet-aware bounds (a
+        requested wand/bmw scorer is intentionally ignored here)."""
         terms = sorted(set(self.tokenize_fn(text)))
         scorer = self.scorer
         if not self.scoring.upper_bound_valid:
             scorer = "daat"  # stored block maxes are BM25-specific
         if allowed is not None:
+            if allowed.size == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0)
             return self._score_query_daat(terms, allowed=allowed)
         if scorer == "auto":
             scorer = (

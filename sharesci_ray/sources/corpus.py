@@ -30,10 +30,17 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwarg
 
 
 def _documents_to_corpus_batch(batch: pa.Table) -> pa.Table:
+    # repo constant + zero-padded numeric id as path: the engine assigns doc
+    # ids by STRING sort of (repo, path, ...), so this makes engine-id order
+    # == numeric doc_id order.  With repo:=source and path:=str(id), a
+    # score TIE between docs from different sources broke toward source
+    # order while the DuckDB oracle breaks toward numeric doc_id — wrong
+    # top-k rows whenever a tie group straddles the rank cut.
+    padded = pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 12, "0")
     return pa.table(
         {
-            "repo": batch["source"],
-            "path": pc.cast(batch["doc_id"], pa.string()),
+            "repo": pa.array(["d"] * batch.num_rows, pa.string()),
+            "path": padded,
             "commit": pa.array(["t0"] * batch.num_rows, pa.string()),
             "lang": batch["lang"],
             "content": batch["text"],
