@@ -64,16 +64,50 @@ def _clean_dir(path: str) -> None:
         shutil.rmtree(path)
 
 
-def _parquet_rows(directory: str) -> int:
+def _parquet_rows(directory: str, exclude_subdir: str | None = None) -> int:
     """Row count from parquet footers only (no data pages touched)."""
     import pyarrow.parquet as pq
 
     total = 0
     for root, _dirs, files in os.walk(directory):
+        if exclude_subdir and os.path.basename(root) == exclude_subdir:
+            continue
         for fn in files:
             if fn.endswith(".parquet"):
                 total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
     return total
+
+
+def _tokenizer_id(tokenizer) -> str:
+    """Stable identity for the §2.11 tokenizer hook — part of the docvec
+    stage fingerprint, so resuming with a DIFFERENT tokenizer re-runs the
+    stage instead of silently reusing mismatched term vectors."""
+    if tokenizer is None:
+        return "default"
+    return f"{getattr(tokenizer, '__module__', '?')}.{getattr(tokenizer, '__qualname__', repr(tokenizer))}"
+
+
+def _ingest_termvecs(ds: ray.data.Dataset, cfg: BuildConfig, tokenizer, base: int):
+    """Shared ingest chain (fresh build AND incremental update): lang filter
+    → sha256 fingerprint → dense doc ids from ``base`` → term vectors."""
+    if cfg.langs:
+        allowed = pa.array(list(cfg.langs))
+        ds = ds.map_batches(
+            lambda t, _a=allowed: t.filter(pc.is_in(t["lang"], value_set=_a)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    ds = assign_doc_ids(ds, base=base)
+    if tokenizer is not None:
+        ds = ds.map_batches(
+            lambda t, _tok=tokenizer: to_term_vectors(t, tokenizer=_tok),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        ds = ds.map_batches(to_term_vectors, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
 
 
 def build_index(
@@ -93,46 +127,51 @@ def build_index(
     applied to the corpus at ingest (before fingerprinting), recorded in the
     docvec manifest for lineage.
     """
+    from ..state.manifest import config_hash as _cfg_hash
+
     cfg = cfg or BuildConfig()
-    state = BuildState(build_dir, asdict(cfg))
-    state.write_sidecar("config.json", asdict(cfg))  # update_index reloads it
+    tok_id = _tokenizer_id(tokenizer)
+    state = BuildState(build_dir, {**asdict(cfg), "tokenizer": tok_id})
+    state.write_sidecar(
+        "config.json",
+        {**asdict(cfg), "tokenizer": tok_id,
+         "extra_stages": [n for n, _ in (extra_stages or [])]},
+    )  # update_index reloads + checks it
+    # per-stage fingerprints: each stage is keyed only by the config subset
+    # it depends on — retuning a segments-only knob must not force a full
+    # re-tokenize of the corpus
+    docvec_hash = _cfg_hash(
+        {"langs": cfg.langs, "tokenizer": tok_id,
+         "extra": [n for n, _ in (extra_stages or [])]}
+    )
+    # stats.json carries the scoring params, so those join its fingerprint
+    stats_hash = _cfg_hash(
+        {"docvec": docvec_hash, "k1": cfg.k1, "b": cfg.b,
+         "block_size": cfg.block_size, "n_buckets": cfg.n_buckets}
+    )
+    segments_hash = state.cfg_hash
 
     # ---- stage: docvec -----------------------------------------------------
     docvec_dir = state.stage_dir("docvec")
-    if not (resume and state.is_complete("docvec")):
-        m = state.begin("docvec", inputs=["corpus"], upstream=[])
+    if not (resume and state.is_complete("docvec", docvec_hash)):
+        m = state.begin("docvec", inputs=["corpus"], upstream=[], cfg_hash=docvec_hash)
         ds = corpus
         for stage_name, stage_fn in extra_stages or []:
             ds = stage_fn(ds)
             m.metrics.setdefault("extra_stages", []).append(stage_name)
-        if cfg.langs:
-            allowed = pa.array(list(cfg.langs))
-            ds = ds.map_batches(
-                lambda t, _a=allowed: t.filter(pc.is_in(t["lang"], value_set=_a)),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
         import time as _time
 
         _t0 = _time.perf_counter()
-        ds = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
-        ds = assign_doc_ids(ds)
-        m.metrics["sha_sort_docid_s"] = round(_time.perf_counter() - _t0, 3)
-        _t0 = _time.perf_counter()
-        if tokenizer is not None:
-            ds = ds.map_batches(
-                lambda t, _tok=tokenizer: to_term_vectors(t, tokenizer=_tok),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-        else:
-            ds = ds.map_batches(
-                to_term_vectors, batch_format="pyarrow", zero_copy_batch=True
-            )
+        ds = _ingest_termvecs(ds, cfg, tokenizer, base=0)
         _clean_dir(docvec_dir)
         ds.write_parquet(docvec_dir)
-        m.metrics["termvec_write_s"] = round(_time.perf_counter() - _t0, 3)
+        m.metrics["ingest_write_s"] = round(_time.perf_counter() - _t0, 3)
         m.rows_out = _parquet_rows(docvec_dir)  # metadata-only, no re-read
+        if m.rows_out == 0:
+            raise ValueError(
+                f"corpus is empty after ingest filters (langs={cfg.langs!r}) — "
+                "refusing to build an empty index"
+            )
         m.metrics["stage"] = "ingest+fingerprint+docid+termvec"
         state.commit(m)
 
@@ -144,8 +183,8 @@ def build_index(
         return ray.data.read_parquet(docvec_dir, columns=columns)
 
     # ---- stage: stats ------------------------------------------------------
-    if not (resume and state.is_complete("stats")):
-        m = state.begin("stats", inputs=[docvec_dir], upstream=["docvec"])
+    if not (resume and state.is_complete("stats", stats_hash)):
+        m = state.begin("stats", inputs=[docvec_dir], upstream=["docvec"], cfg_hash=stats_hash)
         agg = docvec_cols(["doc_len"]).aggregate(Count(), Sum("doc_len"))
         n_docs = int(agg["count()"])
         total = int(agg["sum(doc_len)"] or 0)
@@ -170,8 +209,10 @@ def build_index(
 
     # ---- stage: segments ---------------------------------------------------
     seg_dir = state.stage_dir("segments")
-    if not (resume and state.is_complete("segments")):
-        m = state.begin("segments", inputs=[docvec_dir], upstream=["docvec", "stats"])
+    if not (resume and state.is_complete("segments", segments_hash)):
+        m = state.begin(
+            "segments", inputs=[docvec_dir], upstream=["docvec", "stats"], cfg_hash=segments_hash
+        )
 
         def _postings(source: ray.data.Dataset) -> ray.data.Dataset:
             return source.map_batches(
@@ -259,63 +300,70 @@ def update_index(
     ``tokenizer`` must match the original build's (§2.11 hook, default
     code-aware tokenizer).
     """
-    import json
-    import time as _time
-
-    state0 = BuildState(build_dir, {})
-    cfg = BuildConfig(**{k: tuple(v) if isinstance(v, list) else v
-                         for k, v in state0.read_sidecar("config.json").items()})
-    state = BuildState(build_dir, asdict(cfg))
-    if not (state.is_complete("docvec") and state.is_complete("segments")):
+    stored = BuildState(build_dir, {}).read_sidecar("config.json")
+    stored_tok = stored.pop("tokenizer", "default")
+    if stored.pop("extra_stages", []):
+        raise ValueError(
+            "incremental update of an index built with extra_stages is not "
+            "supported (the custom stages cannot be reconstructed from disk); "
+            "rebuild from scratch or apply the stages to the delta corpus "
+            "before calling update_index"
+        )
+    if stored_tok != _tokenizer_id(tokenizer):
+        raise ValueError(
+            f"tokenizer mismatch: index was built with {stored_tok!r}, "
+            f"update called with {_tokenizer_id(tokenizer)!r}"
+        )
+    cfg = BuildConfig(
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in stored.items()}
+    )
+    state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
+    # docvec + stats are the prerequisites; the segments manifest may be
+    # legitimately absent after a crashed update (it is deleted before the
+    # rebuild) — update_index always re-runs segments anyway
+    if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
         raise ValueError(f"{build_dir} is not a complete index; run build_index first")
-    stats = state.read_sidecar("stats.json")
 
     k = 0
     while state.read_manifest(f"update-{k}") is not None:
         k += 1
-    m = state.begin(f"update-{k}", inputs=["delta-corpus"], upstream=["docvec", "stats", "segments"])
-
-    # ---- delta docvec (appended id space), written into the checkpoint ----
-    docvec_dir = state.stage_dir("docvec")
-    ds = new_corpus
-    if cfg.langs:
-        allowed = pa.array(list(cfg.langs))
-        ds = ds.map_batches(
-            lambda t, _a=allowed: t.filter(pc.is_in(t["lang"], value_set=_a)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
-    ds = assign_doc_ids(ds, base=int(stats["n_docs"]))
-    if tokenizer is not None:
-        ds = ds.map_batches(
-            lambda t, _tok=tokenizer: to_term_vectors(t, tokenizer=_tok),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    else:
-        ds = ds.map_batches(to_term_vectors, batch_format="pyarrow", zero_copy_batch=True)
-    before_rows = _parquet_rows(docvec_dir)
-    ds.write_parquet(docvec_dir)  # adds uniquely-named files next to the old ones
-    delta_rows = _parquet_rows(docvec_dir) - before_rows
-
-    # ---- exact stats update (integer count/sum addition) ------------------
-    delta = ray.data.read_parquet(docvec_dir, columns=["doc_id", "doc_len"])
-    delta = delta.map_batches(
-        lambda t, _n=int(stats["n_docs"]): t.filter(pc.greater_equal(t["doc_id"], _n)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    m = state.begin(
+        f"update-{k}", inputs=["delta-corpus"], upstream=["docvec", "stats", "segments"]
     )
-    agg = delta.aggregate(Count(), Sum("doc_len"))
-    d_n, d_tok = int(agg["count()"]), int(agg["sum(doc_len)"] or 0)
-    stats["n_docs"] = int(stats["n_docs"]) + d_n
-    stats["total_tokens"] = int(stats["total_tokens"]) + d_tok
-    stats["avgdl"] = float(stats["total_tokens"]) / stats["n_docs"] if stats["n_docs"] else 0.0
+
+    # ---- crash-idempotent delta ingest ------------------------------------
+    # The delta lands in its OWN subdir of the docvec checkpoint, which is
+    # wiped first: a rerun after a crash anywhere below re-derives the doc-id
+    # base from the files EXCLUDING this subdir and overwrites the partial
+    # delta — no duplicate docs, no duplicate ids.  Stats are recomputed from
+    # the checkpoint (exact integer sums), never incremented from a possibly
+    # already-bumped stats.json.
+    docvec_dir = state.stage_dir("docvec")
+    delta_dirname = f"update-{k}"
+    delta_dir = os.path.join(docvec_dir, delta_dirname)
+    _clean_dir(delta_dir)
+    base = _parquet_rows(docvec_dir, exclude_subdir=delta_dirname)
+
+    ds = _ingest_termvecs(new_corpus, cfg, tokenizer, base=base)
+    ds.write_parquet(delta_dir)
+    delta_rows = _parquet_rows(delta_dir)
+
+    # ---- exact stats recompute over the whole checkpoint ------------------
+    agg = ray.data.read_parquet(docvec_dir, columns=["doc_len"]).aggregate(
+        Count(), Sum("doc_len")
+    )
+    n_docs, total = int(agg["count()"]), int(agg["sum(doc_len)"] or 0)
+    stats = state.read_sidecar("stats.json")
+    old_total = int(stats["total_tokens"])
+    stats["n_docs"] = n_docs
+    stats["total_tokens"] = total
+    stats["avgdl"] = float(total) / n_docs if n_docs else 0.0
     state.write_sidecar("stats.json", stats)
 
     # ---- re-run segments over the updated checkpoint ----------------------
     seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
-    os.remove(seg_manifest)
+    if os.path.exists(seg_manifest):
+        os.remove(seg_manifest)
     build_index(
         ray.data.from_items([]),  # docvec complete → corpus is never touched
         build_dir,
@@ -325,6 +373,11 @@ def update_index(
     )
 
     m.rows_out = delta_rows
-    m.metrics = {"delta_docs": d_n, "delta_tokens": d_tok, "new_n_docs": stats["n_docs"]}
+    m.metrics = {
+        "delta_docs": delta_rows,
+        "delta_tokens": total - old_total,
+        "new_n_docs": n_docs,
+        "delta_dir": delta_dirname,
+    }
     state.commit(m)
     return state

@@ -40,9 +40,7 @@ from ..functions.codecs import (
     decode_docids,
     decode_values,
     delta_decode,
-    delta_encode,
     varbyte_decode,
-    varbyte_encode,
     varbyte_encode_with_lengths,
 )
 from ..functions.hashing import polyhash_column
@@ -113,9 +111,10 @@ def detect_hot_terms(
 
     acc: Counter = Counter()
     for row_batch in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        terms = row_batch["term"].to_pylist()
-        cnts = row_batch["cnt"].to_pylist()
-        acc.update(dict(zip(terms, cnts)))
+        # per-pair += (NOT Counter.update(dict(...)): the dict() would dedupe
+        # a term repeated within one coalesced batch, dropping counts)
+        for t, c in zip(row_batch["term"].to_pylist(), row_batch["cnt"].to_pylist()):
+            acc[t] += c
     return dict(acc.most_common(top_m))
 
 
@@ -214,6 +213,15 @@ def make_bucket_packer(plan: SaltPlan):
         dic = pc.dictionary_encode(terms_sorted)
         g_idx = np.asarray(dic.indices, dtype=np.int64)
         g_dict = dic.dictionary
+        # the pack wire format joins dictionary terms with '\n'; the default
+        # tokenizer can't emit one, but a custom §2.11 tokenizer could — and
+        # a '\n' inside a term would silently shift every dictionary index
+        # in the pack.  Fail loudly instead.
+        if len(g_dict) and pc.any(pc.match_substring(g_dict, "\n")).as_py():
+            raise ValueError(
+                "tokenizer produced a term containing '\\n' — incompatible "
+                "with the packed-shuffle dictionary format"
+            )
         local_idx = np.empty(n_rows, dtype=np.int64)
         uniq_concat: list[np.ndarray] = []
         uniq_counts = np.empty(run_start.size, dtype=np.int64)
@@ -411,8 +419,8 @@ def make_salted_merger(avgdl: float, k1: float, b: float, block_size: int, n_rou
     """
 
     def merge(group: pa.Table) -> pa.Table:
-        if group.num_rows == 1 and group["salt_idx"][0].as_py() == -1:
-            return group
+        # input is pre-filtered to salted partials (salt_idx != -1) by
+        # build.py; every group is decoded, concatenated, re-encoded
         g = group.sort_by([("salt_idx", "ascending")])
         docids = np.concatenate([decode_docids(bs.as_py()) for bs in g["docids"]])
         tfs = np.concatenate([decode_values(bs.as_py()) for bs in g["tfs"]])

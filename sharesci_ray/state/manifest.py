@@ -56,7 +56,10 @@ class BuildState:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.build_dir, "manifests", f"{name}.json")
 
-    def is_complete(self, name: str) -> bool:
+    def is_complete(self, name: str, cfg_hash: str | None = None) -> bool:
+        """``cfg_hash`` lets a stage be fingerprinted by only the config
+        subset it actually depends on (so e.g. a segments-only parameter
+        change doesn't invalidate the docvec checkpoint)."""
         p = self._manifest_path(name)
         if not os.path.exists(p):
             return False
@@ -65,7 +68,9 @@ class BuildState:
                 m = json.load(f)
         except (json.JSONDecodeError, OSError):
             return False
-        return bool(m.get("complete")) and m.get("config_hash") == self.cfg_hash
+        return bool(m.get("complete")) and m.get("config_hash") == (
+            cfg_hash or self.cfg_hash
+        )
 
     def read_manifest(self, name: str) -> dict[str, Any] | None:
         p = self._manifest_path(name)
@@ -74,10 +79,16 @@ class BuildState:
         with open(p) as f:
             return json.load(f)
 
-    def begin(self, name: str, inputs: list[str], upstream: list[str]) -> StageManifest:
+    def begin(
+        self,
+        name: str,
+        inputs: list[str],
+        upstream: list[str],
+        cfg_hash: str | None = None,
+    ) -> StageManifest:
         return StageManifest(
             stage=name,
-            config_hash=self.cfg_hash,
+            config_hash=cfg_hash or self.cfg_hash,
             inputs=inputs,
             upstream=upstream,
             started_unix=time.time(),

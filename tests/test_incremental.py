@@ -31,7 +31,7 @@ def _path_map(build_dir: str) -> dict[int, tuple]:
 
     t = pa.concat_tables(
         pq.read_table(f, columns=["doc_id", "repo", "path"])
-        for f in glob.glob(f"{build_dir}/stage=docvec/*.parquet")
+        for f in glob.glob(f"{build_dir}/stage=docvec/**/*.parquet", recursive=True)
     )
     return {
         d: (r, p)
@@ -100,3 +100,92 @@ def test_second_increment(ray_session, corpora, tmp_path_factory):
 
     with open(f"{d}/stats.json") as f:
         assert json.load(f)["n_docs"] == N_ALL
+
+
+def test_update_crash_rerun_is_idempotent(ray_session, corpora, tmp_path_factory):
+    """A rerun after a mid-update crash must not duplicate the delta: the
+    delta lives in its own wiped-first subdir and stats are recomputed from
+    the checkpoint (simulated by deleting the update manifest — the state a
+    crash leaves behind after the delta files landed)."""
+    import json
+    import os
+
+    full, old, delta = corpora
+    d = str(tmp_path_factory.mktemp("crash"))
+    cfg = BuildConfig(n_buckets=8)
+    build_index(corpus_from_table(old), d, cfg, resume=False)
+    update_index(d, corpus_from_table(delta))
+    # simulate the crash window: delta files + bumped stats exist, but the
+    # update never committed (and segments may be half-done)
+    os.remove(os.path.join(d, "manifests", "update-0.json"))
+    os.remove(os.path.join(d, "manifests", "segments.json"))
+    state = update_index(d, corpus_from_table(delta))  # rerun of "update-0"
+    with open(f"{d}/stats.json") as f:
+        s = json.load(f)
+    assert s["n_docs"] == N_ALL  # NOT N_ALL + len(delta) — no duplicates
+    assert state.read_manifest("update-0")["metrics"]["new_n_docs"] == N_ALL
+
+
+def test_resume_reruns_docvec_on_tokenizer_change(ray_session, corpora, tmp_path_factory):
+    """A resumed build with a DIFFERENT tokenizer must re-tokenize, not
+    silently reuse the old checkpoint (tokenizer id is in the stage hash)."""
+    from sharesci_ray.functions.text import whitespace_flat_tokens
+    from sharesci_ray.pipelines.query import ScorerActor
+
+    _full, old, _delta = corpora
+    d = str(tmp_path_factory.mktemp("tokswap"))
+    cfg = BuildConfig(n_buckets=8)
+    build_index(corpus_from_table(old), d, cfg, resume=False)
+    # default tokenizer splits snake_case -> 'get_value90' becomes get/value
+    s = ScorerActor(d, k=5, scorer="daat")
+    assert s.score_query("value")[0].size > 0
+    # resume with whitespace tokenizer: docvec must rebuild
+    build_index(
+        corpus_from_table(old), d, cfg, resume=True, tokenizer=whitespace_flat_tokens
+    )
+    from sharesci_ray.functions.text import whitespace_tokenize
+
+    s2 = ScorerActor(d, k=5, scorer="daat", tokenize_fn=whitespace_tokenize)
+    assert s2.score_query("get_value90")[0].size > 0  # unsplit token indexed
+
+
+def test_update_rejects_tokenizer_mismatch(ray_session, corpora, tmp_path_factory):
+    from sharesci_ray.functions.text import whitespace_flat_tokens
+
+    _full, old, delta = corpora
+    d = str(tmp_path_factory.mktemp("tokmismatch"))
+    build_index(corpus_from_table(old), d, BuildConfig(n_buckets=8), resume=False)
+    with pytest.raises(ValueError, match="tokenizer mismatch"):
+        update_index(d, corpus_from_table(delta), tokenizer=whitespace_flat_tokens)
+
+
+def test_segments_param_change_keeps_docvec(ray_session, corpora, tmp_path_factory):
+    """Retuning a segments-only knob must NOT re-run the expensive docvec
+    stage (per-stage config fingerprints)."""
+    import json
+
+    _full, old, _delta = corpora
+    d = str(tmp_path_factory.mktemp("retune"))
+    build_index(corpus_from_table(old), d, BuildConfig(n_buckets=8), resume=False)
+    with open(f"{d}/manifests/docvec.json") as f:
+        started_before = json.load(f)["started_unix"]
+    import os
+
+    os.remove(f"{d}/manifests/segments.json")
+    build_index(corpus_from_table(old), d, BuildConfig(n_buckets=16, block_size=64), resume=True)
+    with open(f"{d}/manifests/docvec.json") as f:
+        assert json.load(f)["started_unix"] == started_before  # not re-run
+    with open(f"{d}/stats.json") as f:
+        assert json.load(f)["n_buckets"] == 16  # stats refreshed
+
+
+def test_empty_corpus_fails_loudly(ray_session, tmp_path):
+    from sharesci_ray.sources.synth import make_corpus
+
+    with pytest.raises(ValueError, match="empty after ingest"):
+        build_index(
+            corpus_from_table(make_corpus(50, seed=3)),
+            str(tmp_path / "empty"),
+            BuildConfig(n_buckets=4, langs=("nosuchlang",)),
+            resume=False,
+        )
