@@ -56,6 +56,7 @@ class BuildConfig:
     salt_threshold: int = 100_000     # min est. postings before a term is "hot"
     salt_target_group: int = 100_000  # postings per salted partial
     merge_salted: bool = True         # False = leave multi-row terms (extreme scale)
+    doc_shards: int | None = None     # doc-sharded layout for sharded query serving
     langs: tuple[str, ...] | None = None
 
 
@@ -200,6 +201,7 @@ def build_index(
                 "b": cfg.b,
                 "block_size": cfg.block_size,
                 "n_buckets": cfg.n_buckets,
+                "doc_shards": cfg.doc_shards,
             },
         )
         m.rows_out = 1
@@ -233,15 +235,26 @@ def build_index(
         slim = docvec_cols(["doc_id", "doc_len", "terms", "tfs"]).materialize()
         m.metrics["slim_mat_s"] = round(_time.perf_counter() - _t0, 3)
         _t0 = _time.perf_counter()
-        src = slim
-        if frac < 1.0:
-            src = src.random_sample(frac, seed=7)
-        hot = detect_hot_terms(_postings(src), top_m=cfg.hot_top_m)
-        hot = {t: int(c / frac) for t, c in hot.items()}
-        hot = {t: c for t, c in hot.items() if c >= cfg.salt_threshold}
-        m.metrics["hot_pass_s"] = round(_time.perf_counter() - _t0, 3)
-        plan = SaltPlan.plan(hot, cfg.n_buckets, stats["n_docs"], cfg.salt_target_group)
-        m.metrics["hot_terms"] = {t: list(plan.salts[t]) for t in plan.salts}
+        if cfg.doc_shards:
+            # doc-sharded layout: EVERY term splits into doc-range slices —
+            # the skew problem disappears by construction (no term funnels
+            # more than 1/S of its postings through one reducer), so the
+            # hot-term pre-pass is skipped entirely
+            plan = SaltPlan(
+                n_buckets=cfg.n_buckets,
+                n_docs=stats["n_docs"],
+                doc_shards=cfg.doc_shards,
+            )
+        else:
+            src = slim
+            if frac < 1.0:
+                src = src.random_sample(frac, seed=7)
+            hot = detect_hot_terms(_postings(src), top_m=cfg.hot_top_m)
+            hot = {t: int(c / frac) for t, c in hot.items()}
+            hot = {t: c for t, c in hot.items() if c >= cfg.salt_threshold}
+            m.metrics["hot_pass_s"] = round(_time.perf_counter() - _t0, 3)
+            plan = SaltPlan.plan(hot, cfg.n_buckets, stats["n_docs"], cfg.salt_target_group)
+            m.metrics["hot_terms"] = {t: list(plan.salts[t]) for t in plan.salts}
 
         packed = _postings(slim).map_batches(
             make_bucket_packer(plan), batch_format="pyarrow", zero_copy_batch=True

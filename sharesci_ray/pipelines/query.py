@@ -30,6 +30,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
@@ -95,10 +96,17 @@ class ScorerActor:
         scoring=None,
         tokenize_fn=None,
         allowed_ref=None,
+        doc_shard: int | None = None,
     ):
         """``allowed_ref``: optional ``ray.put`` ObjectRef of a sorted int64
         doc-id array — every query this actor answers is restricted to that
-        facet (broadcast once per actor, not per batch)."""
+        facet (broadcast once per actor, not per batch).
+
+        ``doc_shard``: on a doc-sharded index (BuildConfig.doc_shards), load
+        ONLY this shard's segment rows — the actor owns one complete
+        per-doc-range slice (every term present), so its top-k is exact for
+        its range and a tiny cross-shard merge yields the global top-k
+        (run_queries_sharded)."""
         from ..functions.scoring import Bm25Scoring
 
         with open(os.path.join(build_dir, "stats.json")) as f:
@@ -120,10 +128,14 @@ class ScorerActor:
             self.allowed = None
         self.build_dir = build_dir
         self.n_buckets = int(self.stats["n_buckets"])
+        self.doc_shard = doc_shard
+        if doc_shard is not None and not self.stats.get("doc_shards"):
+            raise ValueError("doc_shard requested but the index is not doc-sharded")
         self.seg_root = os.path.join(build_dir, "stage=segments")
         from collections import OrderedDict
 
         self._terms: dict[str, list[_TermPostings]] = {}
+        self._global_df: dict[str, int] = {}  # sharded mode: corpus-wide df
         self._loaded_buckets: set[int] = set()
         self._decoded: OrderedDict[str, tuple] = OrderedDict()
         self._contribs: OrderedDict[str, tuple] = OrderedDict()
@@ -142,6 +154,20 @@ class ScorerActor:
         if not files:
             return
         t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        if self.doc_shard is not None:
+            # idf needs GLOBAL df: aggregate the (term, df) metadata across
+            # ALL shards' rows (vocab-sized) before dropping other shards'
+            # payload rows
+            g = (
+                t.select(["term", "df"])
+                .group_by("term")
+                .aggregate([("df", "sum")])
+            )
+            for term, df in zip(g["term"].to_pylist(), g["df_sum"].to_pylist()):
+                self._global_df[term] = int(df)
+            t = t.filter(
+                pc.equal(t["salt_idx"], pa.scalar(self.doc_shard, pa.int32()))
+            ).combine_chunks()
         # only the small metadata columns are materialized at load time; the
         # posting payload stays in the shared Arrow buffers (lazy per term)
         terms = t["term"].to_pylist()
@@ -178,7 +204,11 @@ class ScorerActor:
         if hit is not None:  # decoded before without blocks; add them now
             df, docids, tfs, dls = hit[:4]
         else:
-            df = sum(r.df for r in rows)
+            df = (
+                self._global_df[term]
+                if self.doc_shard is not None
+                else sum(r.df for r in rows)
+            )
             docids = np.concatenate([decode_docids(r.docids) for r in rows])
             tfs = np.concatenate([decode_values(r.tfs) for r in rows])
             dls = np.concatenate([decode_values(r.dls) for r in rows])
@@ -454,6 +484,7 @@ def run_queries(
     scoring=None,
     tokenize_fn=None,
     allowed_ref=None,
+    doc_shard: int | None = None,
 ) -> ray.data.Dataset:
     """S3→A2→S7: queries dataset → ranked (query_id, rank, doc_id, score).
 
@@ -473,6 +504,8 @@ def run_queries(
         kwargs["tokenize_fn"] = tokenize_fn
     if allowed_ref is not None:
         kwargs["allowed_ref"] = allowed_ref
+    if doc_shard is not None:
+        kwargs["doc_shard"] = doc_shard
     return queries.map_batches(
         ScorerActor,
         fn_constructor_kwargs=kwargs,
@@ -481,3 +514,69 @@ def run_queries(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def run_queries_sharded(
+    build_dir: str,
+    queries: ray.data.Dataset,
+    k: int = 10,
+    scorer: str = "auto",
+    concurrency_per_shard: int | tuple[int, int] = 1,
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Doc-sharded query serving — the layout for indexes too big for one
+    actor's memory (requires a build with ``BuildConfig(doc_shards=S)``).
+
+    Each shard's actors hold one complete per-doc-range slice of the index
+    (every term present in-range), so per-shard scores are bit-identical to
+    the unsharded engine's for those docs and the per-shard top-k is exact
+    for its range; the cross-shard merge handles only k·S rows per query.
+    (Term-partitioned scatter would NOT work: one document's BM25 score sums
+    across terms that would live on different shards.)
+    """
+    with open(os.path.join(build_dir, "stats.json")) as f:
+        n_shards = json.load(f).get("doc_shards")
+    if not n_shards:
+        raise ValueError(
+            "index is not doc-sharded; build with BuildConfig(doc_shards=S) "
+            "or use run_queries"
+        )
+
+    # shards are scored one pool at a time, materializing between: a lazy
+    # union would run all S actor pools concurrently, and S pools × their
+    # CPU reservations can starve the merge shuffle on a small cluster (on a
+    # real multi-node cluster each shard's pool lives on its own node and a
+    # lazy fan-out would be preferred — this is the local-mode-safe shape)
+    shard_results = []
+    for shard in range(n_shards):
+        shard_results.append(
+            run_queries(
+                build_dir,
+                queries,
+                k=k,
+                scorer=scorer,
+                concurrency=concurrency_per_shard,
+                batch_size=batch_size,
+                doc_shard=shard,
+            ).materialize()
+        )
+    merged = shard_results[0]
+    for r in shard_results[1:]:
+        merged = merged.union(r)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group["score"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(
+                    np.arange(1, order.size + 1, dtype=np.int32), pa.int32()
+                ),
+                "doc_id": pa.array(d[order], pa.int64()),
+                "score": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    return merged.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

@@ -63,11 +63,19 @@ SEGMENT_SCHEMA = pa.schema(
 
 @dataclass(frozen=True)
 class SaltPlan:
-    """Hot-term salting: term → (first dedicated bucket id, salt factor)."""
+    """Hot-term salting: term → (first dedicated bucket id, salt factor).
+
+    ``doc_shards`` generalizes the doc-range split to EVERY term: with S
+    shards, every posting gets ``salt_idx = doc_id·S // n_docs`` and routes
+    to bucket ``hash(term) % n_buckets + n_buckets·salt_idx`` — the layout
+    behind doc-sharded query serving (each query actor owns one complete
+    per-doc-range slice of the index; see query.run_queries_sharded).
+    """
 
     n_buckets: int
     n_docs: int
     salts: dict[str, tuple[int, int]] = field(default_factory=dict)  # term -> (base, S)
+    doc_shards: int | None = None
 
     @staticmethod
     def plan(
@@ -127,6 +135,15 @@ def make_bucket_assigner(plan: SaltPlan):
     def assign(batch: pa.Table) -> pa.Table:
         h = polyhash_column(batch["term"])
         bucket = (h % n_buckets).astype(np.int32)
+        if plan.doc_shards:
+            # doc-sharded layout: every posting carries its doc-range shard
+            s = np.int64(plan.doc_shards)
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            shard = np.minimum(doc_ids * s // n_docs, s - 1).astype(np.int32)
+            bucket = (bucket + np.int32(plan.n_buckets) * shard).astype(np.int32)
+            return batch.append_column("bucket", pa.array(bucket)).append_column(
+                "salt_idx", pa.array(shard)
+            )
         salt_idx = np.full(batch.num_rows, -1, dtype=np.int32)
         if salts:
             terms = batch["term"]

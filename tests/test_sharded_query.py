@@ -1,0 +1,72 @@
+"""Doc-sharded query serving (BuildConfig.doc_shards + run_queries_sharded):
+per-shard slices are complete per doc range, idf uses corpus-global df, and
+the cross-shard merge reproduces the unsharded engine bit-for-bit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import ray.data
+
+from sharesci_ray.pipelines.build import BuildConfig, build_index
+from sharesci_ray.pipelines.query import ScorerActor, run_queries, run_queries_sharded
+from sharesci_ray.sources.corpus import corpus_from_table
+from sharesci_ray.sources.synth import make_corpus, make_queries
+
+
+@pytest.fixture(scope="module")
+def indexes(ray_session, tmp_path_factory):
+    corpus = make_corpus(400, seed=13)
+    d_plain = str(tmp_path_factory.mktemp("plain"))
+    d_shard = str(tmp_path_factory.mktemp("sharded"))
+    build_index(corpus_from_table(corpus), d_plain, BuildConfig(n_buckets=8), resume=False)
+    build_index(
+        corpus_from_table(corpus),
+        d_shard,
+        BuildConfig(n_buckets=8, doc_shards=4),
+        resume=False,
+    )
+    return d_plain, d_shard
+
+
+def test_sharded_merge_is_rank_identical(ray_session, indexes):
+    d_plain, d_shard = indexes
+    q_tbl = make_queries(40, seed=21)
+    plain = (
+        run_queries(d_plain, ray.data.from_arrow(q_tbl), k=10, scorer="daat")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    sharded = (
+        run_queries_sharded(d_shard, ray.data.from_arrow(q_tbl), k=10)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(plain) == len(sharded)
+    assert (plain["query_id"].values == sharded["query_id"].values).all()
+    assert (plain["doc_id"].values == sharded["doc_id"].values).all()
+    assert (plain["score"].values == sharded["score"].values).all()  # bit-equal
+
+
+def test_shard_actor_uses_global_df(ray_session, indexes):
+    """A single shard's scores must equal the unsharded engine's scores for
+    the docs it owns — requires corpus-wide df in the idf, not shard df."""
+    d_plain, d_shard = indexes
+    full = ScorerActor(d_plain, k=400, scorer="daat")
+    s0 = ScorerActor(d_shard, k=400, scorer="daat", doc_shard=0)
+    dF, sF = full.score_query("get_value90 index")
+    d0, s0_scores = s0.score_query("get_value90 index")
+    full_map = dict(zip(dF.tolist(), sF.tolist()))
+    assert d0.size > 0
+    for doc, sc in zip(d0.tolist(), s0_scores.tolist()):
+        assert full_map[doc] == sc  # bit-equal per doc
+
+
+def test_shard_guard_on_unsharded_index(ray_session, indexes):
+    d_plain, _ = indexes
+    with pytest.raises(ValueError, match="not doc-sharded"):
+        ScorerActor(d_plain, doc_shard=0)
+    with pytest.raises(ValueError, match="not doc-sharded"):
+        run_queries_sharded(d_plain, ray.data.from_arrow(make_queries(2, seed=1)))
