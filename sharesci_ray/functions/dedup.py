@@ -19,10 +19,11 @@ the driver's oracle can value-check each dedup op:
   * simhash:         60-bit; bit b set iff  Σ_tokens tf·(2·((h>>b)&1)−1) > 0
     (integer sums → order-independent, bit-exact).
 
-Everything is numpy-vectorized per Arrow batch; the only per-string Python
-work is one md5 per *unique* string (vocabulary-sized, not corpus-sized).
-At 10^12-doc scale the md5 would be swapped for a numpy rolling hash and the
-SQL-parity contract relaxed — noted per function.
+Everything is numpy-vectorized per Arrow batch; per-string Python work is
+one md5 per *unique* string (vocabulary-sized) EXCEPT band_keys, which pays
+N_BANDS md5 calls per document (corpus-sized — the price of SQL-checkable
+band keys).  At 10^12-doc scale both would be swapped for a numpy rolling
+hash and the SQL-parity contract relaxed — noted per function.
 """
 
 from __future__ import annotations

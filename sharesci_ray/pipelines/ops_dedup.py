@@ -33,14 +33,17 @@ from .ops import op
 _TOKS = SQL_TOKENIZE.format(col="text")
 _H60_S = dd.SQL_H60.format(s="s")
 
-# shared SQL CTE prefix: documents → tokens → distinct shingle hashes (h31)
+# shared SQL CTE prefix: documents → tokens → distinct shingle hashes (h31).
+# hs dedups per (doc, h31) — the HASH, not the string — because the engine's
+# per-doc shingle sets are hash-keyed; two distinct shingles colliding in
+# 31 bits must count once on BOTH sides or sizes/intersections diverge.
 _SQL_SHINGLE_CTES = f"""
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, unnest({dd.sql_shingles('t')}) AS s
       FROM toks WHERE len(t) >= {dd.SHINGLE_K}
     ),
-    hs AS (SELECT doc_id, {_H60_S} % {dd.P31} AS h31 FROM sh)
+    hs AS (SELECT DISTINCT doc_id, {_H60_S} % {dd.P31} AS h31 FROM sh)
 """
 
 
@@ -55,6 +58,41 @@ def _embedding_matrix(batch: pa.Table) -> np.ndarray:
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _emit_pairs(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Group of co-bucketed rows → all (doc_a < doc_b) candidate pairs."""
+    ids = sorted(set(group[id_col].to_pylist()))
+    pairs = list(itertools.combinations(ids, 2))
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+def _final_topk(group: pa.Table, k: int) -> pa.Table:
+    """Per-query merge of partial candidates → ranked top-k
+    (score desc, neighbor_id asc)."""
+    s = group["score"].to_numpy(zero_copy_only=False)
+    n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((n, -s))[:k]
+    return pa.table(
+        {
+            "query_id": group["query_id"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "neighbor_id": pa.array(n[order], pa.int64()),
+        }
+    )
+
+
+def _query_matrix(emb, n_queries: int):
+    """First-n query rows → (ids, normalized float64 matrix)."""
+    q_rows = emb.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    return q_ids, q_mat
 
 
 # ===========================================================================
@@ -99,18 +137,8 @@ def dedup_minhash_lsh(sf_dir: str):
 
     band_ds = docs.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        pairs = list(itertools.combinations(ids, 2))
-        return pa.table(
-            {
-                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-            }
-        )
-
     pairs = band_ds.groupby(["band", "band_key"]).map_groups(
-        emit_pairs, batch_format="pyarrow"
+        _emit_pairs, batch_format="pyarrow"
     )
     distinct = pairs.groupby(["doc_a", "doc_b"]).count()
     return distinct.select_columns(["doc_a", "doc_b"])
@@ -170,19 +198,9 @@ def near_dup_jaccard(sf_dir: str):
 
     sizes = hs.groupby("doc_id").count()  # (doc_id, count())
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        pairs = list(itertools.combinations(ids, 2))
-        return pa.table(
-            {
-                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-            }
-        )
-
     pair_counts = (
         hs.groupby("h31")
-        .map_groups(emit_pairs, batch_format="pyarrow")
+        .map_groups(_emit_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .count()
     )  # (doc_a, doc_b, count() = intersection)
@@ -362,6 +380,12 @@ def near_dup_embedding(sf_dir: str):
     via ray.put; each batch does one float64 matmul against it.  Scale path:
     LSH-bucket both sides (ann_lsh_topk's hyperplane buckets) so only
     same-bucket blocks cross-join.
+
+    Parity caveat: the engine computes normalize-then-dot, the oracle
+    dot/(|a||b|) — algebraically equal, last-ulp different, so a pair whose
+    cosine sits within ~1e-15 of the threshold could split the sets.  The
+    testdata margin is ≥1e-5; a construction-exact variant would compare
+    integer-quantized scores.
     """
     import ray
 
@@ -417,9 +441,7 @@ def ann_topk_cosine(sf_dir: str):
     import ray
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q_rows = emb.filter(lambda r: r["vec_id"] < _ANN_NQ).take_all()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    q_ids, q_mat = _query_matrix(emb, _ANN_NQ)
     ref = ray.put((q_ids, q_mat))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
@@ -449,20 +471,9 @@ def ann_topk_cosine(sf_dir: str):
 
     partials = emb.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        s = group["score"].to_numpy(zero_copy_only=False)
-        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((n, -s))[:_ANN_K]
-        k = order.size
-        return pa.table(
-            {
-                "query_id": group["query_id"].take(pa.array(order)),
-                "rank": pa.array(np.arange(1, k + 1), pa.int64()),
-                "neighbor_id": pa.array(n[order], pa.int64()),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, _ANN_K), batch_format="pyarrow"
+    )
 
 
 # ---- LSH-bucketed ANN: the scale path (approximate → no SQL oracle) -------
@@ -488,16 +499,14 @@ def _bucket_of(mat: np.ndarray) -> np.ndarray:
 @op("ann_lsh_topk")  # approximate — rows-only driver check; recall tested in pytest
 def ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN (scale path): hyperplane-bucket the corpus with a
-    groupby, brute-force only inside each query's probe buckets (own bucket
-    + all Hamming-1 neighbors).  Recall vs ann_topk_cosine is asserted in
+    groupby, brute-force only inside each query's probe buckets (all buckets
+    within Hamming _LSH_MULTIPROBE of the query's bucket).  Recall vs ann_topk_cosine is asserted in
     tests/test_dedup_ops.py; output shape matches the brute-force op.
     """
     import ray
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q_rows = emb.filter(lambda r: r["vec_id"] < _ANN_NQ).take_all()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    q_ids, q_mat = _query_matrix(emb, _ANN_NQ)
     q_buckets = _bucket_of(q_mat)
     # multiprobe set: every bucket within Hamming _LSH_MULTIPROBE of the
     # query's bucket (Lv et al., "Multi-probe LSH", VLDB 2007) — recall/cost
@@ -554,17 +563,6 @@ def ann_lsh_topk(sf_dir: str):
 
     partials = bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        s = group["score"].to_numpy(zero_copy_only=False)
-        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((n, -s))[:_ANN_K]
-        k = order.size
-        return pa.table(
-            {
-                "query_id": group["query_id"].take(pa.array(order)),
-                "rank": pa.array(np.arange(1, k + 1), pa.int64()),
-                "neighbor_id": pa.array(n[order], pa.int64()),
-            }
-        )
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, _ANN_K), batch_format="pyarrow"
+    )

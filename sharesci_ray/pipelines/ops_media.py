@@ -37,9 +37,15 @@ def media_dataset(sf_dir: str, kind: str = "image"):
     """
     ids = read_table(sf_dir, "documents", columns=["doc_id"])
 
+    makers = {
+        "image": md.synth_image_blob,
+        "video": md.synth_video_blob,
+        "audio": md.synth_audio_blob,
+    }
+
     def synth(batch: pa.Table) -> pa.Table:
         keep = [d for d in batch["doc_id"].to_pylist() if d < _N_MEDIA]
-        make = md.synth_image_blob if kind == "image" else md.synth_video_blob
+        make = makers[kind]
         return pa.table(
             {
                 "media_id": pa.array(keep, pa.int64()),
@@ -204,19 +210,7 @@ def media_audio_features(sf_dir: str):
     """Audio decode roundtrip: n_samples/rate parsed from FAUD bytes must
     match the id formula (oracle); energy/peak values are pytest-checked
     (not SQL-expressible)."""
-    ids = read_table(sf_dir, "documents", columns=["doc_id"])
-
-    def synth(batch: pa.Table) -> pa.Table:
-        keep = [d for d in batch["doc_id"].to_pylist() if d < _N_MEDIA]
-        return pa.table(
-            {
-                "media_id": pa.array(keep, pa.int64()),
-                "blob": pa.array([md.synth_audio_blob(d) for d in keep], pa.binary()),
-            }
-        )
-
-    blobs = ids.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
-    feats = blobs.map_batches(
+    feats = media_dataset(sf_dir, "audio").map_batches(
         AudioFeatures,
         batch_format="pyarrow",
         batch_size=_MEDIA_BATCH,
@@ -228,19 +222,7 @@ def media_audio_features(sf_dir: str):
 
 @op("media_audio_energy")  # integer energy features — rows-only + pytest
 def media_audio_energy(sf_dir: str):
-    ids = read_table(sf_dir, "documents", columns=["doc_id"])
-
-    def synth(batch: pa.Table) -> pa.Table:
-        keep = [d for d in batch["doc_id"].to_pylist() if d < _N_MEDIA]
-        return pa.table(
-            {
-                "media_id": pa.array(keep, pa.int64()),
-                "blob": pa.array([md.synth_audio_blob(d) for d in keep], pa.binary()),
-            }
-        )
-
-    blobs = ids.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
-    return blobs.map_batches(
+    return media_dataset(sf_dir, "audio").map_batches(
         AudioFeatures,
         batch_format="pyarrow",
         batch_size=_MEDIA_BATCH,

@@ -70,8 +70,13 @@ def documents_as_corpus(sf_dir: str, num_blocks: int | None = None) -> ray.data.
 
 
 def corpus_from_table(table: pa.Table, parallelism: int = -1) -> ray.data.Dataset:
-    """Wrap an in-memory corpus table (tests / synthetic benches)."""
-    return ray.data.from_arrow(table)
+    """Wrap an in-memory corpus table (tests / synthetic benches).
+    ``parallelism > 0`` splits into that many blocks (from_arrow yields ONE
+    block, which would serialize every downstream map stage)."""
+    ds = ray.data.from_arrow(table)
+    if parallelism and parallelism > 0:
+        ds = ds.repartition(parallelism)
+    return ds
 
 
 def read_queries(path: str) -> ray.data.Dataset:

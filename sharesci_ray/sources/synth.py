@@ -128,6 +128,12 @@ def ensure_scale_corpus(
                 total += pq.ParquetFile(os.path.join(out_dir, fn)).metadata.num_rows
         if total == n_docs:
             return out_dir
+    # regenerating: wipe stale shards first — a smaller n_docs over a larger
+    # old corpus would otherwise leave mixed-generation files behind
+    if os.path.isdir(out_dir):
+        for fn in os.listdir(out_dir):
+            if fn.endswith(".parquet") or fn == "_COMPLETE":
+                os.remove(os.path.join(out_dir, fn))
     os.makedirs(out_dir, exist_ok=True)
 
     shards = [
