@@ -15,15 +15,17 @@ the driver's oracle can value-check each dedup op:
   * minhash perm j:  ``(a_j * (h % P31) + b_j) % P31`` with P31 = 2^31-1 and
     (a_j, b_j) from a fixed-seed RNG — all products < 2^62, exact in int64
     on both sides.
-  * band key:        ``md5('<band>:' || sig_0 || ',' || ...)``.
+  * band key:        integer polynomial fold of the band's signature values,
+    ``(Σ_j (sig_j · A^(r-1-j) mod P31) mod P31) mod P31`` — every product
+    < 2^62 (exact int64 both sides), fully numpy-vectorized (no per-doc
+    Python), and exactly one SQL SUM away (the perms VALUES table carries
+    the per-position power).  Key collisions only ADD candidate pairs
+    (LSH false positives are part of the contract on both sides).
   * simhash:         60-bit; bit b set iff  Σ_tokens tf·(2·((h>>b)&1)−1) > 0
     (integer sums → order-independent, bit-exact).
 
-Everything is numpy-vectorized per Arrow batch; per-string Python work is
-one md5 per *unique* string (vocabulary-sized) EXCEPT band_keys, which pays
-N_BANDS md5 calls per document (corpus-sized — the price of SQL-checkable
-band keys).  At 10^12-doc scale both would be swapped for a numpy rolling
-hash and the SQL-parity contract relaxed — noted per function.
+Everything is numpy-vectorized per Arrow batch; the only per-string Python
+work is one md5 per *unique* string (vocabulary-sized, hash_strings).
 """
 
 from __future__ import annotations
@@ -46,6 +48,23 @@ SIMHASH_BITS = 60  # int60 from 15 md5 hex chars → fits non-negative int64
 _rng = np.random.RandomState(0xC0FFEE)
 PERM_A = _rng.randint(1, P31, size=N_PERMS).astype(np.int64)
 PERM_B = _rng.randint(0, P31, size=N_PERMS).astype(np.int64)
+
+# polynomial band-fold hash: key = Σ_j (sig_j · A^(r-1-j) mod P31) mod P31,
+# summed then reduced mod P31 once (sum of BAND_ROWS values < 2^33, exact)
+BAND_A = 1_000_003
+BAND_POWS = np.array(
+    [pow(BAND_A, BAND_ROWS - 1 - j, P31) for j in range(BAND_ROWS)], dtype=np.int64
+)
+
+# candidate-bucket cap (the df-cap pre-pass): an LSH bucket larger than this
+# is a degenerate cluster (stopword-like shingle / hot band collision) whose
+# O(|group|²) pair emission would dominate the job; both the engine AND the
+# oracle SQL drop such buckets, so parity holds whether or not the cap binds.
+LSH_BUCKET_CAP = 256
+# shingle df-cap for the exact-Jaccard op: shingles present in more than
+# this many documents are excluded from the shingle universe on BOTH sides
+# (sizes and intersections) — the standard stopword-shingle guard.
+SHINGLE_DF_CAP = 256
 
 
 def md5_int60(strings: list[str]) -> np.ndarray:
@@ -109,26 +128,43 @@ def minhash_signatures(
 
 
 def band_keys(doc_ids: np.ndarray, sigs: np.ndarray):
-    """signatures → LSH band rows: (doc_id, band, band_key-md5-hex).
+    """signatures → LSH band rows: (doc_id, band, band_key int64).
 
     Docs sharing a band key in any band are near-dup candidates (r=4 rows,
     b=4 bands over 16 perms → S-curve threshold ≈ (1/4)^(1/4) ≈ 0.71).
+    Fully vectorized (numpy polynomial fold, no per-doc Python); the int64
+    key also makes the (band, band_key) shuffle ~4× lighter than the md5
+    hex string it replaces.
     """
-    out_doc, out_band, out_key = [], [], []
+    n = doc_ids.size
+    keys = np.empty((n, N_BANDS), dtype=np.int64)
     for band in range(N_BANDS):
         seg = sigs[:, band * BAND_ROWS : (band + 1) * BAND_ROWS]
-        for i, d in enumerate(doc_ids):
-            payload = f"{band}:" + ",".join(str(v) for v in seg[i])
-            out_doc.append(int(d))
-            out_band.append(band)
-            out_key.append(hashlib.md5(payload.encode()).hexdigest())
+        # per-term products < 2^62 → exact in int64; mod BEFORE the sum so
+        # the sum of BAND_ROWS terms stays < 2^33
+        keys[:, band] = ((seg * BAND_POWS[None, :]) % P31).sum(axis=1) % P31
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "band": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(out_key, pa.string()),
+            "doc_id": pa.array(np.repeat(doc_ids.astype(np.int64), N_BANDS), pa.int64()),
+            "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n), pa.int32()),
+            "band_key": pa.array(keys.reshape(-1), pa.int64()),
         }
     )
+
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) → int64 array."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & _M1
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return ((x * _H01) >> np.uint64(56)).astype(np.int64)
 
 
 def simhash60(text_col: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -183,12 +219,10 @@ def sql_shingles(toks_col: str, k: int = SHINGLE_K) -> str:
 
 
 def sql_perm_values() -> str:
-    """SQL VALUES list of the (perm, a, b) permutation constants."""
+    """SQL VALUES list of the (perm, a, b, powv) permutation constants;
+    powv = BAND_A^(BAND_ROWS-1-(perm mod BAND_ROWS)) mod P31 is the
+    per-position power of the integer band-fold key (see band_keys)."""
     return ", ".join(
-        f"({j}, {int(PERM_A[j])}, {int(PERM_B[j])})" for j in range(N_PERMS)
+        f"({j}, {int(PERM_A[j])}, {int(PERM_B[j])}, {int(BAND_POWS[j % BAND_ROWS])})"
+        for j in range(N_PERMS)
     )
-
-
-def sql_band_key(sig_cols: list[str], band: int) -> str:
-    payload = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in sig_cols)
-    return f"md5('{band}:' || {payload})"

@@ -120,17 +120,28 @@ def flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
 
 # -- alternative tokenizer (§2.11 hook example): whitespace-only ------------
 
+# ONE whitespace class shared verbatim by both twins.  An explicit ASCII set
+# (not \s): Python str.split()/re-\s split on Unicode whitespace (\xa0,
+#  , ...) while RE2's \s is ASCII-only — a document containing \xa0
+# would otherwise be indexed under terms the query-side twin can never
+# produce (silent missed matches).
+_WS_CLASS = r"[\t\n\x0b\x0c\r ]+"
+_py_ws = re.compile(_WS_CLASS)
+
+
 def whitespace_tokenize(text: str) -> list[str]:
-    """Scalar twin of :func:`whitespace_flat_tokens` (query side)."""
-    return [t for t in text.translate(_ASCII_LOWER).split() if t]
+    """Scalar twin of :func:`whitespace_flat_tokens` (query side) — same
+    ASCII whitespace class as the build side, by construction."""
+    return [t for t in _py_ws.split(text.translate(_ASCII_LOWER)) if t]
 
 
 def whitespace_flat_tokens(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
-    """Vectorized whitespace-only tokenizer: lowercase + split on \\s+, no
-    camelCase/snake splitting, no length/digit filter.  Plug into
+    """Vectorized whitespace-only tokenizer: lowercase + split on ASCII
+    whitespace (shared ``_WS_CLASS``), no camelCase/snake splitting, no
+    length/digit filter.  Plug into
     ``build_index(..., tokenizer=whitespace_flat_tokens)`` with
     ``ScorerActor(..., tokenize_fn=whitespace_tokenize)`` at query time."""
-    toks = pc.split_pattern_regex(pc.ascii_lower(col), r"\s+")
+    toks = pc.split_pattern_regex(pc.ascii_lower(col), _WS_CLASS)
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)

@@ -361,6 +361,18 @@ def update_index(
     ds.write_parquet(delta_dir)
     delta_rows = _parquet_rows(delta_dir)
 
+    # ---- invalidate segments BEFORE touching stats.json -------------------
+    # Ordering is load-bearing (crash safety): if stats.json were updated
+    # first and we crashed before deleting the segments manifest, every
+    # manifest would read complete while the segments lack the delta docs
+    # and their block-max bounds were baked under the old avgdl — WAND/BMW
+    # could silently mis-prune.  Deleting the segments manifest first means
+    # any crash below leaves an index that resume correctly treats as
+    # segments-incomplete (and rebuilds from the checkpoint + new stats).
+    seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
+    if os.path.exists(seg_manifest):
+        os.remove(seg_manifest)
+
     # ---- exact stats recompute over the whole checkpoint ------------------
     agg = ray.data.read_parquet(docvec_dir, columns=["doc_len"]).aggregate(
         Count(), Sum("doc_len")
@@ -374,9 +386,6 @@ def update_index(
     state.write_sidecar("stats.json", stats)
 
     # ---- re-run segments over the updated checkpoint ----------------------
-    seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
-    if os.path.exists(seg_manifest):
-        os.remove(seg_manifest)
     build_index(
         ray.data.from_items([]),  # docvec complete → corpus is never touched
         build_dir,

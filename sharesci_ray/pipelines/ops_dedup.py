@@ -9,17 +9,19 @@ value hash matches exactly.
 
 Scale notes (100 TB): the pair-emitting group stages (shared shingle /
 band bucket / simhash chunk) are the classic LSH shapes — group sizes are
-bounded by band selectivity, not corpus size; a stopword-like shingle with
-df=millions would be dropped by a df-cap pre-pass (same pre-pass as the
-hot-term salting in stages/encode.py) before pair emission.  The
-embedding ops broadcast the small side (query matrix / ≤10^6-row
-candidate side) via ray.put; past that, the scale path is the LSH variant
+bounded by band selectivity, not corpus size, and the df-cap guards
+(LSH_BUCKET_CAP on band buckets, SHINGLE_DF_CAP on the exact-Jaccard
+shingle universe — encoded in BOTH the engine and the oracle SQL) bound
+the one degenerate case: a stopword-like shingle / hot band bucket whose
+O(|group|²) pair emission would otherwise dominate.  The embedding ops
+broadcast only genuinely small sides (the ≤nq-row query matrix); the
+exact all-pairs op block-partitions the table in the object store and
+cross-joins block pairs (bounded per-task memory, no driver
+materialization); the approximate scale path is the LSH variant
 (ann_lsh_topk) whose buckets shard the cross-join.
 """
 
 from __future__ import annotations
-
-import itertools
 
 import numpy as np
 import pyarrow as pa
@@ -60,30 +62,45 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
 
-def _emit_pairs(group: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """Group of co-bucketed rows → all (doc_a < doc_b) candidate pairs."""
-    ids = sorted(set(group[id_col].to_pylist()))
-    pairs = list(itertools.combinations(ids, 2))
+_PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+
+def _emit_pairs(group: pa.Table, id_col: str = "doc_id", cap: int = dd.LSH_BUCKET_CAP) -> pa.Table:
+    """Group of co-bucketed rows → all (doc_a < doc_b) candidate pairs,
+    vectorized (np.triu_indices).  Groups larger than ``cap`` are dropped —
+    the df-cap pre-pass: a degenerate bucket (stopword-like shingle) would
+    otherwise emit O(|group|²) pairs.  The oracle SQL applies the same cap,
+    so parity holds whether or not it binds."""
+    ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
+    if ids.size < 2 or ids.size > cap:
+        return _PAIRS_SCHEMA.empty_table()
+    ia, ib = np.triu_indices(ids.size, k=1)
     return pa.table(
-        {
-            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-        }
+        {"doc_a": pa.array(ids[ia], pa.int64()), "doc_b": pa.array(ids[ib], pa.int64())},
+        schema=_PAIRS_SCHEMA,
     )
+
+
+_TOPK_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("rank", pa.int64()), ("neighbor_id", pa.int64())]
+)
 
 
 def _final_topk(group: pa.Table, k: int) -> pa.Table:
     """Per-query merge of partial candidates → ranked top-k
     (score desc, neighbor_id asc)."""
+    if group.num_rows == 0:
+        return _TOPK_SCHEMA.empty_table()
     s = group["score"].to_numpy(zero_copy_only=False)
     n = group["neighbor_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((n, -s))[:k]
     return pa.table(
         {
-            "query_id": group["query_id"].take(pa.array(order)),
+            "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
             "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
             "neighbor_id": pa.array(n[order], pa.int64()),
-        }
+        },
+        schema=_TOPK_SCHEMA,
     )
 
 
@@ -99,32 +116,39 @@ def _query_matrix(emb, n_queries: int):
 # MinHash + LSH candidate pairs
 # ===========================================================================
 
-def _minhash_sql() -> str:
+def _minhash_sql(cap: int = dd.LSH_BUCKET_CAP) -> str:
     return f"""
     WITH {_SQL_SHINGLE_CTES},
-    perms(perm, a, b) AS (VALUES {dd.sql_perm_values()}),
+    perms(perm, a, b, powv) AS (VALUES {dd.sql_perm_values()}),
     sig AS (
       SELECT doc_id, perm, min((a * h31 + b) % {dd.P31}) AS mh
       FROM hs CROSS JOIN perms GROUP BY doc_id, perm
     ),
     band AS (
-      SELECT doc_id, perm // {dd.BAND_ROWS} AS band,
-             md5(CAST(perm // {dd.BAND_ROWS} AS VARCHAR) || ':' ||
-                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm)) AS band_key
-      FROM sig GROUP BY doc_id, band
-    )
+      -- integer band-fold key (same formula as functions/dedup.band_keys):
+      -- products < 2^62, mod before the 4-term sum → exact in BIGINT
+      SELECT s.doc_id, s.perm // {dd.BAND_ROWS} AS band,
+             sum((s.mh * p.powv) % {dd.P31}) % {dd.P31} AS band_key
+      FROM sig s JOIN perms p ON p.perm = s.perm
+      GROUP BY 1, 2
+    ),
+    bsz AS (SELECT band, band_key, count(*) AS n FROM band GROUP BY 1, 2)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM band a JOIN band b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    JOIN bsz ON bsz.band = a.band AND bsz.band_key = a.band_key
+    WHERE bsz.n <= {cap}
     """
 
 
 @op("dedup_minhash_lsh", _minhash_sql())
-def dedup_minhash_lsh(sf_dir: str):
+def dedup_minhash_lsh(sf_dir: str, cap: int = dd.LSH_BUCKET_CAP):
     """MinHash(16 perms) + LSH(4 bands × 4 rows) near-dup candidate pairs.
 
     shingle → minhash → band → bucket-groupby → pair emission; the all-to-all
-    exchange keys on band_key (bounded buckets), never on raw text.
+    exchange keys on the int64 band_key (bounded buckets), never on raw
+    text.  Buckets larger than ``cap`` are dropped on both sides (df-cap
+    pre-pass — see _emit_pairs).
     """
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -138,7 +162,7 @@ def dedup_minhash_lsh(sf_dir: str):
     band_ds = docs.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
 
     pairs = band_ds.groupby(["band", "band_key"]).map_groups(
-        _emit_pairs, batch_format="pyarrow"
+        lambda g: _emit_pairs(g, cap=cap), batch_format="pyarrow"
     )
     distinct = pairs.groupby(["doc_a", "doc_b"]).count()
     return distinct.select_columns(["doc_a", "doc_b"])
@@ -151,13 +175,18 @@ def dedup_minhash_lsh(sf_dir: str):
 _JACCARD_MIN = 0.8
 
 
-def _jaccard_sql() -> str:
+def _jaccard_sql(cap: int = dd.SHINGLE_DF_CAP) -> str:
     return f"""
     WITH {_SQL_SHINGLE_CTES},
-    sz AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+    dfc AS (SELECT h31, count(*) AS df FROM hs GROUP BY 1),
+    hsf AS (
+      SELECT hs.doc_id, hs.h31 FROM hs
+      JOIN dfc ON dfc.h31 = hs.h31 WHERE dfc.df <= {cap}
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM hsf GROUP BY doc_id),
     pair AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM hs a JOIN hs b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
+      FROM hsf a JOIN hsf b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, inter,
@@ -171,13 +200,18 @@ def _jaccard_sql() -> str:
 
 
 @op("near_dup_jaccard", _jaccard_sql())
-def near_dup_jaccard(sf_dir: str):
-    """Exact 3-token-shingle Jaccard ≥ 0.8 pairs (inter/union exact ints).
+def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
+    """Exact 3-token-shingle Jaccard ≥ 0.8 pairs (inter/union exact ints)
+    over the df-capped shingle universe (shingles in > ``cap`` docs are
+    excluded from sizes AND intersections on both sides — the stopword-
+    shingle guard that keeps every inverted-index group ≤ cap docs).
 
     Inverted-index pair generation: distinct (doc, shingle-hash) rows group
     by hash; each group emits its doc pairs; pair counts = intersection
     sizes; per-doc set sizes attach via distributed hash join (J2).
     """
+    import ray
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def distinct_shingles(batch: pa.Table) -> pa.Table:
@@ -194,16 +228,52 @@ def near_dup_jaccard(sf_dir: str):
             .aggregate([])
         )
 
-    hs = docs.map_batches(distinct_shingles, batch_format="pyarrow", zero_copy_batch=True)
+    # materialized once: consumed by the hot-shingle pass, sizes and pairs
+    # (Ray re-executes shared subplans per consumer otherwise)
+    hs = docs.map_batches(
+        distinct_shingles, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
-    sizes = hs.groupby("doc_id").count()  # (doc_id, count())
+    # df-cap pre-pass: only the HOT hashes (df > cap) come to the driver —
+    # their count is bounded by total_shingles/cap, the classic hot-key set
+    hot = (
+        hs.groupby("h31")
+        .count()
+        .filter(lambda r: r["count()"] > cap)
+        .take_all()
+    )
+    if hot:
+        hot_ref = ray.put(np.sort(np.array([r["h31"] for r in hot], dtype=np.int64)))
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            hs_arr = ray.get(hot_ref)
+            return t.filter(
+                pc.invert(pc.is_in(t["h31"], value_set=pa.array(hs_arr, pa.int64())))
+            )
+
+        hs = hs.map_batches(drop_hot, batch_format="pyarrow", zero_copy_batch=True)
+
+    from .util import drop_empty_blocks
+
+    sizes = drop_empty_blocks(
+        hs.groupby("doc_id").count(),
+        pa.schema([("doc_id", pa.int64()), ("count()", pa.int64())]),
+    )  # (doc_id, count())
 
     pair_counts = (
         hs.groupby("h31")
-        .map_groups(_emit_pairs, batch_format="pyarrow")
+        .map_groups(lambda g: _emit_pairs(g, cap=cap), batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .count()
     )  # (doc_a, doc_b, count() = intersection)
+    # sparse-keyed shuffles emit schema-less empty blocks that crash the
+    # joins below (see util.drop_empty_blocks)
+    pair_counts = drop_empty_blocks(
+        pair_counts,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("count()", pa.int64())]
+        ),
+    )
 
     sz_a = sizes.map_batches(
         lambda t: t.rename_columns(["doc_a", "n_a"]), batch_format="pyarrow"
@@ -212,6 +282,18 @@ def near_dup_jaccard(sf_dir: str):
         lambda t: t.rename_columns(["doc_b", "n_b"]), batch_format="pyarrow"
     )
     j = pair_counts.join(sz_a, join_type="inner", num_partitions=4, on=("doc_a",))
+    # the join operator itself emits schema-less empty partitions too
+    j = drop_empty_blocks(
+        j,
+        pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("count()", pa.int64()),
+                ("n_a", pa.int64()),
+            ]
+        ),
+    )
     j = j.join(sz_b, join_type="inner", num_partitions=4, on=("doc_b",))
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -316,23 +398,29 @@ def dedup_simhash(sf_dir: str):
 
     chunks = sims.map_batches(explode_chunks, batch_format="pyarrow", zero_copy_batch=True)
 
+    _EMIT_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
+
     def emit(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        sh = group["simhash"].to_pylist()
+        """Exact-Hamming verify inside a chunk bucket, fully vectorized
+        (pairwise xor + SWAR popcount over np.triu_indices)."""
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        sh = group["simhash"].to_numpy(zero_copy_only=False)
+        if ids.size < 2:
+            return _EMIT_SCHEMA.empty_table()
         order = np.argsort(ids)
-        out_a, out_b, out_h = [], [], []
-        for i, j in itertools.combinations(order, 2):
-            h = bin(sh[i] ^ sh[j]).count("1")
-            if h <= _HAMMING_MAX:
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-                out_h.append(h)
+        ids, sh = ids[order], sh[order]
+        ia, ib = np.triu_indices(ids.size, k=1)
+        h = dd.popcount64((sh[ia] ^ sh[ib]).astype(np.uint64))
+        m = h <= _HAMMING_MAX
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_h, pa.int64()),
-            }
+                "doc_a": pa.array(ids[ia][m], pa.int64()),
+                "doc_b": pa.array(ids[ib][m], pa.int64()),
+                "hamming": pa.array(h[m], pa.int64()),
+            },
+            schema=_EMIT_SCHEMA,
         )
 
     pairs = chunks.groupby(["chunk_idx", "chunk_val"]).map_groups(
@@ -376,10 +464,14 @@ _ANN_NQ = 10
 def near_dup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos ≥ 0.4), float64 everywhere.
 
-    Small-side (the full normalized matrix at sandbox scale) broadcast once
-    via ray.put; each batch does one float64 matmul against it.  Scale path:
-    LSH-bucket both sides (ann_lsh_topk's hyperplane buckets) so only
-    same-bucket blocks cross-join.
+    EXACT all-pairs without any driver materialization: the normalized
+    table is materialized as object-store blocks (``to_arrow_refs`` — the
+    driver holds only the refs), and a dataset of block-pair indices
+    (i ≤ j) fans out over ``map_batches``; each task ray.gets exactly two
+    blocks (bounded memory), does one float64 matmul, and emits the
+    threshold survivors.  Exact all-pairs is intrinsically O(B²) in block
+    count — that IS the op's contract; the subquadratic approximate path
+    is ann_lsh_topk's bucketed variant.
 
     Parity caveat: the engine computes normalize-then-dot, the oracle
     dot/(|a||b|) — algebraically equal, last-ulp different, so a pair whose
@@ -388,29 +480,57 @@ def near_dup_embedding(sf_dir: str):
     integer-quantized scores.
     """
     import ray
+    import ray.data
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    full = emb.take_all()
-    ids_full = np.array([r["vec_id"] for r in full], dtype=np.int64)
-    mat_full = _normalize(
-        np.array([r["embedding"] for r in full], dtype=np.float64)
-    )
-    ref = ray.put((ids_full, mat_full))
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        f_ids, f_mat = ray.get(ref)
-        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        b_mat = _normalize(_embedding_matrix(batch))
-        sims = b_mat @ f_mat.T  # (batch, full)
-        bi, fi = np.nonzero((sims >= _COS_MIN) & (b_ids[:, None] < f_ids[None, :]))
+    def prep(t: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(t))
         return pa.table(
             {
-                "vec_a": pa.array(b_ids[bi], pa.int64()),
-                "vec_b": pa.array(f_ids[fi], pa.int64()),
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float64())),
             }
         )
 
-    return emb.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    refs = emb.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+    block_pairs = [
+        {"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))
+    ]
+
+    _PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+    def cross(batch: pa.Table, _refs=refs) -> pa.Table:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            bi, bj = ray.get(_refs[i]), ray.get(_refs[j])
+            ids_i = bi["vec_id"].to_numpy(zero_copy_only=False)
+            ids_j = bj["vec_id"].to_numpy(zero_copy_only=False)
+            sims = _embedding_matrix(bi) @ _embedding_matrix(bj).T
+            hit_i, hit_j = np.nonzero(
+                (sims >= _COS_MIN) & (ids_i[:, None] != ids_j[None, :])
+            )
+            a, b = ids_i[hit_i], ids_j[hit_j]
+            if i == j:  # within-block: keep each unordered pair once
+                keep = a < b
+                a, b = a[keep], b[keep]
+            else:  # cross-block ids are arbitrary: order each pair
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(a)
+            out_b.append(b)
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    pair_ds = ray.data.from_items(block_pairs)
+    return pair_ds.map_batches(cross, batch_format="pyarrow", batch_size=1)
 
 
 @op(
@@ -478,73 +598,107 @@ def ann_topk_cosine(sf_dir: str):
 
 # ---- LSH-bucketed ANN: the scale path (approximate → no SQL oracle) -------
 
-_LSH_PLANES = 4  # 16 buckets; tuned vs recall on the testdata distribution
-_LSH_MULTIPROBE = 2  # probe all buckets within Hamming 2 of the query bucket
+# Tuned on the testdata distribution, which is ADVERSARIAL for LSH: the
+# synthetic embeddings are near-uniform (a query's true top-10 sits at
+# cos ≈ 0.27), so wide probing is required for recall ≥ 0.9.  On a real
+# embedding corpus (neighbors at cos ≥ 0.7) the same recall comes much
+# cheaper — raise _LSH_PLANES / drop _LSH_MULTIPROBE there.
+_LSH_TABLES = 4       # independent hash tables (union of candidates)
+_LSH_PLANES = 5       # 32 buckets per table
+_LSH_MULTIPROBE = 2   # probe buckets within Hamming 2 of the query bucket
+_LSH_MIN_RECALL = 0.9  # asserted vs the brute-force truth (driver-visible)
 
-_PLANES: dict[int, np.ndarray] = {}
+_PLANES: dict[tuple[int, int], np.ndarray] = {}
 
 
-def _planes(dim: int) -> np.ndarray:
-    if dim not in _PLANES:
-        _PLANES[dim] = np.random.RandomState(0xBEEF).standard_normal((_LSH_PLANES, dim))
-    return _PLANES[dim]
+def _planes(dim: int, table: int) -> np.ndarray:
+    key = (dim, table)
+    if key not in _PLANES:
+        _PLANES[key] = np.random.RandomState(0xBEEF + 7 * table).standard_normal(
+            (_LSH_PLANES, dim)
+        )
+    return _PLANES[key]
 
 
-def _bucket_of(mat: np.ndarray) -> np.ndarray:
+def _bucket_of(mat: np.ndarray, table: int) -> np.ndarray:
     """Random-hyperplane LSH bucket id per row (int in [0, 2^planes))."""
-    proj = mat @ _planes(mat.shape[1]).T > 0  # (n, planes)
+    proj = mat @ _planes(mat.shape[1], table).T > 0  # (n, planes)
     return (proj.astype(np.int64) * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
 
 
-@op("ann_lsh_topk")  # approximate — rows-only driver check; recall tested in pytest
+_PARTIAL_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())]
+)
+
+
+@op("ann_lsh_topk")  # approximate — rows-only driver check + recall column
 def ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed ANN (scale path): hyperplane-bucket the corpus with a
-    groupby, brute-force only inside each query's probe buckets (all buckets
-    within Hamming _LSH_MULTIPROBE of the query's bucket).  Recall vs ann_topk_cosine is asserted in
-    tests/test_dedup_ops.py; output shape matches the brute-force op.
+    """LSH-bucketed ANN (scale path): _LSH_TABLES independent hyperplane
+    tables (Indyk & Motwani, STOC 1998; multi-probe per Lv et al., VLDB
+    2007); the corpus is bucketed by ONE groupby over exploded
+    (table, bucket) keys, brute-force scoring happens only inside each
+    query's probed buckets, and per-table candidates are unioned before
+    the exact top-k merge.
+
+    Self-checking contract (driver-visible in lieu of a SQL oracle): the
+    output carries a per-query ``recall10`` column vs the exact
+    brute-force ranking (ann_topk_cosine), and the op RAISES if mean
+    recall < _LSH_MIN_RECALL — an approximate op that silently degrades
+    is a wrong op.  At 100 TB the truth side is estimated on a query
+    sample, which is exactly what this computes (nq sampled queries).
     """
     import ray
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q_ids, q_mat = _query_matrix(emb, _ANN_NQ)
-    q_buckets = _bucket_of(q_mat)
-    # multiprobe set: every bucket within Hamming _LSH_MULTIPROBE of the
-    # query's bucket (Lv et al., "Multi-probe LSH", VLDB 2007) — recall/cost
-    # knob; at scale add independent hash tables instead of wider probes
-    probe: dict[int, list[int]] = {}
-    for qi, b in zip(q_ids, q_buckets):
-        for nb in range(1 << _LSH_PLANES):
-            if bin(int(b) ^ nb).count("1") <= _LSH_MULTIPROBE:
-                probe.setdefault(nb, []).append(int(qi))
+    # probe set per (table, bucket): every bucket within Hamming
+    # _LSH_MULTIPROBE of the query's bucket in that table
+    probe: dict[tuple[int, int], list[int]] = {}
+    for t in range(_LSH_TABLES):
+        q_buckets = _bucket_of(q_mat, t)
+        for qi, b in zip(q_ids, q_buckets):
+            for nb in range(1 << _LSH_PLANES):
+                if bin(int(b) ^ nb).count("1") <= _LSH_MULTIPROBE:
+                    probe.setdefault((t, nb), []).append(int(qi))
     ref = ray.put((q_ids, q_mat, probe))
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        """Explode each vector into _LSH_TABLES (table, bucket) rows."""
         m = _normalize(_embedding_matrix(batch))
-        return batch.append_column("bucket", pa.array(_bucket_of(m), pa.int64()))
+        ids = pc.cast(batch["vec_id"], pa.int64())
+        n = batch.num_rows
+        buckets = np.concatenate([_bucket_of(m, t) for t in range(_LSH_TABLES)])
+        return pa.table(
+            {
+                "table_id": pa.array(
+                    np.repeat(np.arange(_LSH_TABLES, dtype=np.int64), n), pa.int64()
+                ),
+                "bucket": pa.array(buckets, pa.int64()),
+                "vec_id": pa.concat_arrays([ids.combine_chunks()] * _LSH_TABLES),
+                "embedding": pa.concat_arrays(
+                    [batch["embedding"].combine_chunks()] * _LSH_TABLES
+                ),
+            }
+        )
 
-    bucketed = emb.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = emb.map_batches(add_buckets, batch_format="pyarrow", zero_copy_batch=True)
 
     def score_bucket(group: pa.Table) -> pa.Table:
         qi, qm, pr = ray.get(ref)
+        if group.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        t = int(group["table_id"][0].as_py())
         bucket = int(group["bucket"][0].as_py())
-        want = pr.get(bucket)
-        empty = pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "score": pa.array([], pa.float64()),
-            }
-        )
+        want = pr.get((t, bucket))
         if not want:
-            return empty
+            return _PARTIAL_SCHEMA.empty_table()
         b_ids = group["vec_id"].to_numpy(zero_copy_only=False)
         b_mat = _normalize(_embedding_matrix(group))
         rows = {int(q): i for i, q in enumerate(qi)}
         out_q, out_n, out_s = [], [], []
         for q in want:
             s = qm[rows[q]] @ b_mat.T
-            mask = b_ids != q
-            idx = np.flatnonzero(mask)
+            idx = np.flatnonzero(b_ids != q)
             if idx.size == 0:
                 continue
             order = idx[np.lexsort((b_ids[idx], -s[idx]))][:_ANN_K]
@@ -552,17 +706,70 @@ def ann_lsh_topk(sf_dir: str):
             out_n.extend(b_ids[order])
             out_s.extend(s[order])
         if not out_q:
-            return empty
+            return _PARTIAL_SCHEMA.empty_table()
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "neighbor_id": pa.array(out_n, pa.int64()),
                 "score": pa.array(out_s, pa.float64()),
-            }
+            },
+            schema=_PARTIAL_SCHEMA,
         )
 
-    partials = bucketed.groupby("bucket").map_groups(score_bucket, batch_format="pyarrow")
+    partials = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        score_bucket, batch_format="pyarrow"
+    )
 
-    return partials.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, _ANN_K), batch_format="pyarrow"
+    def merge_tables(group: pa.Table) -> pa.Table:
+        """Union candidates across tables (dedupe neighbors — scores for a
+        given (query, neighbor) are identical across tables) → exact top-k."""
+        if group.num_rows == 0:
+            return _TOPK_SCHEMA.empty_table()
+        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        s = group["score"].to_numpy(zero_copy_only=False)
+        uniq, first = np.unique(n, return_index=True)
+        s = s[first]
+        order = np.lexsort((uniq, -s))[:_ANN_K]
+        return pa.table(
+            {
+                "query_id": pc.cast(group["query_id"].take(pa.array(first[order])), pa.int64()),
+                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+                "neighbor_id": pa.array(uniq[order], pa.int64()),
+            },
+            schema=_TOPK_SCHEMA,
+        )
+
+    lsh = partials.groupby("query_id").map_groups(merge_tables, batch_format="pyarrow")
+
+    # ---- recall contract: compare against the exact brute-force ranking ----
+    # both sides are nq·k rows (bounded by the query sample, NOT corpus-sized)
+    lsh_t = lsh.take_all()
+    truth_t = ann_topk_cosine(sf_dir).take_all()
+    truth_sets: dict[int, set[int]] = {}
+    for r in truth_t:
+        truth_sets.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    got_sets: dict[int, set[int]] = {}
+    for r in lsh_t:
+        got_sets.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    recall = {
+        q: len(got_sets.get(q, set()) & t) / max(len(t), 1)
+        for q, t in truth_sets.items()
+    }
+    mean_recall = float(np.mean(list(recall.values()))) if recall else 0.0
+    if mean_recall < _LSH_MIN_RECALL:
+        raise AssertionError(
+            f"ann_lsh_topk mean recall@{_ANN_K} = {mean_recall:.3f} < "
+            f"{_LSH_MIN_RECALL} vs brute-force truth — LSH parameters "
+            f"(tables={_LSH_TABLES}, planes={_LSH_PLANES}, "
+            f"multiprobe={_LSH_MULTIPROBE}) are mis-tuned for this corpus"
+        )
+    return pa.table(
+        {
+            "query_id": pa.array([int(r["query_id"]) for r in lsh_t], pa.int64()),
+            "rank": pa.array([int(r["rank"]) for r in lsh_t], pa.int64()),
+            "neighbor_id": pa.array([int(r["neighbor_id"]) for r in lsh_t], pa.int64()),
+            "recall10": pa.array(
+                [recall.get(int(r["query_id"]), 0.0) for r in lsh_t], pa.float64()
+            ),
+        }
     )

@@ -129,8 +129,17 @@ class ScorerActor:
         self.build_dir = build_dir
         self.n_buckets = int(self.stats["n_buckets"])
         self.doc_shard = doc_shard
-        if doc_shard is not None and not self.stats.get("doc_shards"):
-            raise ValueError("doc_shard requested but the index is not doc-sharded")
+        if doc_shard is not None:
+            n_shards = self.stats.get("doc_shards")
+            if not n_shards:
+                raise ValueError("doc_shard requested but the index is not doc-sharded")
+            if not (0 <= doc_shard < int(n_shards)):
+                # an out-of-range shard would filter every segment row away
+                # and silently answer all queries with empty results
+                raise ValueError(
+                    f"doc_shard {doc_shard} out of range for index with "
+                    f"{n_shards} shards"
+                )
         self.seg_root = os.path.join(build_dir, "stage=segments")
         from collections import OrderedDict
 

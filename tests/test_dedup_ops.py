@@ -78,6 +78,36 @@ def test_hamming60():
     assert dd.hamming60(a, b)[0] == 2
 
 
+def test_popcount64_matches_python():
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 2**63 - 1, size=200, dtype=np.int64).astype(np.uint64)
+    vals = np.concatenate([vals, np.array([0, 1, 2**64 - 1], dtype=np.uint64)])
+    got = dd.popcount64(vals)
+    exp = np.array([bin(int(v)).count("1") for v in vals], dtype=np.int64)
+    assert (got == exp).all()
+
+
+def test_band_keys_vectorized_matches_scalar_formula():
+    """The numpy band-fold must equal the per-doc scalar definition
+    key = (Σ_j sig_j·A^(r-1-j) mod P31) mod P31 — the same formula the
+    oracle SQL computes via sum((mh*powv)%P31)%P31."""
+    rng = np.random.RandomState(11)
+    sigs = rng.randint(0, dd.P31, size=(7, dd.N_PERMS)).astype(np.int64)
+    ids = np.arange(7, dtype=np.int64)
+    t = dd.band_keys(ids, sigs)
+    rows = list(
+        zip(t["doc_id"].to_pylist(), t["band"].to_pylist(), t["band_key"].to_pylist())
+    )
+    for d, band, key in rows:
+        seg = sigs[d, band * dd.BAND_ROWS : (band + 1) * dd.BAND_ROWS]
+        exp = (
+            sum((int(s) * int(dd.BAND_POWS[j])) % dd.P31 for j, s in enumerate(seg))
+            % dd.P31
+        )
+        assert key == exp
+    assert len(rows) == 7 * dd.N_BANDS
+
+
 # ---------------------------------------------------------------------------
 # ops (sf0.001 end-to-end; driver-parity vs SQL runs in test_driver_parity)
 # ---------------------------------------------------------------------------
@@ -141,3 +171,106 @@ def test_near_dup_embedding_threshold(ray_session):
 
     pairs = near_dup_embedding(SF).to_pandas()
     assert (pairs["vec_a"] < pairs["vec_b"]).all()
+
+
+# ---------------------------------------------------------------------------
+# df-cap pre-pass: a planted hot shingle must not blow up pair emission, and
+# the engine must stay value-identical to the capped oracle SQL
+# ---------------------------------------------------------------------------
+
+def _hot_shingle_corpus(tmp_path):
+    """60 docs all sharing one stopword-like shingle; two planted near-dups."""
+    import pyarrow.parquet as pq
+
+    n = 60
+    texts = []
+    for i in range(n):
+        # common hot shingle 'include stdio header' in EVERY doc + unique tail
+        uniq = " ".join(f"uniq{i}tok{j} filler{i * 7 + j}" for j in range(6))
+        texts.append(f"include stdio header {uniq}")
+    # planted near-dup pair: docs n and n+1 share almost all shingles
+    base = " ".join(f"shared{j} common{j} token{j}" for j in range(12))
+    texts.append(base + " tailone onlyhere")
+    texts.append(base + " tailtwo otherend")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "hotshingle"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_hot_shingle_df_cap_jaccard(ray_session, tmp_path):
+    """With cap=8 the hot shingle (df=60) is excluded from the universe on
+    both sides; the planted near-dup pair must still be found, and engine ≡
+    capped DuckDB oracle value-for-value."""
+    import duckdb
+
+    from sharesci_ray.pipelines.ops_dedup import _jaccard_sql, near_dup_jaccard
+
+    sf = _hot_shingle_corpus(tmp_path)
+    cap = 8
+    eng = (
+        near_dup_jaccard(sf, cap=cap)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = (
+        con.execute(_jaccard_sql(cap=cap))
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(eng) == len(ora) > 0
+    assert set(zip(eng["doc_a"], eng["doc_b"])) == set(zip(ora["doc_a"], ora["doc_b"]))
+    assert (eng["inter"].to_numpy() == ora["inter"].to_numpy()).all()
+    assert {(60, 61)} <= set(zip(eng["doc_a"], eng["doc_b"]))
+
+
+def test_hot_bucket_cap_minhash(ray_session, tmp_path):
+    """A degenerate band bucket (many docs with identical signatures) larger
+    than the cap is dropped by _emit_pairs AND by the oracle SQL — parity
+    holds with the cap binding."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.pipelines.ops_dedup import _minhash_sql, dedup_minhash_lsh
+
+    # 20 IDENTICAL docs (one giant LSH bucket in every band) + 2 near-dups
+    texts = ["exact duplicate content shared by everyone here now"] * 20
+    base = " ".join(f"planted{j} pair{j} token{j}" for j in range(12))
+    texts += [base + " endone", base + " endtwo"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "hotbucket"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    sf = str(d)
+
+    cap = 8
+    eng = dedup_minhash_lsh(sf, cap=cap).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(_minhash_sql(cap=cap)).df()
+    eng_pairs = set(zip(eng["doc_a"], eng["doc_b"]))
+    ora_pairs = set(zip(ora["doc_a"], ora["doc_b"]))
+    assert eng_pairs == ora_pairs
+    # the 20-doc duplicate cluster (190 pairs) was dropped by the cap...
+    assert not any(a < 20 and b < 20 for a, b in eng_pairs)
+    # ...but the small planted pair survives
+    assert (20, 21) in eng_pairs
