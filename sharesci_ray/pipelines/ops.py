@@ -344,30 +344,19 @@ def _bm25_run(sf_dir: str, facet_lang: str | None = None, scorer: str = "bmw"):
     DOC_QUERIES (optionally restricted to a lang facet) → remap engine ids
     back to the original documents.doc_id (the adapter's zero-padded
     ``path`` carries it, and makes engine-id order == numeric id order so
-    tie-breaks agree with the SQL oracle).  Scores are excluded from the
-    comparison payload — DuckDB's summation order differs in the last ulp —
-    rank identity is the contract (BASELINE.json:14)."""
+    tie-breaks agree with the SQL oracle).  The remap is a Dataset.join of
+    the (k·|queries|)-row result against the docvec checkpoint — nothing
+    corpus-sized ever reaches the driver; the lang facet set is likewise
+    derived inside each scorer actor (run_queries facet hook).  Scores are
+    excluded from the comparison payload — DuckDB's summation order differs
+    in the last ulp — rank identity is the contract (BASELINE.json:14)."""
     import ray
     import ray.data
 
     from .query import run_queries
+    from .util import drop_empty_blocks
 
     build_dir = _index_for(sf_dir)
-    cols = ["doc_id", "path"] + (["lang"] if facet_lang else [])
-    docvec = ray.data.read_parquet(
-        os.path.join(build_dir, "stage=docvec"), columns=cols
-    ).take_all()
-    id_map = {r["doc_id"]: int(r["path"]) for r in docvec}
-    map_ref = ray.put(id_map)
-    allowed_ref = None
-    if facet_lang:
-        allowed = np.sort(
-            np.array(
-                [r["doc_id"] for r in docvec if r["lang"] == facet_lang],
-                dtype=np.int64,
-            )
-        )
-        allowed_ref = ray.put(allowed)
 
     q_tbl = pa.table(
         {
@@ -380,21 +369,34 @@ def _bm25_run(sf_dir: str, facet_lang: str | None = None, scorer: str = "bmw"):
         ray.data.from_arrow(q_tbl),
         k=10,
         scorer=scorer,
-        allowed_ref=allowed_ref,
+        facet=("lang", facet_lang) if facet_lang else None,
     )
+    res = drop_empty_blocks(
+        res,
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("rank", pa.int32()),
+                ("doc_id", pa.int64()),
+                ("score", pa.float64()),
+            ]
+        ),
+    )
+    docvec = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=docvec"), columns=["doc_id", "path"]
+    )
+    joined = res.join(docvec, join_type="inner", num_partitions=4, on=("doc_id",))
 
     def remap(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        orig = pa.array([m[d] for d in batch["doc_id"].to_pylist()], pa.int64())
         return pa.table(
             {
                 "query_id": batch["query_id"],
                 "rank": pc.cast(batch["rank"], pa.int64()),
-                "doc_id": orig,
+                "doc_id": pc.cast(batch["path"], pa.int64()),
             }
         )
 
-    return res.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+    return joined.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
 
 
 @op("bm25_topk", _bm25_sql())
@@ -512,16 +514,17 @@ def broadcast_join_nation_region(sf_dir: str):
     """J1: small side via ray.put broadcast, lookup inside map_batches."""
     import ray
 
-    region = read_table(sf_dir, "region").take_all()
-    lut_ref = ray.put({r["r_regionkey"]: r["r_name"] for r in region})
+    region = read_table(sf_dir, "region").take_all()  # 5-row dimension table
+    keys = pa.array([r["r_regionkey"] for r in region], pa.int64())
+    names = pa.array([r["r_name"] for r in region], pa.string())
+    lut_ref = ray.put((keys, names))
     nation = read_table(sf_dir, "nation", columns=["n_regionkey"])
 
     def attach(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        names = pa.array(
-            [lut[k] for k in t["n_regionkey"].to_pylist()], pa.string()
-        )
-        return pa.table({"r_name": names})
+        ks, ns = ray.get(lut_ref)
+        # vectorized broadcast lookup: index_in + take (no per-row Python)
+        idx = pc.index_in(pc.cast(t["n_regionkey"], pa.int64()), value_set=ks)
+        return pa.table({"r_name": ns.take(idx)})
 
     named = nation.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
     return _rename(named.groupby("r_name").count(), {"count()": "n_nations"}, int64_cols=("n_nations",))
@@ -787,14 +790,26 @@ def tfidf_cosine_topk(sf_dir: str):
     TF-IDF/cosine ranker) re-expressed as pure Ray dataflow — capability
     parity for users migrating from the old engine.  Query weight = idf
     (binary tf; |q| is rank-invariant), doc weight = tf·idf, score =
-    Σ idf²·tf / |d|.  Ranks only in the output (same float policy as
-    bm25_topk).  Small sides (df map, query terms) broadcast via ray.put;
-    the scale path swaps them for hash joins (J2)."""
+    Σ idf·(tf·idf) / |d| (the oracle's exact expression tree).
+
+    Scale shape (nothing corpus-sized touches the driver):
+      * per-term df lives as a DATASET and reaches the tf rows via a
+        distributed hash join on term (J2);
+      * per-doc norms are a dataset joined onto the numerators by doc_id;
+      * only the ≤|query-vocab| idf entries are broadcast (bounded by the
+        query set, not the corpus).
+    Float determinism (ADVICE): a document's numerator is accumulated in
+    ONE batch in sorted-term order — each doc's tf rows are emitted whole
+    by one tf_rows batch, so no distributed float sum with unspecified
+    order exists on the score path.  Ranks only in the output (same float
+    policy as bm25_topk)."""
     import ray
 
     from ..functions.text import flat_tokens
+    from .util import drop_empty_blocks
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         flat, parent = flat_tokens(batch["text"])
@@ -812,77 +827,131 @@ def tfidf_cosine_topk(sf_dir: str):
             }
         )
 
-    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
-    tf_mat = tf_ds.materialize()  # consumed by df, norms and scores below
+    tf_mat = docs.map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed by df, norms and scores below
 
-    dfc = tf_mat.groupby("term").count().take_all()
-    df_map = {r["term"]: r["count()"] for r in dfc}
-    n_docs = docs.count()
-    idf_map = {t: float(np.log(n_docs / d)) for t, d in df_map.items()}
-    idf_ref = ray.put(idf_map)
-
-    def wsq(batch: pa.Table) -> pa.Table:
-        im = ray.get(idf_ref)
-        idfs = np.array([im[t] for t in batch["term"].to_pylist()])
-        w = batch["tf"].to_numpy(zero_copy_only=False) * idfs
-        return pa.table({"doc_id": batch["doc_id"], "wsq": pa.array(w * w)})
-
-    norms = (
-        tf_mat.map_batches(wsq, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("doc_id")
-        .sum("wsq")
-        .take_all()
+    # ---- per-term df as a dataset (vocab-sized, stays distributed) --------
+    dfc = drop_empty_blocks(
+        tf_mat.groupby("term").count(),
+        pa.schema([("term", pa.string()), ("count()", pa.int64())]),
     )
-    norm_map = {r["doc_id"]: float(np.sqrt(r["sum(wsq)"])) for r in norms}
-    norm_ref = ray.put(norm_map)
 
-    q_terms = [(qid, t) for qid, text in enumerate(DOC_QUERIES) for t in sorted(set(tokenize(text)))]
-    q_ref = ray.put(q_terms)
+    # ---- per-doc norms: tf ⋈ df on term (J2), then per-doc sum ------------
+    w_rows = tf_mat.join(dfc, join_type="inner", num_partitions=8, on=("term",))
 
-    def score(batch: pa.Table) -> pa.Table:
-        im, nm, qt = ray.get(idf_ref), ray.get(norm_ref), ray.get(q_ref)
-        terms = batch["term"].to_pylist()
+    def wsq_partial(batch: pa.Table) -> pa.Table:
+        """per-batch partial Σw² per doc (pre-aggregation before the
+        groupby; w² terms are all ≥ 0, and the oracle's own sum order is
+        unspecified — norm magnitude, not order, is the contract here)."""
+        idf = np.log(n_docs / batch["count()"].to_numpy(zero_copy_only=False))
+        w = batch["tf"].to_numpy(zero_copy_only=False) * idf
+        t = pa.table({"doc_id": batch["doc_id"], "wsq": pa.array(w * w, pa.float64())})
+        g = t.group_by("doc_id").aggregate([("wsq", "sum")])
+        return g.rename_columns(["doc_id", "wsq"])
+
+    norms2 = drop_empty_blocks(
+        w_rows.map_batches(wsq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .sum("wsq"),
+        pa.schema([("doc_id", pa.int64()), ("sum(wsq)", pa.float64())]),
+    )
+
+    # ---- query-term idfs: bounded by the query vocab, broadcast ----------
+    q_vocab = sorted({t for text in DOC_QUERIES for t in tokenize(text)})
+    q_df_rows = dfc.map_batches(
+        lambda t, _qv=pa.array(q_vocab, pa.string()): t.filter(
+            pc.is_in(t["term"], value_set=_qv)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # ≤|q_vocab| rows — bounded by the query set
+    idf_q = {
+        r["term"]: float(np.log(n_docs / r["count()"])) for r in q_df_rows
+    }
+    q_terms_by_qid = [sorted(set(tokenize(text))) for text in DOC_QUERIES]
+    bcast = ray.put((idf_q, q_terms_by_qid, q_vocab))
+
+    # ---- numerators: whole-doc accumulation inside one batch --------------
+    _NUM_SCHEMA = pa.schema(
+        [("query_id", pa.int64()), ("doc_id", pa.int64()), ("num", pa.float64())]
+    )
+
+    def numerators(batch: pa.Table) -> pa.Table:
+        im, qts, qv = ray.get(bcast)
+        code = (
+            pc.index_in(batch["term"], value_set=pa.array(qv, pa.string()))
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+        )
+        hit_rows = np.flatnonzero(code >= 0)
+        if hit_rows.size == 0:
+            return _NUM_SCHEMA.empty_table()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         tfs = batch["tf"].to_numpy(zero_copy_only=False)
-        out_q, out_d, out_s = [], [], []
-        by_term: dict[str, list[int]] = {}
-        for i, t in enumerate(terms):
-            by_term.setdefault(t, []).append(i)
-        for qid, t in qt:
-            rows = by_term.get(t)
-            if not rows:
-                continue
-            idx = np.array(rows)
-            contrib = im[t] * im[t] * tfs[idx]
-            out_q.extend([qid] * idx.size)
-            out_d.extend(ids[idx])
-            out_s.extend(contrib)
+        uniq_ids, inv = np.unique(ids[hit_rows], return_inverse=True)
+        rows_by_code: dict[int, np.ndarray] = {}
+        hit_codes = code[hit_rows]
+        for c in np.unique(hit_codes):
+            rows_by_code[int(c)] = hit_rows[hit_codes == c]
+        code_of = {t: i for i, t in enumerate(qv)}
+        out_q, out_d, out_n = [], [], []
+        for qid, terms in enumerate(qts):
+            acc = np.zeros(uniq_ids.size, dtype=np.float64)
+            touched = np.zeros(uniq_ids.size, dtype=bool)
+            for t in terms:  # sorted-term order per doc, by construction
+                rows = rows_by_code.get(code_of.get(t, -1))
+                if rows is None or t not in im:
+                    continue
+                slot = np.searchsorted(uniq_ids, ids[rows])
+                # oracle expression tree: idf · (tf · idf), one doc per term
+                acc[slot] += im[t] * (tfs[rows] * im[t])
+                touched[slot] = True
+            hit = np.flatnonzero(touched)
+            out_q.append(np.full(hit.size, qid, dtype=np.int64))
+            out_d.append(uniq_ids[hit])
+            out_n.append(acc[hit])
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "doc_id": pa.array(out_d, pa.int64()),
-                "part": pa.array(out_s, pa.float64()),
-            }
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "num": pa.array(np.concatenate(out_n), pa.float64()),
+            },
+            schema=_NUM_SCHEMA,
         )
 
-    parts = tf_mat.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    summed = parts.groupby(["query_id", "doc_id"]).sum("part")
+    # batch_size=None: feed WHOLE blocks — a doc's tf rows live in one
+    # tf_rows output block and must not be re-batched apart (the whole-doc
+    # single-batch numerator accumulation depends on it)
+    nums = drop_empty_blocks(
+        tf_mat.map_batches(
+            numerators, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        _NUM_SCHEMA,
+    )
+
+    # ---- attach norms by hash join, rank per query ------------------------
+    joined = nums.join(norms2, join_type="inner", num_partitions=8, on=("doc_id",))
 
     def topk(group: pa.Table) -> pa.Table:
-        nm = ray.get(norm_ref)
+        if group.num_rows == 0:
+            return pa.schema(
+                [("query_id", pa.int64()), ("rank", pa.int64()), ("doc_id", pa.int64())]
+            ).empty_table()
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        raw = group["sum(part)"].to_numpy(zero_copy_only=False)
-        s = raw / np.array([nm[d] for d in ids])
+        num = group["num"].to_numpy(zero_copy_only=False)
+        nrm = np.sqrt(group["sum(wsq)"].to_numpy(zero_copy_only=False))
+        s = num / nrm
         order = np.lexsort((ids, -s))[:10]
         return pa.table(
             {
-                "query_id": group["query_id"].take(pa.array(order)),
+                "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
                 "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
                 "doc_id": pa.array(ids[order], pa.int64()),
             }
         )
 
-    return summed.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+    return joined.groupby("query_id").map_groups(topk, batch_format="pyarrow")
 
 
 @op(
@@ -1012,17 +1081,18 @@ def supplier_by_region(sf_dir: str):
     supplier stream with one composed driver-side map."""
     import ray
 
-    nation = read_table(sf_dir, "nation").take_all()
+    nation = read_table(sf_dir, "nation").take_all()  # 25 + 5-row dimensions
     region = read_table(sf_dir, "region").take_all()
     r_name = {r["r_regionkey"]: r["r_name"] for r in region}
-    lut_ref = ray.put({n["n_nationkey"]: r_name[n["n_regionkey"]] for n in nation})
+    keys = pa.array([n["n_nationkey"] for n in nation], pa.int64())
+    names = pa.array([r_name[n["n_regionkey"]] for n in nation], pa.string())
+    lut_ref = ray.put((keys, names))
     sup = read_table(sf_dir, "supplier", columns=["s_nationkey"])
 
     def attach(t: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        return pa.table(
-            {"r_name": pa.array([lut[k] for k in t["s_nationkey"].to_pylist()], pa.string())}
-        )
+        ks, ns = ray.get(lut_ref)
+        idx = pc.index_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=ks)
+        return pa.table({"r_name": ns.take(idx)})
 
     named = sup.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
     return _rename(named.groupby("r_name").count(), {"count()": "n_suppliers"}, int64_cols=("n_suppliers",))

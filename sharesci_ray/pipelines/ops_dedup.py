@@ -105,8 +105,13 @@ def _final_topk(group: pa.Table, k: int) -> pa.Table:
 
 
 def _query_matrix(emb, n_queries: int):
-    """First-n query rows → (ids, normalized float64 matrix)."""
-    q_rows = emb.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    """First-n query rows → (ids, normalized float64 matrix); bounded by
+    the query sample size (vectorized predicate, not per-row Python)."""
+    q_rows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
     return q_ids, q_mat
@@ -239,7 +244,13 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
     hot = (
         hs.groupby("h31")
         .count()
-        .filter(lambda r: r["count()"] > cap)
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], cap))
+            if t.num_rows
+            else t,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .take_all()
     )
     if hot:

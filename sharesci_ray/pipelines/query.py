@@ -96,11 +96,19 @@ class ScorerActor:
         scoring=None,
         tokenize_fn=None,
         allowed_ref=None,
+        facet: tuple[str, str] | None = None,
         doc_shard: int | None = None,
     ):
         """``allowed_ref``: optional ``ray.put`` ObjectRef of a sorted int64
         doc-id array — every query this actor answers is restricted to that
         facet (broadcast once per actor, not per batch).
+
+        ``facet``: ``(column, value)`` alternative that needs NO driver-side
+        id materialization at all — each actor derives the allowed doc-id
+        set itself from the index's docvec checkpoint (column-pruned
+        parquet read, predicate pushed to the scan).  Per-actor memory is
+        one int64 array over the facet; at 10^12-doc scale the facet set
+        would instead be stored as facet postings next to the segments.
 
         ``doc_shard``: on a doc-sharded index (BuildConfig.doc_shards), load
         ONLY this shard's segment rows — the actor owns one complete
@@ -124,6 +132,14 @@ class ScorerActor:
             import ray as _ray
 
             self.allowed = np.asarray(_ray.get(allowed_ref), dtype=np.int64)
+        elif facet is not None:
+            col, val = facet
+            t = pq.read_table(
+                os.path.join(build_dir, "stage=docvec"),
+                columns=["doc_id", col],
+                filters=[(col, "==", val)],
+            )
+            self.allowed = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
         else:
             self.allowed = None
         self.build_dir = build_dir
@@ -493,6 +509,7 @@ def run_queries(
     scoring=None,
     tokenize_fn=None,
     allowed_ref=None,
+    facet: tuple[str, str] | None = None,
     doc_shard: int | None = None,
 ) -> ray.data.Dataset:
     """S3→A2→S7: queries dataset → ranked (query_id, rank, doc_id, score).
@@ -513,6 +530,8 @@ def run_queries(
         kwargs["tokenize_fn"] = tokenize_fn
     if allowed_ref is not None:
         kwargs["allowed_ref"] = allowed_ref
+    if facet is not None:
+        kwargs["facet"] = facet
     if doc_shard is not None:
         kwargs["doc_shard"] = doc_shard
     return queries.map_batches(
