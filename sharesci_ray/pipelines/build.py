@@ -23,8 +23,10 @@ import os
 import shutil
 from dataclasses import asdict, dataclass
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
@@ -77,6 +79,48 @@ def _parquet_rows(directory: str, exclude_subdir: str | None = None) -> int:
             if fn.endswith(".parquet"):
                 total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
     return total
+
+
+TOMBSTONES_FILE = "tombstones.parquet"
+
+
+def _read_tombstones(build_dir: str) -> np.ndarray:
+    """Sorted int64 doc ids superseded by incremental updates (empty if none).
+
+    A tombstoned doc stays in the docvec checkpoint (ids are never reused)
+    but is excluded from stats AND from segment encoding — the rebuilt index
+    is exactly what a fresh build over the surviving docs would produce."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(build_dir, TOMBSTONES_FILE)
+    if not os.path.exists(p):
+        return np.empty(0, dtype=np.int64)
+    return np.sort(
+        pq.read_table(p)["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
+def _write_tombstones(build_dir: str, ids: np.ndarray) -> None:
+    import pyarrow.parquet as pq
+
+    p = os.path.join(build_dir, TOMBSTONES_FILE)
+    tmp = p + ".tmp"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.sort(ids).astype(np.int64), pa.int64())}), tmp
+    )
+    os.replace(tmp, p)
+
+
+def _drop_dead_fn(dead: np.ndarray):
+    """map_batches filter excluding tombstoned doc ids (broadcast once)."""
+    dead_ref = ray.put(pa.array(dead, pa.int64()))
+
+    def drop(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t["doc_id"], value_set=ray.get(dead_ref)))
+        )
+
+    return drop
 
 
 def _tokenizer_id(tokenizer) -> str:
@@ -186,7 +230,17 @@ def build_index(
     # ---- stage: stats ------------------------------------------------------
     if not (resume and state.is_complete("stats", stats_hash)):
         m = state.begin("stats", inputs=[docvec_dir], upstream=["docvec"], cfg_hash=stats_hash)
-        agg = docvec_cols(["doc_len"]).aggregate(Count(), Sum("doc_len"))
+        dead = _read_tombstones(build_dir)
+        if dead.size:
+            agg = (
+                docvec_cols(["doc_id", "doc_len"])
+                .map_batches(
+                    _drop_dead_fn(dead), batch_format="pyarrow", zero_copy_batch=True
+                )
+                .aggregate(Count(), Sum("doc_len"))
+            )
+        else:
+            agg = docvec_cols(["doc_len"]).aggregate(Count(), Sum("doc_len"))
         n_docs = int(agg["count()"])
         total = int(agg["sum(doc_len)"] or 0)
         # exact int sum / count (not a float Mean): bit-identical to the oracle
@@ -197,6 +251,10 @@ def build_index(
                 "n_docs": n_docs,
                 "total_tokens": total,
                 "avgdl": avgdl,
+                # id_space = dense id upper bound INCLUDING tombstoned docs
+                # (ids are never reused; the dense DAAT accumulator and the
+                # doc-range salt/shard math size by this, not by n_docs)
+                "id_space": _parquet_rows(docvec_dir),
                 "k1": cfg.k1,
                 "b": cfg.b,
                 "block_size": cfg.block_size,
@@ -232,7 +290,15 @@ def build_index(
         # one slim (id/len/terms/tfs) object-store copy feeds BOTH the
         # hot-term pass and the encode pass — parquet list-column decode is
         # the expensive part of re-reading the checkpoint, so pay it once
-        slim = docvec_cols(["doc_id", "doc_len", "terms", "tfs"]).materialize()
+        slim = docvec_cols(["doc_id", "doc_len", "terms", "tfs"])
+        dead = _read_tombstones(build_dir)
+        if dead.size:
+            # tombstoned docs are excluded from encoding entirely: segments,
+            # df and block maxes all match a fresh build over survivors
+            slim = slim.map_batches(
+                _drop_dead_fn(dead), batch_format="pyarrow", zero_copy_batch=True
+            )
+        slim = slim.materialize()
         m.metrics["slim_mat_s"] = round(_time.perf_counter() - _t0, 3)
         _t0 = _time.perf_counter()
         if cfg.doc_shards:
@@ -242,7 +308,9 @@ def build_index(
             # hot-term pre-pass is skipped entirely
             plan = SaltPlan(
                 n_buckets=cfg.n_buckets,
-                n_docs=stats["n_docs"],
+                # doc-range math spans the id SPACE (ids are dense over live
+                # + tombstoned docs; SaltPlan clamps the last range anyway)
+                n_docs=stats.get("id_space", stats["n_docs"]),
                 doc_shards=cfg.doc_shards,
             )
         else:
@@ -253,7 +321,9 @@ def build_index(
             hot = {t: int(c / frac) for t, c in hot.items()}
             hot = {t: c for t, c in hot.items() if c >= cfg.salt_threshold}
             m.metrics["hot_pass_s"] = round(_time.perf_counter() - _t0, 3)
-            plan = SaltPlan.plan(hot, cfg.n_buckets, stats["n_docs"], cfg.salt_target_group)
+            plan = SaltPlan.plan(
+                hot, cfg.n_buckets, stats.get("id_space", stats["n_docs"]), cfg.salt_target_group
+            )
             m.metrics["hot_terms"] = {t: list(plan.salts[t]) for t in plan.salts}
 
         packed = _postings(slim).map_batches(
@@ -361,28 +431,73 @@ def update_index(
     ds.write_parquet(delta_dir)
     delta_rows = _parquet_rows(delta_dir)
 
-    # ---- invalidate segments BEFORE touching stats.json -------------------
-    # Ordering is load-bearing (crash safety): if stats.json were updated
-    # first and we crashed before deleting the segments manifest, every
-    # manifest would read complete while the segments lack the delta docs
-    # and their block-max bounds were baked under the old avgdl — WAND/BMW
-    # could silently mis-prune.  Deleting the segments manifest first means
-    # any crash below leaves an index that resume correctly treats as
-    # segments-incomplete (and rebuilds from the checkpoint + new stats).
+    # ---- tombstones: delta rows SUPERSEDE same-(repo,path) docs -----------
+    # Overwrite semantics: a live doc whose (repo, path) re-appears in the
+    # delta is marked dead (its id stays allocated, its postings are dropped
+    # at the next segments encode, stats exclude it).  The dead-id set is
+    # bounded by the DELTA size, so collecting it on the driver is safe at
+    # any corpus size; the membership probe against the existing checkpoint
+    # is a broadcast key-set + vectorized is_in (no corpus materialization).
+    # Idempotent on crash-rerun: recomputing from the same delta yields the
+    # same ids and the union below absorbs duplicates.
+    import pyarrow.parquet as pq_mod
+
+    delta_keys = pq_mod.read_table(delta_dir, columns=["repo", "path"])
+    dkeys = pc.binary_join_element_wise(
+        delta_keys["repo"].combine_chunks(), delta_keys["path"].combine_chunks(), "\x00"
+    )
+    old_files = []
+    for root, _dirs, files in os.walk(docvec_dir):
+        if os.path.basename(root) == delta_dirname:
+            continue
+        old_files += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    dkeys_ref = ray.put(pc.unique(dkeys))
+
+    def match_superseded(t: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            t["repo"].combine_chunks(), t["path"].combine_chunks(), "\x00"
+        )
+        return t.filter(pc.is_in(keys, value_set=ray.get(dkeys_ref))).select(
+            ["doc_id"]
+        )
+
+    newly_dead_rows = (
+        ray.data.read_parquet(old_files, columns=["doc_id", "repo", "path"])
+        .map_batches(match_superseded, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # ≤ |delta| rows
+    prior_dead = _read_tombstones(build_dir)
+    newly_dead = np.array([r["doc_id"] for r in newly_dead_rows], dtype=np.int64)
+    dead = np.union1d(prior_dead, newly_dead)
+
+    # ---- invalidate segments BEFORE touching stats/tombstones -------------
+    # Ordering is load-bearing (crash safety): if stats.json/tombstones were
+    # updated first and we crashed before deleting the segments manifest,
+    # every manifest would read complete while the segments lack the delta
+    # docs and their block-max bounds were baked under the old avgdl —
+    # WAND/BMW could silently mis-prune.  Deleting the segments manifest
+    # first means any crash below leaves an index that resume correctly
+    # treats as segments-incomplete (and rebuilds from checkpoint + stats).
     seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
     if os.path.exists(seg_manifest):
         os.remove(seg_manifest)
+    if dead.size or prior_dead.size:
+        _write_tombstones(build_dir, dead)
 
     # ---- exact stats recompute over the whole checkpoint ------------------
-    agg = ray.data.read_parquet(docvec_dir, columns=["doc_len"]).aggregate(
-        Count(), Sum("doc_len")
-    )
+    dv = ray.data.read_parquet(docvec_dir, columns=["doc_id", "doc_len"])
+    if dead.size:
+        dv = dv.map_batches(
+            _drop_dead_fn(dead), batch_format="pyarrow", zero_copy_batch=True
+        )
+    agg = dv.aggregate(Count(), Sum("doc_len"))
     n_docs, total = int(agg["count()"]), int(agg["sum(doc_len)"] or 0)
     stats = state.read_sidecar("stats.json")
     old_total = int(stats["total_tokens"])
     stats["n_docs"] = n_docs
     stats["total_tokens"] = total
     stats["avgdl"] = float(total) / n_docs if n_docs else 0.0
+    stats["id_space"] = _parquet_rows(docvec_dir)
     state.write_sidecar("stats.json", stats)
 
     # ---- re-run segments over the updated checkpoint ----------------------
@@ -399,6 +514,7 @@ def update_index(
         "delta_docs": delta_rows,
         "delta_tokens": total - old_total,
         "new_n_docs": n_docs,
+        "superseded_docs": int(newly_dead.size),
         "delta_dir": delta_dirname,
     }
     state.commit(m)

@@ -119,6 +119,9 @@ class ScorerActor:
 
         with open(os.path.join(build_dir, "stats.json")) as f:
             self.stats = json.load(f)
+        # dense-id upper bound: after tombstoned incremental updates the id
+        # space exceeds the live doc count (ids are never reused)
+        self.id_space = int(self.stats.get("id_space") or self.stats["n_docs"])
         self.k = k
         self.scorer = scorer
         # §2.11 extension hooks: scoring model + query tokenizer.  A model
@@ -284,7 +287,7 @@ class ScorerActor:
         (term-major — per doc this IS sorted-term-order float64 summation,
         bit-identical to the oracle).  ``allowed`` filters candidates BEFORE
         the top-k cut (filtered-search semantics)."""
-        n = self.stats["n_docs"]
+        n = self.id_space
         plists = []
         for term in terms:  # terms already sorted unique
             pc_ = self._contrib(term)

@@ -81,6 +81,98 @@ def test_incremental_equals_full_build(ray_session, corpora, tmp_path_factory):
         assert sorted(pm_full[d] for d in df_) == sorted(pm_incr[d] for d in di_), q
 
 
+def test_update_overwrites_changed_path(ray_session, tmp_path_factory):
+    """Tombstone semantics: re-ingesting a changed (repo, path) supersedes
+    the old doc — queries return ONLY the new version, stats exclude the
+    dead doc, and the updated index scores exactly like a fresh build over
+    the post-overwrite corpus."""
+    import json
+
+    from sharesci_ray.functions.text import tokenize
+    from sharesci_ray.pipelines.build import _read_tombstones
+
+    base = make_corpus(80, seed=123)
+    d_incr = str(tmp_path_factory.mktemp("tomb_incr"))
+    d_full = str(tmp_path_factory.mktemp("tomb_full"))
+    cfg = BuildConfig(n_buckets=8)
+    build_index(corpus_from_table(base), d_incr, cfg, resume=False)
+
+    # delta: same (repo, path) as base row 5, brand-new content
+    row = base.slice(5, 1).to_pydict()
+    old_content = row["content"][0]
+    row["content"] = ["freshoverwrite uniquenewbody replacement text"]
+    delta = pa.Table.from_pydict(row, schema=base.schema)
+    state = update_index(d_incr, corpus_from_table(delta, parallelism=1))
+    assert state.read_manifest("update-0")["metrics"]["superseded_docs"] == 1
+
+    dead = _read_tombstones(d_incr)
+    assert dead.size == 1
+    with open(f"{d_incr}/stats.json") as f:
+        s = json.load(f)
+    assert s["n_docs"] == 80  # one superseded + one added
+    assert s["id_space"] == 81  # ids never reused
+
+    sc = ScorerActor(d_incr, k=10, scorer="daat")
+    ids, _ = sc.score_query("freshoverwrite uniquenewbody")
+    assert ids.size == 1 and ids[0] not in dead
+    # the dead doc must be unreachable through any of its old terms
+    for q in sorted(set(tokenize(old_content)))[:8]:
+        hit, _ = sc.score_query(q)
+        assert dead[0] not in hit, q
+
+    # equivalence with a fresh build over the post-overwrite corpus
+    post = base.to_pydict()
+    post["content"] = [
+        row["content"][0] if i == 5 else c for i, c in enumerate(post["content"])
+    ]
+    build_index(
+        corpus_from_table(pa.Table.from_pydict(post, schema=base.schema)),
+        d_full,
+        cfg,
+        resume=False,
+    )
+    with open(f"{d_full}/stats.json") as f:
+        s_full = json.load(f)
+    assert s_full["n_docs"] == s["n_docs"]
+    assert s_full["total_tokens"] == s["total_tokens"]
+    assert s_full["avgdl"] == s["avgdl"]
+    pm_full, pm_incr = _path_map(d_full), _path_map(d_incr)
+    sf = ScorerActor(d_full, k=10, scorer="daat")
+    for q in make_queries(20, seed=5)["text"].to_pylist() + ["freshoverwrite"]:
+        df_, sfs = sf.score_query(q)
+        di_, sis = sc.score_query(q)
+        assert sfs.size == sis.size, q
+        assert (np.sort(sfs)[::-1] == np.sort(sis)[::-1]).all(), q
+        assert sorted(pm_full[d] for d in df_) == sorted(pm_incr[d] for d in di_), q
+
+
+def test_update_overwrite_crash_rerun(ray_session, tmp_path_factory):
+    """Crash-window rerun with tombstones: rerunning the same overwrite
+    update must not double-tombstone or duplicate docs."""
+    import json
+    import os
+
+    from sharesci_ray.pipelines.build import _read_tombstones
+
+    base = make_corpus(60, seed=321)
+    d = str(tmp_path_factory.mktemp("tomb_crash"))
+    build_index(corpus_from_table(base), d, BuildConfig(n_buckets=8), resume=False)
+    row = base.slice(3, 1).to_pydict()
+    row["content"] = ["overwrittenagain body"]
+    delta = pa.Table.from_pydict(row, schema=base.schema)
+    update_index(d, corpus_from_table(delta, parallelism=1))
+    os.remove(os.path.join(d, "manifests", "update-0.json"))
+    seg = os.path.join(d, "manifests", "segments.json")
+    if os.path.exists(seg):
+        os.remove(seg)
+    update_index(d, corpus_from_table(delta, parallelism=1))  # rerun
+    assert _read_tombstones(d).size == 1
+    with open(f"{d}/stats.json") as f:
+        s = json.load(f)
+    assert s["n_docs"] == 60
+    assert s["id_space"] == 61
+
+
 def test_update_requires_complete_index(ray_session, corpora, tmp_path):
     _full, _old, delta = corpora
     with pytest.raises((ValueError, FileNotFoundError)):
