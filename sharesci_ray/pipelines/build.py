@@ -198,6 +198,7 @@ def build_index(
 
     # ---- stage: docvec -----------------------------------------------------
     docvec_dir = state.stage_dir("docvec")
+    termvec_mem: ray.data.Dataset | None = None
     if not (resume and state.is_complete("docvec", docvec_hash)):
         m = state.begin("docvec", inputs=["corpus"], upstream=[], cfg_hash=docvec_hash)
         ds = corpus
@@ -208,23 +209,30 @@ def build_index(
 
         _t0 = _time.perf_counter()
         ds = _ingest_termvecs(ds, cfg, tokenizer, base=0)
-        _clean_dir(docvec_dir)
-        ds.write_parquet(docvec_dir)
-        m.metrics["ingest_write_s"] = round(_time.perf_counter() - _t0, 3)
-        m.rows_out = _parquet_rows(docvec_dir)  # metadata-only, no re-read
-        if m.rows_out == 0:
+        # materialize ONCE: the checkpoint write below streams from the
+        # pinned blocks, and stats/segments consume the same blocks without
+        # re-reading (and re-decoding) the parquet — one full-corpus pass
+        # less through the storage backplane per build.  The object store
+        # spills if the corpus outgrows memory; resumed builds (no in-memory
+        # copy) fall back to column-pruned checkpoint reads.
+        termvec_mem = ds.materialize()
+        if termvec_mem.count() == 0:
+            # must fire BEFORE the write: writing an all-empty dataset dies
+            # on Ray's schema-less empty blocks
             raise ValueError(
                 f"corpus is empty after ingest filters (langs={cfg.langs!r}) — "
                 "refusing to build an empty index"
             )
+        _clean_dir(docvec_dir)
+        termvec_mem.write_parquet(docvec_dir)
+        m.metrics["ingest_write_s"] = round(_time.perf_counter() - _t0, 3)
+        m.rows_out = _parquet_rows(docvec_dir)  # metadata-only, no re-read
         m.metrics["stage"] = "ingest+fingerprint+docid+termvec"
         state.commit(m)
 
-    # downstream stages re-read the checkpoint with COLUMN PRUNING (stats
-    # touches only doc_len; segments only doc_id/doc_len/terms/tfs) — cheaper
-    # than holding full-width materialized blocks in the object store, and
-    # identical between fresh and resumed builds
     def docvec_cols(columns: list[str]) -> ray.data.Dataset:
+        if termvec_mem is not None:
+            return termvec_mem.select_columns(columns)
         return ray.data.read_parquet(docvec_dir, columns=columns)
 
     # ---- stage: stats ------------------------------------------------------

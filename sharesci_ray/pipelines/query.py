@@ -514,6 +514,7 @@ def run_queries(
     allowed_ref=None,
     facet: tuple[str, str] | None = None,
     doc_shard: int | None = None,
+    num_cpus_per_actor: float = 1.0,
 ) -> ray.data.Dataset:
     """S3→A2→S7: queries dataset → ranked (query_id, rank, doc_id, score).
 
@@ -543,7 +544,7 @@ def run_queries(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=num_cpus_per_actor,
     )
 
 
@@ -554,6 +555,7 @@ def run_queries_sharded(
     scorer: str = "auto",
     concurrency_per_shard: int | tuple[int, int] = 1,
     batch_size: int = 32,
+    fanout: bool = False,
 ) -> ray.data.Dataset:
     """Doc-sharded query serving — the layout for indexes too big for one
     actor's memory (requires a build with ``BuildConfig(doc_shards=S)``).
@@ -564,6 +566,15 @@ def run_queries_sharded(
     for its range; the cross-shard merge handles only k·S rows per query.
     (Term-partitioned scatter would NOT work: one document's BM25 score sums
     across terms that would live on different shards.)
+
+    ``fanout=True`` is the multi-node shape: all S shard pools execute as
+    ONE lazy streaming union (every shard scores concurrently, its actors
+    living wherever the scheduler places them — on a real cluster one node
+    per shard), and the merge consumes shard streams with backpressure.
+    The default (False) is the local-mode-safe shape: shards score one pool
+    at a time with a materialize in between, because S concurrent pools ×
+    their CPU reservations starve the merge shuffle on a single small box.
+    Both shapes are bit-identical (tested).
     """
     with open(os.path.join(build_dir, "stats.json")) as f:
         n_shards = json.load(f).get("doc_shards")
@@ -573,24 +584,26 @@ def run_queries_sharded(
             "or use run_queries"
         )
 
-    # shards are scored one pool at a time, materializing between: a lazy
-    # union would run all S actor pools concurrently, and S pools × their
-    # CPU reservations can starve the merge shuffle on a small cluster (on a
-    # real multi-node cluster each shard's pool lives on its own node and a
-    # lazy fan-out would be preferred — this is the local-mode-safe shape)
-    shard_results = []
-    for shard in range(n_shards):
-        shard_results.append(
-            run_queries(
-                build_dir,
-                queries,
-                k=k,
-                scorer=scorer,
-                concurrency=concurrency_per_shard,
-                batch_size=batch_size,
-                doc_shard=shard,
-            ).materialize()
+    def _shard_ds(shard: int, num_cpus_per_actor: float) -> ray.data.Dataset:
+        return run_queries(
+            build_dir,
+            queries,
+            k=k,
+            scorer=scorer,
+            concurrency=concurrency_per_shard,
+            batch_size=batch_size,
+            doc_shard=shard,
+            num_cpus_per_actor=num_cpus_per_actor,
         )
+
+    if fanout:
+        # fractional actor CPUs: S concurrent pools at num_cpus=1 each would
+        # reserve the whole of a small cluster and starve the merge shuffle
+        # (observed deadlock in local mode).  On a multi-node cluster the
+        # scheduler spreads the half-CPU actors the same way full ones would.
+        shard_results = [_shard_ds(s, 0.5) for s in range(n_shards)]
+    else:
+        shard_results = [_shard_ds(s, 1.0).materialize() for s in range(n_shards)]
     merged = shard_results[0]
     for r in shard_results[1:]:
         merged = merged.union(r)

@@ -8,12 +8,17 @@ Scale notes
 * ``add_fingerprint`` is a stateless ``map_batches`` over zero-copy Arrow.
 * Doc-id assignment is the one place the Dataset API can't express the
   semantics (a global dense index over a sorted dataset), so we drop to raw
-  block refs: sort (range-shuffle, happens once), read per-block row counts
-  (cheap metadata-sized tasks), prefix-sum ON THE DRIVER (one int per block),
-  then attach ``doc_id = offset + arange(n)`` per block.  No data is pulled to
-  the driver, only counts; this is exactly a distributed prefix-sum.
+  block refs — and the ROW DATA NEVER MOVES: only the sort keys (a ~100-byte
+  projection per row) go through the all-to-all.  Per-block key tables are
+  extracted remotely, key rows are range-sorted (tiny shuffle), global ranks
+  come from a driver-side prefix-sum over per-block COUNTS (one int per
+  block), and the (block, row, doc_id) rank rows shuffle back grouped by
+  source block so each original block gets its id column attached in place.
+  Shipping the content through the sort — the naive shape — costs ~100× the
+  bytes and was the single worst-scaling exchange of the whole build.
 * Sort keys include the content sha as final tie-break so duplicate
-  (repo,path,commit) rows still get deterministic, resume-stable doc ids.
+  (repo,path,commit) rows still get deterministic, resume-stable doc ids;
+  (block, row) break full-key ties deterministically for a fixed blocking.
 * Term-vector extraction tokenizes ONCE per document (pure pyarrow RE2
   kernels + one Arrow hash-aggregation per batch) and drops ``content``
   immediately after (wide-record hygiene, M6).
@@ -43,23 +48,79 @@ def _block_num_rows(block: pa.Table) -> int:
     return block.num_rows
 
 
+_KEY_SCHEMA = pa.schema(
+    [(k, pa.string()) for k in SORT_KEYS]
+    + [("block", pa.int32()), ("row", pa.int32())]
+)
+
+
 @ray.remote
-def _attach_doc_ids(block: pa.Table, offset: int) -> pa.Table:
-    ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64))
-    return block.append_column("doc_id", ids)
+def _extract_keys(block: pa.Table, block_idx: int) -> pa.Table:
+    """Sort-key projection of one block: ~100 B/row instead of the full row."""
+    if block.num_rows == 0:  # filters can leave schema-less empty blocks
+        return _KEY_SCHEMA.empty_table()
+    cols = {k: block[k] for k in SORT_KEYS}
+    cols["block"] = pa.array(np.full(block.num_rows, block_idx, dtype=np.int32))
+    cols["row"] = pa.array(np.arange(block.num_rows, dtype=np.int32))
+    return pa.table(cols)
+
+
+@ray.remote
+def _rank_rows(key_block: pa.Table, offset: int) -> pa.Table:
+    """Sorted key block → (block, row, doc_id) rank rows."""
+    n = key_block.num_rows
+    if n == 0:
+        return pa.schema(
+            [("block", pa.int32()), ("row", pa.int32()), ("doc_id", pa.int64())]
+        ).empty_table()
+    return pa.table(
+        {
+            "block": key_block["block"],
+            "row": key_block["row"],
+            "doc_id": pa.array(np.arange(offset, offset + n, dtype=np.int64)),
+        }
+    )
 
 
 def assign_doc_ids(ds: ray.data.Dataset, base: int = 0) -> ray.data.Dataset:
-    """M9: dense deterministic int64 doc ids via sort + distributed prefix-sum.
+    """M9: dense deterministic int64 doc ids via a KEY-ONLY sort +
+    distributed prefix-sum; row data stays in place (module docstring).
 
     ``base`` offsets the id space — incremental updates assign the delta
     corpus ids starting at the existing doc count (append semantics)."""
-    sorted_ds = ds.sort(SORT_KEYS).materialize()
-    refs = sorted_ds.to_arrow_refs()
-    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    blocks = ds.materialize()
+    refs = blocks.to_arrow_refs()
+    if not refs or blocks.count() == 0:
+        return blocks  # nothing to rank; caller's empty-corpus guard fires
+    key_refs = [_extract_keys.remote(r, i) for i, r in enumerate(refs)]
+    sorted_keys = (
+        ray.data.from_arrow_refs(key_refs)
+        .sort(SORT_KEYS + ["block", "row"])
+        .materialize()
+    )
+    krefs = sorted_keys.to_arrow_refs()
+    counts = ray.get([_block_num_rows.remote(r) for r in krefs])
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + base if counts else []
-    out = [_attach_doc_ids.remote(r, int(off)) for r, off in zip(refs, offsets)]
-    return ray.data.from_arrow_refs(out)
+    rank_refs = [
+        _rank_rows.remote(kr, int(off)) for kr, off in zip(krefs, offsets)
+    ]
+
+    def attach(group: pa.Table) -> pa.Table:
+        """One source block's rank rows → the block with its id column."""
+        if group.num_rows == 0:
+            return group
+        b = int(group["block"][0].as_py())
+        blk = ray.get(refs[b])
+        ids = np.empty(blk.num_rows, dtype=np.int64)
+        ids[group["row"].to_numpy(zero_copy_only=False)] = group[
+            "doc_id"
+        ].to_numpy(zero_copy_only=False)
+        return blk.append_column("doc_id", pa.array(ids))
+
+    # groupby shuffles only (block, row, doc_id) rank rows — 16 B/doc
+    return ray.data.from_arrow_refs(rank_refs).groupby("block").map_groups(
+        attach, batch_format="pyarrow"
+    )
 
 
 def to_term_vectors(batch: pa.Table, tokenizer=flat_tokens) -> pa.Table:
@@ -74,6 +135,20 @@ def to_term_vectors(batch: pa.Table, tokenizer=flat_tokens) -> pa.Table:
     ``(string column) -> (flat token array, row index per token)``; the
     default is the shared code-aware tokenizer (functions/text.py).
     """
+    if batch.num_rows == 0:  # sparse-keyed shuffles emit schema-less empties
+        return pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("repo", pa.string()),
+                ("path", pa.string()),
+                ("commit", pa.string()),
+                ("lang", pa.string()),
+                ("content_sha256", pa.string()),
+                ("doc_len", pa.int64()),
+                ("terms", pa.list_(pa.string())),
+                ("tfs", pa.list_(pa.int32())),
+            ]
+        ).empty_table()
     flat, parent = tokenizer(batch["content"])
     n_rows = batch.num_rows
     # per-(row, term) counts via Arrow hash aggregation (C++, vectorized)

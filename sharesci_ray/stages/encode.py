@@ -126,47 +126,6 @@ def detect_hot_terms(
     return dict(acc.most_common(top_m))
 
 
-def make_bucket_assigner(plan: SaltPlan):
-    """Stage 03 key assignment: adds bucket(int32) + salt_idx(int32) columns."""
-    salts = plan.salts
-    n_buckets = np.uint64(plan.n_buckets)
-    n_docs = max(1, plan.n_docs)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        h = polyhash_column(batch["term"])
-        bucket = (h % n_buckets).astype(np.int32)
-        if plan.doc_shards:
-            # doc-sharded layout: every posting carries its doc-range shard
-            s = np.int64(plan.doc_shards)
-            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            shard = np.minimum(doc_ids * s // n_docs, s - 1).astype(np.int32)
-            bucket = (bucket + np.int32(plan.n_buckets) * shard).astype(np.int32)
-            return batch.append_column("bucket", pa.array(bucket)).append_column(
-                "salt_idx", pa.array(shard)
-            )
-        salt_idx = np.full(batch.num_rows, -1, dtype=np.int32)
-        if salts:
-            terms = batch["term"]
-            mask = pc.is_in(terms, value_set=pa.array(list(salts.keys()))).to_numpy(
-                zero_copy_only=False
-            )
-            if mask.any():
-                idx = np.flatnonzero(mask)
-                hot_terms = terms.take(pa.array(idx)).to_pylist()
-                doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[idx]
-                bases = np.array([salts[t][0] for t in hot_terms], dtype=np.int64)
-                ss = np.array([salts[t][1] for t in hot_terms], dtype=np.int64)
-                s_idx = (doc_ids.astype(np.int64) * ss) // n_docs
-                s_idx = np.minimum(s_idx, ss - 1)
-                bucket[idx] = (bases + s_idx).astype(np.int32)
-                salt_idx[idx] = s_idx.astype(np.int32)
-        return batch.append_column("bucket", pa.array(bucket)).append_column(
-            "salt_idx", pa.array(salt_idx)
-        )
-
-    return assign
-
-
 def make_bucket_packer(plan: SaltPlan):
     """Stage 03 (packed + compressed shuffle): one OUTPUT ROW PER
     (input batch, bucket), with the posting payload varbyte-compressed
@@ -174,20 +133,75 @@ def make_bucket_packer(plan: SaltPlan):
 
     Raw postings cost ~20 B/posting plus a term string each; at 10^12-file
     scale the exchange is memory/network-bandwidth-bound, so the shuffle
-    unit here is a mini-segment: doc ids delta+varbyte (doc-major explode
-    order keeps them non-decreasing inside a bucket run), tf/dl varbyte,
-    terms as a per-pack dictionary ('\\n'-joined uniques — tokens are
-    [a-z0-9]+ so '\\n' never collides) + varbyte dictionary indices.
-    ~5 B/posting on the wire, ~n_batches × n_buckets rows through the
-    groupby instead of one row per posting.  salt_idx is constant within a
-    pack (a salted bucket IS one (term, salt) slice), so it ships once.
+    unit here is a mini-segment: doc ids delta+varbyte (ascending within a
+    bucket run — the pack lexsorts (bucket, doc_id)), tf/dl varbyte, terms
+    as a per-pack dictionary ('\\n'-joined uniques — tokens are [a-z0-9]+
+    so '\\n' never collides) + varbyte dictionary indices.  ~5 B/posting on
+    the wire, ~n_batches × n_buckets rows through the groupby instead of
+    one row per posting.  salt_idx is constant within a pack (a salted
+    bucket IS one (term, salt) slice), so it ships once.
+
+    DICTIONARY-FIRST: the only per-POSTING string operation is one
+    ``dictionary_encode`` hash pass; bucket hashing (polyhash), hot-term
+    lookup and salting all happen on the block VOCAB (~2-3 orders of
+    magnitude smaller) and fan back out through int-code gathers.
     """
-    assigner = make_bucket_assigner(plan)
+    n_buckets = plan.n_buckets
+    n_docs = max(1, plan.n_docs)
+    salts = plan.salts
+    hot_set = pa.array(sorted(salts.keys())) if salts else None
 
     def pack(batch: pa.Table) -> pa.Table:
-        keyed = assigner(batch)
-        bucket = keyed["bucket"].to_numpy(zero_copy_only=False)
-        order = np.argsort(bucket, kind="stable")
+        terms = batch["term"]
+        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+        dic = pc.dictionary_encode(terms)
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        g_dict = dic.dictionary  # block vocab
+        # the pack wire format joins dictionary terms with '\n'; the default
+        # tokenizer can't emit one, but a custom §2.11 tokenizer could — and
+        # a '\n' inside a term would silently shift every dictionary index
+        # in the pack.  Fail loudly instead.
+        if len(g_dict) and pc.any(pc.match_substring(g_dict, "\n")).as_py():
+            raise ValueError(
+                "tokenizer produced a term containing '\\n' — incompatible "
+                "with the packed-shuffle dictionary format"
+            )
+        uniq_hash = polyhash_column(g_dict)  # vocab-sized string hashing
+        bucket_u = (uniq_hash % np.uint64(n_buckets)).astype(np.int64)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if plan.doc_shards:
+            # doc-sharded layout: every posting carries its doc-range shard
+            s = np.int64(plan.doc_shards)
+            shard = np.minimum(doc_ids * s // n_docs, s - 1)
+            bucket = bucket_u[codes] + np.int64(n_buckets) * shard
+            salt_idx = shard.astype(np.int32)
+        else:
+            bucket = bucket_u[codes]
+            salt_idx = np.full(batch.num_rows, -1, dtype=np.int32)
+            if salts:
+                hot_mask_u = pc.is_in(g_dict, value_set=hot_set).to_numpy(
+                    zero_copy_only=False
+                )
+                if hot_mask_u.any():
+                    base_u = np.zeros(len(g_dict), dtype=np.int64)
+                    s_u = np.ones(len(g_dict), dtype=np.int64)
+                    hot_u = np.flatnonzero(hot_mask_u)
+                    hot_terms = g_dict.take(pa.array(hot_u)).to_pylist()
+                    base_u[hot_u] = [salts[t][0] for t in hot_terms]
+                    s_u[hot_u] = [salts[t][1] for t in hot_terms]
+                    p_hot = np.flatnonzero(hot_mask_u[codes])
+                    if p_hot.size:
+                        cs = codes[p_hot]
+                        si = np.minimum(
+                            doc_ids[p_hot] * s_u[cs] // n_docs, s_u[cs] - 1
+                        )
+                        bucket[p_hot] = base_u[cs] + si
+                        salt_idx[p_hot] = si.astype(np.int32)
+
+        # lexsort (bucket, doc_id): ascending doc ids inside every bucket
+        # run — required for non-negative delta gaps (blocks are NOT in
+        # doc-id order since the key-only id assignment)
+        order = np.lexsort((doc_ids, bucket))
         b_sorted = bucket[order]
         if order.size:
             run_start = np.concatenate(
@@ -197,13 +211,11 @@ def make_bucket_packer(plan: SaltPlan):
         else:
             run_start = run_end = np.empty(0, dtype=np.int64)
 
-        terms = keyed["term"]
-        terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
-        terms_sorted = terms.take(pa.array(order))
-        doc_ids = keyed["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-        tfs = keyed["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
-        dls = keyed["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
-        salt = keyed["salt_idx"].to_numpy(zero_copy_only=False).astype(np.int32)[order]
+        g_idx = codes[order]  # int gather — no per-posting string take
+        doc_ids = doc_ids[order]
+        tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        dls = batch["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        salt = salt_idx[order]
 
         # ---- fully vectorized encode: ONE varbyte call per column over the
         # whole batch, then byte-sliced per run via the returned lengths ----
@@ -223,22 +235,6 @@ def make_bucket_packer(plan: SaltPlan):
         enc_d, off_d = _enc_offsets(gaps)
         enc_tf, off_tf = _enc_offsets(tfs)
         enc_dl, off_dl = _enc_offsets(dls)
-
-        # per-run term dictionary: one GLOBAL dictionary_encode, then per run
-        # remap global codes → dense run-local codes (np.unique per run is
-        # the only loop — O(run vocab), not O(postings))
-        dic = pc.dictionary_encode(terms_sorted)
-        g_idx = np.asarray(dic.indices, dtype=np.int64)
-        g_dict = dic.dictionary
-        # the pack wire format joins dictionary terms with '\n'; the default
-        # tokenizer can't emit one, but a custom §2.11 tokenizer could — and
-        # a '\n' inside a term would silently shift every dictionary index
-        # in the pack.  Fail loudly instead.
-        if len(g_dict) and pc.any(pc.match_substring(g_dict, "\n")).as_py():
-            raise ValueError(
-                "tokenizer produced a term containing '\\n' — incompatible "
-                "with the packed-shuffle dictionary format"
-            )
         local_idx = np.empty(n_rows, dtype=np.int64)
         uniq_concat: list[np.ndarray] = []
         uniq_counts = np.empty(run_start.size, dtype=np.int64)
@@ -305,21 +301,35 @@ def make_packed_encoder(
             tf_parts.append(varbyte_decode(group["tfs_vb"][i].as_py()).astype(np.int64))
             dl_parts.append(varbyte_decode(group["dls_vb"][i].as_py()).astype(np.int64))
             salt_parts.append(np.full(idx.size, salts[i], dtype=np.int32))
-        t = pa.table(
-            {
-                "term": pa.concat_arrays(term_parts),
-                "doc_id": pa.array(np.concatenate(did_parts)),
-                "tf": pa.array(np.concatenate(tf_parts)),
-                "dl": pa.array(np.concatenate(dl_parts)),
-                "salt_idx": pa.array(np.concatenate(salt_parts)),
-            }
-        ).sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        terms_all = pa.concat_arrays(term_parts)
+        docids = np.concatenate(did_parts).astype(np.int64)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        salt = np.concatenate(salt_parts)
+
+        # (term, doc_id) ordering WITHOUT an O(n·len) string sort over the
+        # postings: dictionary-encode (hash pass), sort only the VOCAB
+        # strings, rank-map the codes, then one integer np.lexsort.  The
+        # salted case sorts (term, salt, doc_id) — a salted bucket holds one
+        # (term, salt) slice whose doc range is disjoint and ordered by
+        # salt_idx, so (rank, salt, doc_id) == (rank, doc_id) globally.
+        dic = pc.dictionary_encode(terms_all)
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        uniq = dic.dictionary
+        order_u = np.asarray(pc.sort_indices(uniq), dtype=np.int64)
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[order_u] = np.arange(len(uniq))
+        perm = np.lexsort((docids, salt, rank[codes]))
+        dict_sorted = uniq.take(pa.array(order_u))
+        term_col = pa.DictionaryArray.from_arrays(
+            pa.array(rank[codes][perm].astype(np.int32)), dict_sorted
+        )
         return _encode_runs(
-            t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"],
-            t["doc_id"].to_numpy(zero_copy_only=False),
-            t["tf"].to_numpy(zero_copy_only=False),
-            t["dl"].to_numpy(zero_copy_only=False),
-            t["salt_idx"].to_numpy(zero_copy_only=False),
+            term_col,
+            docids[perm],
+            tfs[perm],
+            dls[perm],
+            salt[perm],
             avgdl,
             k1,
             b,
@@ -346,7 +356,11 @@ def _encode_runs(
     n = docids.size
     if n == 0:
         return SEGMENT_SCHEMA.empty_table()
-    codes = pc.dictionary_encode(terms)
+    codes = (
+        terms
+        if isinstance(terms, pa.DictionaryArray)
+        else pc.dictionary_encode(terms)
+    )
     code_np = np.asarray(codes.indices)
     run_start = np.concatenate([[0], np.flatnonzero(code_np[1:] != code_np[:-1]) + 1])
     run_end = np.concatenate([run_start[1:], [n]])
@@ -399,33 +413,6 @@ def _encode_runs(
             "term_bucket": pa.array(route),
         }
     )
-
-
-def make_bucket_encoder(
-    avgdl: float,
-    k1: float,
-    b: float,
-    block_size: int,
-    n_route_buckets: int,
-):
-    """A1: per-bucket reducer — sort by (term, doc_id), encode every term run."""
-
-    def encode(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-        return _encode_runs(
-            t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"],
-            t["doc_id"].to_numpy(zero_copy_only=False),
-            t["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
-            t["dl"].to_numpy(zero_copy_only=False).astype(np.int64),
-            t["salt_idx"].to_numpy(zero_copy_only=False),
-            avgdl,
-            k1,
-            b,
-            block_size,
-            n_route_buckets,
-        )
-
-    return encode
 
 
 def make_salted_merger(avgdl: float, k1: float, b: float, block_size: int, n_route_buckets: int):

@@ -64,6 +64,35 @@ def test_shard_actor_uses_global_df(ray_session, indexes):
         assert full_map[doc] == sc  # bit-equal per doc
 
 
+def test_fanout_mode_is_identical(ray_session, indexes):
+    """Lazy fan-out (the multi-node shape: all shard pools streaming into
+    one union) must be bit-identical to the sequential local-mode shape."""
+    _d_plain, d_shard = indexes
+    q_tbl = make_queries(25, seed=33)
+    seq = (
+        run_queries_sharded(d_shard, ray.data.from_arrow(q_tbl), k=10)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    fan = (
+        run_queries_sharded(d_shard, ray.data.from_arrow(q_tbl), k=10, fanout=True)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(seq) == len(fan)
+    assert (seq["query_id"].values == fan["query_id"].values).all()
+    assert (seq["doc_id"].values == fan["doc_id"].values).all()
+    assert (seq["score"].values == fan["score"].values).all()  # bit-equal
+
+
+def test_shard_out_of_range_rejected(ray_session, indexes):
+    _d_plain, d_shard = indexes
+    with pytest.raises(ValueError, match="out of range"):
+        ScorerActor(d_shard, doc_shard=99)
+
+
 def test_shard_guard_on_unsharded_index(ray_session, indexes):
     d_plain, _ = indexes
     with pytest.raises(ValueError, match="not doc-sharded"):
