@@ -194,8 +194,13 @@ def run_scaling_child(num_cpus: int) -> dict:
 
     # query throughput through the scorer actor pool (warm pass first so the
     # measured pass sees loaded actors — steady-state qps)
+    from sharesci_ray.pipelines.query import shared_segment_refs
+
     q_tbl = make_queries(10_000, seed=43, n_terms=SCALE_VOCAB)
-    pool = dict(concurrency=max(2, num_cpus // 2), batch_size=64)  # fixed pool: eager actors
+    # fixed pool, eager actors; bucket_refs: ONE plasma copy of the index
+    # shared zero-copy by every actor (loaded once, reused by both passes)
+    refs = shared_segment_refs(build_dir)
+    pool = dict(concurrency=max(2, num_cpus // 2), batch_size=64, bucket_refs=refs)
     run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
     t0 = time.perf_counter()
     run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
@@ -279,8 +284,11 @@ def run_node_child(cpu_list: str, shard_lo: int, shard_hi: int, num_cpus: int) -
     )
     build_s = time.perf_counter() - t0
 
+    from sharesci_ray.pipelines.query import shared_segment_refs
+
     q_tbl = make_queries(2_500, seed=43, n_terms=SCALE_VOCAB)
-    pool = dict(concurrency=max(2, num_cpus // 2), batch_size=64)
+    refs = shared_segment_refs(build_dir)
+    pool = dict(concurrency=max(2, num_cpus // 2), batch_size=64, bucket_refs=refs)
     run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
     t0 = time.perf_counter()
     run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()

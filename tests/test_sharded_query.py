@@ -87,6 +87,31 @@ def test_fanout_mode_is_identical(ray_session, indexes):
     assert (seq["score"].values == fan["score"].values).all()  # bit-equal
 
 
+def test_shared_segments_identical(ray_session, indexes):
+    """Plasma-shared bucket tables must be bit-identical to per-actor
+    parquet loads."""
+    d_plain, _ = indexes
+    q_tbl = make_queries(30, seed=77)
+    plain = (
+        run_queries(d_plain, ray.data.from_arrow(q_tbl), k=10, scorer="auto")
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    shared = (
+        run_queries(
+            d_plain, ray.data.from_arrow(q_tbl), k=10, scorer="auto",
+            shared_segments=True,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(plain) == len(shared)
+    assert (plain["doc_id"].values == shared["doc_id"].values).all()
+    assert (plain["score"].values == shared["score"].values).all()
+
+
 def test_shard_out_of_range_rejected(ray_session, indexes):
     _d_plain, d_shard = indexes
     with pytest.raises(ValueError, match="out of range"):
