@@ -5,6 +5,7 @@ The operational surface a user of the reference engine would expect:
   build  --input GLOB --build-dir DIR [--n-buckets N] [--langs py,js]
          [--no-resume]
   update --input GLOB --build-dir DIR
+  delete --build-dir DIR --keys FILE   (one "repo<TAB>path" per line)
   query  --build-dir DIR (--text "..." | --queries FILE.{jsonl,parquet})
          [--k 10] [--scorer auto] [--output out.parquet]
 
@@ -34,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--input", required=True)
     u.add_argument("--build-dir", required=True)
 
+    d = sub.add_parser("delete", help="tombstone documents by (repo, path)")
+    d.add_argument("--build-dir", required=True)
+    d.add_argument("--keys", required=True, help='file with one "repo<TAB>path" per line')
+
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--build-dir", required=True)
     q.add_argument("--text", default=None, help="single query string")
@@ -50,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     import ray.data
 
-    from .pipelines.build import BuildConfig, build_index, update_index
+    from .pipelines.build import BuildConfig, build_index, delete_docs, update_index
     from .pipelines.query import run_queries
     from .sources.corpus import read_corpus, read_queries
 
@@ -66,6 +71,16 @@ def main(argv: list[str] | None = None) -> int:
                           "stats": state.read_sidecar("stats.json")}))
     elif args.cmd == "update":
         state = update_index(args.build_dir, read_corpus(args.input))
+        print(json.dumps({"build_dir": args.build_dir,
+                          "stats": state.read_sidecar("stats.json")}))
+    elif args.cmd == "delete":
+        with open(args.keys) as f:
+            keys = [
+                tuple(line.rstrip("\n").split("\t", 1))
+                for line in f
+                if line.strip()
+            ]
+        state = delete_docs(args.build_dir, keys)
         print(json.dumps({"build_dir": args.build_dir,
                           "stats": state.read_sidecar("stats.json")}))
     else:  # query

@@ -162,6 +162,7 @@ def build_index(
     resume: bool = True,
     tokenizer=None,
     extra_stages=None,
+    _tok_id: str | None = None,
 ) -> BuildState:
     """Run (or resume) the index build; returns the BuildState handle.
 
@@ -175,7 +176,10 @@ def build_index(
     from ..state.manifest import config_hash as _cfg_hash
 
     cfg = cfg or BuildConfig()
-    tok_id = _tokenizer_id(tokenizer)
+    # _tok_id: internal override for maintenance flows (delete_docs) that
+    # re-run segments on an index whose tokenizer OBJECT is unavailable —
+    # stage fingerprints and config.json must keep the original identity
+    tok_id = _tok_id if _tok_id is not None else _tokenizer_id(tokenizer)
     state = BuildState(build_dir, {**asdict(cfg), "tokenizer": tok_id})
     state.write_sidecar(
         "config.json",
@@ -366,6 +370,89 @@ def build_index(
         m.rows_out = _parquet_rows(seg_dir)  # metadata-only, no re-read
         state.commit(m)
 
+    return state
+
+
+def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
+    """Delete documents by (repo, path) from an existing index.
+
+    Same tombstone machinery as overwrite updates: matching live docs are
+    marked dead, stats are recomputed over the survivors, segments are
+    re-encoded from the checkpoint (no re-tokenization).  Crash-safe with
+    the same ordering as update_index (segments manifest invalidated before
+    tombstones/stats are written); rerunning the same delete is a no-op.
+    """
+    stored = BuildState(build_dir, {}).read_sidecar("config.json")
+    stored_tok = stored.pop("tokenizer", "default")
+    stored.pop("extra_stages", None)
+    cfg = BuildConfig(
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in stored.items()}
+    )
+    state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
+    if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
+        raise ValueError(f"{build_dir} is not a complete index; run build_index first")
+
+    k = 0
+    while state.read_manifest(f"delete-{k}") is not None:
+        k += 1
+    m = state.begin(f"delete-{k}", inputs=["delete-keys"], upstream=["docvec", "stats", "segments"])
+
+    docvec_dir = state.stage_dir("docvec")
+    key_set = pc.unique(
+        pa.array([f"{r}\x00{p}" for r, p in keys], pa.string())
+    )
+    key_ref = ray.put(key_set)
+
+    def match_deleted(t: pa.Table) -> pa.Table:
+        ck = pc.binary_join_element_wise(
+            t["repo"].combine_chunks(), t["path"].combine_chunks(), "\x00"
+        )
+        return t.filter(pc.is_in(ck, value_set=ray.get(key_ref))).select(["doc_id"])
+
+    dead_rows = (
+        ray.data.read_parquet(docvec_dir, columns=["doc_id", "repo", "path"])
+        .map_batches(match_deleted, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # bounded by the delete list's doc count
+    prior = _read_tombstones(build_dir)
+    dead = np.union1d(prior, np.array([r["doc_id"] for r in dead_rows], dtype=np.int64))
+
+    seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
+    if os.path.exists(seg_manifest):
+        os.remove(seg_manifest)
+    _write_tombstones(build_dir, dead)
+
+    dv = ray.data.read_parquet(docvec_dir, columns=["doc_id", "doc_len"])
+    if dead.size:
+        dv = dv.map_batches(
+            _drop_dead_fn(dead), batch_format="pyarrow", zero_copy_batch=True
+        )
+    agg = dv.aggregate(Count(), Sum("doc_len"))
+    n_docs, total = int(agg["count()"]), int(agg["sum(doc_len)"] or 0)
+    if n_docs == 0:
+        raise ValueError("delete_docs would empty the index; rebuild instead")
+    stats = state.read_sidecar("stats.json")
+    stats["n_docs"] = n_docs
+    stats["total_tokens"] = total
+    stats["avgdl"] = float(total) / n_docs
+    stats["id_space"] = _parquet_rows(docvec_dir)
+    state.write_sidecar("stats.json", stats)
+
+    # snapshot config.json: the inner build_index rewrites it, and this flow
+    # must preserve the ORIGINAL tokenizer/extra_stages identity
+    cfg_snapshot = state.read_sidecar("config.json")
+    build_index(
+        ray.data.from_items([]), build_dir, cfg, resume=True, _tok_id=stored_tok
+    )
+    state.write_sidecar("config.json", cfg_snapshot)
+
+    m.rows_out = len(dead_rows)
+    m.metrics = {
+        "deleted_docs": len(dead_rows),
+        "total_tombstones": int(dead.size),
+        "new_n_docs": n_docs,
+    }
+    state.commit(m)
     return state
 
 

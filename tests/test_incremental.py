@@ -173,6 +173,56 @@ def test_update_overwrite_crash_rerun(ray_session, tmp_path_factory):
     assert s["id_space"] == 61
 
 
+def test_delete_docs_equals_fresh_build(ray_session, tmp_path_factory):
+    """delete_docs tombstones by (repo, path); the resulting index scores
+    exactly like a fresh build over the survivors, and a rerun of the same
+    delete is a no-op."""
+    import json
+
+    from sharesci_ray.pipelines.build import _read_tombstones, delete_docs
+
+    base = make_corpus(70, seed=555)
+    d_del = str(tmp_path_factory.mktemp("del"))
+    d_ref = str(tmp_path_factory.mktemp("del_ref"))
+    cfg = BuildConfig(n_buckets=8)
+    build_index(corpus_from_table(base), d_del, cfg, resume=False)
+
+    victims = [3, 17]
+    keys = [
+        (base["repo"][i].as_py(), base["path"][i].as_py()) for i in victims
+    ]
+    state = delete_docs(d_del, keys)
+    assert state.read_manifest("delete-0")["metrics"]["deleted_docs"] == 2
+    assert _read_tombstones(d_del).size == 2
+    # rerun: no-op
+    state2 = delete_docs(d_del, keys)
+    assert state2.read_manifest("delete-1")["metrics"]["deleted_docs"] == 2
+    assert _read_tombstones(d_del).size == 2
+
+    keep = [i for i in range(70) if i not in victims]
+    survivors = base.take(keep)
+    build_index(corpus_from_table(survivors), d_ref, cfg, resume=False)
+    with open(f"{d_del}/stats.json") as f:
+        s_del = json.load(f)
+    with open(f"{d_ref}/stats.json") as f:
+        s_ref = json.load(f)
+    assert s_del["n_docs"] == s_ref["n_docs"] == 68
+    assert s_del["total_tokens"] == s_ref["total_tokens"]
+    assert s_del["avgdl"] == s_ref["avgdl"]
+
+    pm_del, pm_ref = _path_map(d_del), _path_map(d_ref)
+    sd = ScorerActor(d_del, k=10, scorer="daat")
+    sr = ScorerActor(d_ref, k=10, scorer="daat")
+    dead = set(_read_tombstones(d_del).tolist())
+    for q in make_queries(20, seed=9)["text"].to_pylist():
+        dd_, sds = sd.score_query(q)
+        dr_, srs = sr.score_query(q)
+        assert not (set(dd_.tolist()) & dead), q
+        assert sds.size == srs.size, q
+        assert (np.sort(sds)[::-1] == np.sort(srs)[::-1]).all(), q
+        assert sorted(pm_del[x] for x in dd_) == sorted(pm_ref[x] for x in dr_), q
+
+
 def test_update_requires_complete_index(ray_session, corpora, tmp_path):
     _full, _old, delta = corpora
     with pytest.raises((ValueError, FileNotFoundError)):
