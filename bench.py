@@ -375,27 +375,32 @@ def run_scaling_nodes(n_nodes: int = 4, cpus_per_node: int = 8) -> dict:
             outs.append(json.loads(lines[-1]))
         return outs
 
-    # phase 1: single node, uncontended
-    t0 = time.perf_counter()
-    single = _collect([_spawn(0)])[0]
-    # phase 2: n_nodes concurrent on disjoint CPU sets
-    t0 = time.perf_counter()
+    # drift-robust protocol: the box's background load drifts on a minutes
+    # timescale, which injects error straight into the single/concurrent
+    # ratio.  Measure the UNCONTENDED baseline both BEFORE and AFTER the
+    # concurrent phase and use the mean — first-order drift cancels.
+    single_a = _collect([_spawn(0)])[0]
     procs = [_spawn(i) for i in range(n_nodes)]
     nodes = _collect(procs)
+    single_b = _collect([_spawn(0)])[0]
+    base_dps = (single_a["docs_per_sec"] + single_b["docs_per_sec"]) / 2
+    base_qps = (single_a["queries_per_sec"] + single_b["queries_per_sec"]) / 2
     agg_wall = max(n["build_s"] for n in nodes)
     agg_docs = sum(n["n_docs"] for n in nodes)
     agg_dps = agg_docs / agg_wall
-    eff_build = agg_dps / (n_nodes * single["docs_per_sec"])
+    eff_build = agg_dps / (n_nodes * base_dps)
     agg_qps = sum(n["queries_per_sec"] for n in nodes)
-    eff_query = agg_qps / (n_nodes * single["queries_per_sec"])
+    eff_query = agg_qps / (n_nodes * base_qps)
     return {
         "metric": "scaling_efficiency_nodes_build",
         "value": round(eff_build, 4),
         "unit": "ratio",
         "queries": {
-            "single_node_docs_per_sec": single["docs_per_sec"],
+            "single_node_docs_per_sec_pre": single_a["docs_per_sec"],
+            "single_node_docs_per_sec_post": single_b["docs_per_sec"],
             "aggregate_docs_per_sec": round(agg_dps, 1),
-            "single_node_qps": single["queries_per_sec"],
+            "single_node_qps_pre": single_a["queries_per_sec"],
+            "single_node_qps_post": single_b["queries_per_sec"],
             "aggregate_qps": round(agg_qps, 1),
             **{
                 f"node{i}_docs_per_sec": n["docs_per_sec"] for i, n in enumerate(nodes)

@@ -330,6 +330,157 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
 
 
 # ===========================================================================
+# Near-dup clusters: connected components over the Jaccard pair graph
+# ===========================================================================
+
+def _cluster_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_SQL_SHINGLE_CTES},
+    dfc AS (SELECT h31, count(*) AS df FROM hs GROUP BY 1),
+    hsf AS (
+      SELECT hs.doc_id, hs.h31 FROM hs
+      JOIN dfc ON dfc.h31 = hs.h31 WHERE dfc.df <= {dd.SHINGLE_DF_CAP}
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM hsf GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM hsf a JOIN hsf b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT doc_a, doc_b FROM pair
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {_JACCARD_MIN}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION SELECT doc_b, doc_a FROM dup
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """
+
+
+@op("dedup_cluster", _cluster_sql())
+def dedup_cluster(sf_dir: str):
+    """Connected components over the exact-Jaccard near-dup graph: every
+    document labeled with its cluster representative (the MIN doc id in its
+    component; singletons label themselves) — the "keep one per cluster"
+    step of a dedup pipeline.
+
+    Distributed min-label propagation: labels live as a Dataset, each round
+    hash-joins them onto the (bidirectional) edge list and takes the per-
+    node min over neighbors ∪ self.  Labels are monotonically non-
+    increasing ints, so Σlabels is stationary exactly at the fixpoint —
+    convergence costs one tiny aggregate per round, and rounds are bounded
+    by component diameter (near-dup clusters are shallow).  The testdata
+    pairs are small; the shape is the standard label-propagation CC that
+    scales to edge sets far beyond driver memory.
+    """
+    from .util import drop_empty_blocks
+
+    pairs = near_dup_jaccard(sf_dir).select_columns(["doc_a", "doc_b"])
+    pairs = drop_empty_blocks(
+        pairs, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+        )
+        v = pa.concat_arrays(
+            [t["doc_b"].combine_chunks(), t["doc_a"].combine_chunks()]
+        )
+        return pa.table({"u": pc.cast(u, pa.int64()), "v": pc.cast(v, pa.int64())})
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    from ray.data.aggregate import Min, Sum
+
+    # label(u) starts at min(u, min neighbor)
+    def self_edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": t["u"],
+                "label": pc.min_element_wise(t["u"], t["v"]),
+            }
+        )
+
+    labels = drop_empty_blocks(
+        edges.map_batches(self_edge, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u")
+        .aggregate(Min("label")),
+        pa.schema([("u", pa.int64()), ("min(label)", pa.int64())]),
+    ).map_batches(
+        lambda t: t.rename_columns(["u", "label"]), batch_format="pyarrow"
+    ).materialize()
+
+    def label_sum(ds) -> int:
+        agg = ds.aggregate(Sum("label"))
+        return int(agg["sum(label)"] or 0)
+
+    prev = label_sum(labels)
+    for _round in range(64):  # diameter bound; near-dup clusters are shallow
+        # neighbor labels: edges (u,v) ⋈ labels(v) → candidate label for u
+        lab_v = labels.map_batches(
+            lambda t: t.rename_columns(["v", "vlabel"]), batch_format="pyarrow"
+        )
+        cand = edges.join(lab_v, join_type="inner", num_partitions=4, on=("v",))
+        cand = drop_empty_blocks(
+            cand,
+            pa.schema([("v", pa.int64()), ("u", pa.int64()), ("vlabel", pa.int64())]),
+        )
+        merged = (
+            cand.select_columns(["u", "vlabel"])
+            .map_batches(
+                lambda t: t.rename_columns(["u", "label"]), batch_format="pyarrow"
+            )
+            .union(labels)
+            .groupby("u")
+            .aggregate(Min("label"))
+        )
+        labels = drop_empty_blocks(
+            merged, pa.schema([("u", pa.int64()), ("min(label)", pa.int64())])
+        ).map_batches(
+            lambda t: t.rename_columns(["u", "label"]), batch_format="pyarrow"
+        ).materialize()
+        cur = label_sum(labels)
+        if cur == prev:  # labels only decrease → stationary sum == fixpoint
+            break
+        prev = cur
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    lab = labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    )
+    joined = docs.join(lab, join_type="left_outer", num_partitions=4, on=("doc_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pc.cast(
+                    pc.coalesce(t["cluster_id"], t["doc_id"]), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
 # SimHash
 # ===========================================================================
 

@@ -185,6 +185,198 @@ def doc_fingerprint(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ===========================================================================
+# N-gram statistics: top bigrams (training-data LM-ish counts)
+# ===========================================================================
+
+_TOP_BIGRAMS = 50
+
+
+def _bigram_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT unnest({dd.sql_shingles('t', k=2)}) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT {_TOP_BIGRAMS}
+    """
+
+
+@op("bigram_counts", _bigram_sql())
+def bigram_counts(sf_dir: str):
+    """Global top-{50} token bigrams (count desc, bigram asc): per-batch
+    partial counts (pre-aggregation) → small groupby-sum → top-k sort.
+    Bigrams never cross document boundaries (same windowing as shingles)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bg, _parent = dd.token_shingles(batch["text"], k=2)
+        if not len(bg):
+            return pa.schema([("bigram", pa.string()), ("cnt", pa.int64())]).empty_table()
+        g = pa.table({"bigram": bg}).group_by("bigram").aggregate([([], "count_all")])
+        return pa.table(
+            {"bigram": g["bigram"], "cnt": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    summed = parts.groupby("bigram").sum("cnt")
+    top = summed.sort(["sum(cnt)", "bigram"], descending=[True, False]).limit(
+        _TOP_BIGRAMS
+    )
+    return top.map_batches(
+        lambda t: pa.table(
+            {"bigram": t["bigram"], "n": pc.cast(t["sum(cnt)"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ===========================================================================
+# Exact length deciles (distributed histogram quantiles)
+# ===========================================================================
+
+def _decile_sql() -> str:
+    qs = ", ".join(f"({q})" for q in range(1, 10))
+    return f"""
+    WITH t AS (SELECT len({_TOKS})::BIGINT AS n FROM documents),
+    o AS (SELECT n, row_number() OVER (ORDER BY n) - 1 AS rn FROM t),
+    c AS (SELECT count(*) AS cnt FROM t)
+    SELECT q.q AS decile, o.n AS n_tokens
+    FROM (VALUES {qs}) q(q)
+    JOIN c ON true
+    JOIN o ON o.rn = ((c.cnt - 1) * q.q) // 10
+    """
+
+
+@op("length_deciles", _decile_sql())
+def length_deciles(sf_dir: str):
+    """EXACT token-length deciles over the corpus: decile q = the value at
+    index ⌊(n-1)·q/10⌋ of the sorted length multiset.
+
+    Distributed histogram quantiles: per-batch (length → count) partials
+    shuffle as one tiny row per distinct length (doc lengths are integers
+    with bounded cardinality — the histogram, not the corpus, reaches the
+    driver), then a cumulative walk picks the exact decile values.  Exact,
+    unlike sketch-based approximate quantiles, and no corpus-sized sort."""
+    from .ops import doc_token_stats
+
+    lens = doc_token_stats(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"n_tokens": batch["n_tokens"]})
+            .group_by("n_tokens")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"n_tokens": g["n_tokens"], "cnt": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    hist = (
+        lens.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_tokens")
+        .sum("cnt")
+        .take_all()
+    )  # distinct-length-sized, NOT corpus-sized
+    vals = np.array(sorted((int(r["n_tokens"]), int(r["sum(cnt)"])) for r in hist))
+    lengths, counts = vals[:, 0], vals[:, 1]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for q in range(1, 10):
+        idx = (n - 1) * q // 10
+        out_q.append(q)
+        out_v.append(int(lengths[np.searchsorted(cum, idx + 1)]))
+    return pa.table(
+        {
+            "decile": pa.array(out_q, pa.int32()),
+            "n_tokens": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+# ===========================================================================
+# Phrase matching (adjacency verify — scan-based; positions are not indexed)
+# ===========================================================================
+
+_PHRASES = ["hash join", "table scan", "query plan"]
+
+
+def _phrase_sql() -> str:
+    rows = ", ".join(f"('{p}')" for p in _PHRASES)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest({dd.sql_shingles('t', k=2)}) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    ph(phrase) AS (VALUES {rows})
+    SELECT ph.phrase,
+           count(DISTINCT bg.doc_id) AS n_docs,
+           count(*) AS n_occurrences
+    FROM ph JOIN bg ON bg.bigram = ph.phrase
+    GROUP BY ph.phrase
+    """
+
+
+@op("phrase_match_counts", _phrase_sql())
+def phrase_match_counts(sf_dir: str):
+    """Exact two-token phrase matching by token-adjacency verify (the index
+    stores no positions, so phrase queries scan-verify candidates — the
+    classic fallback; at scale the candidate set would come from the BM25
+    index first and only candidates would be scanned).  Counts matching
+    docs and total occurrences per phrase."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    phrase_set = pa.array(_PHRASES, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bg, parent = dd.token_shingles(batch["text"], k=2)
+        if not len(bg):
+            return pa.schema(
+                [("phrase", pa.string()), ("doc_id", pa.int64()), ("occ", pa.int64())]
+            ).empty_table()
+        keep = pc.is_in(bg, value_set=phrase_set).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(keep)
+        if idx.size == 0:
+            return pa.schema(
+                [("phrase", pa.string()), ("doc_id", pa.int64()), ("occ", pa.int64())]
+            ).empty_table()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parent[idx]]
+        g = (
+            pa.table({"phrase": bg.take(pa.array(idx)), "doc_id": pa.array(ids)})
+            .group_by(["phrase", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "phrase": g["phrase"],
+                "doc_id": g["doc_id"],
+                "occ": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # per (phrase, doc) rows are unique after the per-batch groupby (a doc
+    # lives in one batch), so n_docs = row count and occurrences = Σocc
+    agg = parts.groupby("phrase").aggregate(Count(), Sum("occ"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "phrase": t["phrase"],
+                "n_docs": pc.cast(t["count()"], pa.int64()),
+                "n_occurrences": pc.cast(t["sum(occ)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 @op("doc_fingerprint_rolling")  # char-level rolling hash — no SQL twin (rows-only check)
 def doc_fingerprint_rolling(sf_dir: str):
     """Char-level Rabin-Karp rolling-hash fingerprint (min window hash),
