@@ -1041,6 +1041,57 @@ def user_sessions(sf_dir: str):
 
 
 @op(
+    "events_rolling_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS window_cents,
+           CAST(count(*)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS window_n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS rolling_avg_cents
+    FROM events
+    """,
+)
+def events_rolling_avg(sf_dir: str):
+    """Bounded-frame windowed aggregate: per-user 5-event rolling average
+    (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW).  Exact integer window sums
+    via cumsum differences inside a per-user map_groups, one int/int double
+    division at the end (bit-deterministic, float-safety policy)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def rolling(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        cents = _cents(g["value"]).to_numpy(zero_copy_only=False)
+        n = cents.size
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(n) - 4, 0)
+        win = cum[np.arange(n) + 1] - cum[lo]
+        wn = np.arange(n) + 1 - lo
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "window_cents": pa.array(win, pa.int64()),
+                "window_n": pa.array(wn, pa.int64()),
+                "rolling_avg_cents": pa.array(
+                    win.astype(np.float64) / wn, pa.float64()
+                ),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(rolling, batch_format="pyarrow")
+
+
+@op(
     "parts_by_brand",
     """
     SELECT p_brand, count(*) AS n_parts,

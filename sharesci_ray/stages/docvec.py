@@ -48,6 +48,13 @@ def _block_num_rows(block: pa.Table) -> int:
     return block.num_rows
 
 
+@ray.remote
+def _attach_range_ids(block: pa.Table, offset: int) -> pa.Table:
+    """Small-corpus path: block is already globally sorted; ids are a range."""
+    ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64))
+    return block.append_column("doc_id", ids)
+
+
 _KEY_SCHEMA = pa.schema(
     [(k, pa.string()) for k in SORT_KEYS]
     + [("block", pa.int32()), ("row", pa.int32())]
@@ -82,9 +89,17 @@ def _rank_rows(key_block: pa.Table, offset: int) -> pa.Table:
     )
 
 
+# below this size the whole-data sort is cheaper than the key-only path's
+# extra shuffle rounds (two barriers + a rank groupby cost ~0.5 s of fixed
+# overhead that dominates tiny corpora); both paths assign identical ids
+_SMALL_SORT_BYTES = 256 << 20
+
+
 def assign_doc_ids(ds: ray.data.Dataset, base: int = 0) -> ray.data.Dataset:
     """M9: dense deterministic int64 doc ids via a KEY-ONLY sort +
     distributed prefix-sum; row data stays in place (module docstring).
+    Corpora under ``_SMALL_SORT_BYTES`` take the classic whole-data sort —
+    at that size the data IS key-sized and fewer barriers win.
 
     ``base`` offsets the id space — incremental updates assign the delta
     corpus ids starting at the existing doc count (append semantics)."""
@@ -92,6 +107,17 @@ def assign_doc_ids(ds: ray.data.Dataset, base: int = 0) -> ray.data.Dataset:
     refs = blocks.to_arrow_refs()
     if not refs or blocks.count() == 0:
         return blocks  # nothing to rank; caller's empty-corpus guard fires
+    if (blocks.size_bytes() or 0) <= _SMALL_SORT_BYTES:
+        sorted_ds = blocks.sort(SORT_KEYS).materialize()
+        srefs = sorted_ds.to_arrow_refs()
+        counts = ray.get([_block_num_rows.remote(r) for r in srefs])
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + base
+        return ray.data.from_arrow_refs(
+            [
+                _attach_range_ids.remote(r, int(off))
+                for r, off in zip(srefs, offsets)
+            ]
+        )
     key_refs = [_extract_keys.remote(r, i) for i, r in enumerate(refs)]
     sorted_keys = (
         ray.data.from_arrow_refs(key_refs)

@@ -173,6 +173,37 @@ def test_near_dup_embedding_threshold(ray_session):
     assert (pairs["vec_a"] < pairs["vec_b"]).all()
 
 
+def test_drop_empty_blocks_heals_sparse_shuffles(ray_session):
+    """Ray 2.49 stores 0-row blocks schema-less; drop_empty_blocks must
+    remove them (keeping values) and type a fully-empty dataset."""
+    import ray.data
+
+    from sharesci_ray.pipelines.util import drop_empty_blocks
+
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    ds = ray.data.from_items([{"k": i % 3, "v": i} for i in range(30)])
+
+    def emit(g: pa.Table) -> pa.Table:
+        if int(g["k"][0].as_py()) == 0:
+            return schema.empty_table()
+        return pa.table({"doc_a": g["v"], "doc_b": g["v"]}, schema=schema)
+
+    out = drop_empty_blocks(
+        ds.groupby("k").map_groups(emit, batch_format="pyarrow"), schema
+    )
+    assert out.count() == 20
+    assert set(out.schema().names) == {"doc_a", "doc_b"}
+
+    def never(g: pa.Table) -> pa.Table:
+        return schema.empty_table()
+
+    empty = drop_empty_blocks(
+        ds.groupby("k").map_groups(never, batch_format="pyarrow"), schema
+    )
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"doc_a", "doc_b"}
+
+
 # ---------------------------------------------------------------------------
 # df-cap pre-pass: a planted hot shingle must not blow up pair emission, and
 # the engine must stay value-identical to the capped oracle SQL
