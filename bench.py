@@ -36,6 +36,27 @@ import tempfile
 import time
 
 
+def _quiet_empty_schema_warnings() -> None:
+    """Filter Ray 2.49's 'RefBundle with a different schema ... new schema: .'
+    WARNING: this version stores every 0-row block schema-less (even when
+    the UDF returned a typed empty table), so sparse-keyed shuffles always
+    trip it.  The actionable failure mode behind it — joins crashing on
+    schema-less empties — is handled by sharesci_ray.pipelines.util.
+    drop_empty_blocks; the remaining log line is a known-cosmetic Ray
+    artifact (see .claude/skills/verify)."""
+    import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    # a filter on the ORIGINATING logger blocks the record before it
+    # propagates to any ancestor handler
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_Drop())
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -55,6 +76,8 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200) -> dict:
             ignore_reinit_error=True,
         )
     import ray.data
+
+    _quiet_empty_schema_warnings()
 
     from sharesci_ray.pipelines.build import BuildConfig, build_index
     from sharesci_ray.pipelines.query import ScorerActor, run_queries
@@ -157,6 +180,7 @@ def run_scaling_child(num_cpus: int) -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_schema_warnings()
 
     from sharesci_ray.pipelines.build import BuildConfig, build_index
     from sharesci_ray.pipelines.query import run_queries
@@ -243,6 +267,7 @@ def run_node_child(cpu_list: str, shard_lo: int, shard_hi: int, num_cpus: int) -
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    _quiet_empty_schema_warnings()
 
     from sharesci_ray.pipelines.build import BuildConfig, build_index
     from sharesci_ray.pipelines.query import run_queries
