@@ -228,6 +228,12 @@ def build_index(
                 "refusing to build an empty index"
             )
         _clean_dir(docvec_dir)
+        # a docvec re-run reassigns doc ids from 0, which invalidates every
+        # stored tombstone id — stale tombstones surviving here would
+        # silently drop unrelated NEW documents from stats and segments
+        tomb = os.path.join(build_dir, TOMBSTONES_FILE)
+        if os.path.exists(tomb):
+            os.remove(tomb)
         termvec_mem.write_parquet(docvec_dir)
         m.metrics["ingest_write_s"] = round(_time.perf_counter() - _t0, 3)
         m.rows_out = _parquet_rows(docvec_dir)  # metadata-only, no re-read
@@ -382,15 +388,38 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     the same ordering as update_index (segments manifest invalidated before
     tombstones/stats are written); rerunning the same delete is a no-op.
     """
+    from ..state.manifest import config_hash as _cfg_hash
+
     stored = BuildState(build_dir, {}).read_sidecar("config.json")
     stored_tok = stored.pop("tokenizer", "default")
-    stored.pop("extra_stages", None)
+    # validate UP FRONT, before any destructive write (ADVICE r2): the inner
+    # build_index below reconstructs the docvec fingerprint WITHOUT the
+    # original extra_stages / tokenizer objects — if it would mismatch, the
+    # docvec stage would re-run over the empty placeholder corpus AFTER the
+    # segments manifest and stats were already clobbered, stranding the
+    # index in the exact stats/segments-inconsistent state the ordering
+    # comment in update_index warns about.
+    if stored.pop("extra_stages", []):
+        raise ValueError(
+            "delete_docs on an index built with extra_stages is not supported "
+            "(the custom stages cannot be reconstructed from disk); rebuild "
+            "over the surviving corpus instead"
+        )
     cfg = BuildConfig(
         **{k: tuple(v) if isinstance(v, list) else v for k, v in stored.items()}
     )
     state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
     if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
         raise ValueError(f"{build_dir} is not a complete index; run build_index first")
+    expected_docvec_hash = _cfg_hash(
+        {"langs": cfg.langs, "tokenizer": stored_tok, "extra": []}
+    )
+    if not state.is_complete("docvec", expected_docvec_hash):
+        raise ValueError(
+            "delete_docs cannot reconstruct this index's docvec stage "
+            "fingerprint from config.json (custom tokenizer/stages?) — the "
+            "re-encode would re-ingest an empty corpus; rebuild instead"
+        )
 
     k = 0
     while state.read_manifest(f"delete-{k}") is not None:

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 
 from ..functions.text import SQL_TOKENIZE, flat_tokens, tokenize
 from ..sources.corpus import documents_as_corpus, read_table
+from .util import join_partitions
 
 REGISTRY: dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -385,15 +386,26 @@ def _bm25_run(sf_dir: str, facet_lang: str | None = None, scorer: str = "bmw"):
     docvec = ray.data.read_parquet(
         os.path.join(build_dir, "stage=docvec"), columns=["doc_id", "path"]
     )
-    joined = res.join(docvec, join_type="inner", num_partitions=4, on=("doc_id",))
+    _jp = join_partitions(res, docvec)
+    joined = res.join(docvec, join_type="inner", num_partitions=_jp, on=("doc_id",))
+
+    _REMAP_SCHEMA = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()), ("doc_id", pa.int64())]
+    )
 
     def remap(batch: pa.Table) -> pa.Table:
+        # the join operator emits schema-less 0-row partitions for empty key
+        # ranges (ADVICE r2) — a KeyError here would be key-distribution-
+        # dependent, so guard explicitly
+        if batch.num_rows == 0:
+            return _REMAP_SCHEMA.empty_table()
         return pa.table(
             {
                 "query_id": batch["query_id"],
                 "rank": pc.cast(batch["rank"], pa.int64()),
                 "doc_id": pc.cast(batch["path"], pa.int64()),
-            }
+            },
+            schema=_REMAP_SCHEMA,
         )
 
     return joined.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
@@ -482,8 +494,9 @@ def join_orders_customer(sf_dir: str):
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    _jp = join_partitions(orders, cust)
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, join_type="inner", num_partitions=_jp, on=("o_custkey",), right_on=("c_custkey",)
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -539,7 +552,11 @@ def semi_join_customers(sf_dir: str):
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
     return cust.join(
-        orders, join_type="left_semi", num_partitions=4, on=("c_custkey",), right_on=("o_custkey",)
+        orders,
+        join_type="left_semi",
+        num_partitions=join_partitions(cust, orders),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     )
 
 
@@ -745,7 +762,9 @@ def bm25_topk_meta(sf_dir: str):
     shape for a result set too big to broadcast."""
     res = bm25_topk(sf_dir)
     meta = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
-    joined = res.join(meta, join_type="inner", num_partitions=4, on=("doc_id",))
+    joined = res.join(
+        meta, join_type="inner", num_partitions=join_partitions(res, meta), on=("doc_id",)
+    )
     return joined.select_columns(["query_id", "rank", "doc_id", "lang", "source"])
 
 
@@ -838,7 +857,9 @@ def tfidf_cosine_topk(sf_dir: str):
     )
 
     # ---- per-doc norms: tf ⋈ df on term (J2), then per-doc sum ------------
-    w_rows = tf_mat.join(dfc, join_type="inner", num_partitions=8, on=("term",))
+    w_rows = tf_mat.join(
+        dfc, join_type="inner", num_partitions=join_partitions(tf_mat, dfc), on=("term",)
+    )
 
     def wsq_partial(batch: pa.Table) -> pa.Table:
         """per-batch partial Σw² per doc (pre-aggregation before the
@@ -929,9 +950,33 @@ def tfidf_cosine_topk(sf_dir: str):
         ),
         _NUM_SCHEMA,
     )
+    # safety re-aggregation (ADVICE r2): Ray's dynamic block splitting
+    # (target_max_block_size) can in principle split a tf_rows output block
+    # mid-document, yielding two partial numerator rows for one
+    # (query_id, doc_id).  A no-op groupby-sum when the whole-doc invariant
+    # holds (one row per key, so the float value is untouched); when it
+    # doesn't, it repairs the ranking at the cost of a last-ulp summation-
+    # order difference for the affected doc only.
+    nums = drop_empty_blocks(
+        nums.groupby(["query_id", "doc_id"]).sum("num"),
+        pa.schema(
+            [("query_id", pa.int64()), ("doc_id", pa.int64()), ("sum(num)", pa.float64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {"query_id": t["query_id"], "doc_id": t["doc_id"], "num": t["sum(num)"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     # ---- attach norms by hash join, rank per query ------------------------
-    joined = nums.join(norms2, join_type="inner", num_partitions=8, on=("doc_id",))
+    joined = nums.join(
+        norms2,
+        join_type="inner",
+        num_partitions=join_partitions(nums, norms2),
+        on=("doc_id",),
+    )
 
     def topk(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:

@@ -31,6 +31,7 @@ from ..functions import dedup as dd
 from ..functions.text import SQL_TOKENIZE
 from ..sources.corpus import read_table
 from .ops import op
+from .util import join_partitions
 
 _TOKS = SQL_TOKENIZE.format(col="text")
 _H60_S = dd.SQL_H60.format(s="s")
@@ -292,7 +293,8 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
     sz_b = sizes.map_batches(
         lambda t: t.rename_columns(["doc_b", "n_b"]), batch_format="pyarrow"
     )
-    j = pair_counts.join(sz_a, join_type="inner", num_partitions=4, on=("doc_a",))
+    _jp = join_partitions(pair_counts, sizes)
+    j = pair_counts.join(sz_a, join_type="inner", num_partitions=_jp, on=("doc_a",))
     # the join operator itself emits schema-less empty partitions too
     j = drop_empty_blocks(
         j,
@@ -305,7 +307,7 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
             ]
         ),
     )
-    j = j.join(sz_b, join_type="inner", num_partitions=4, on=("doc_b",))
+    j = j.join(sz_b, join_type="inner", num_partitions=_jp, on=("doc_b",))
 
     def finalize(t: pa.Table) -> pa.Table:
         inter = pc.cast(t["count()"], pa.int64())
@@ -432,12 +434,18 @@ def dedup_cluster(sf_dir: str):
         return int(agg["sum(label)"] or 0)
 
     prev = label_sum(labels)
+    converged = False
     for _round in range(64):  # diameter bound; near-dup clusters are shallow
         # neighbor labels: edges (u,v) ⋈ labels(v) → candidate label for u
         lab_v = labels.map_batches(
             lambda t: t.rename_columns(["v", "vlabel"]), batch_format="pyarrow"
         )
-        cand = edges.join(lab_v, join_type="inner", num_partitions=4, on=("v",))
+        cand = edges.join(
+            lab_v,
+            join_type="inner",
+            num_partitions=join_partitions(edges, labels),
+            on=("v",),
+        )
         cand = drop_empty_blocks(
             cand,
             pa.schema([("v", pa.int64()), ("u", pa.int64()), ("vlabel", pa.int64())]),
@@ -458,14 +466,28 @@ def dedup_cluster(sf_dir: str):
         ).materialize()
         cur = label_sum(labels)
         if cur == prev:  # labels only decrease → stationary sum == fixpoint
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a component with diameter > the round bound would otherwise return
+        # silently wrong cluster ids (ADVICE r2) — fail loudly instead
+        raise RuntimeError(
+            "dedup_cluster: label propagation did not reach a fixpoint within "
+            "64 rounds — a near-dup component has diameter > 64; raise the "
+            "round bound (or switch to pointer-doubling) for this corpus"
+        )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     lab = labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
     )
-    joined = docs.join(lab, join_type="left_outer", num_partitions=4, on=("doc_id",))
+    joined = docs.join(
+        lab,
+        join_type="left_outer",
+        num_partitions=join_partitions(docs, labels),
+        on=("doc_id",),
+    )
 
     def fill(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -9,6 +9,43 @@ import pyarrow as pa
 import ray.data
 
 
+def join_partitions(
+    *datasets: ray.data.Dataset,
+    bytes_per_partition: int = 64 << 20,
+    lo: int = 4,
+) -> int:
+    """Shuffle parallelism for ``Dataset.join`` / wide exchanges, sized from
+    what is known WITHOUT executing the plan: the plan-inferable input size
+    (parquet footer metadata survives projections) and the cluster CPU count.
+
+    A hard-coded small constant (the round-2 shape) is a 4-reducer
+    bottleneck the moment data grows; a bare CPU-proportional number
+    over-partitions tiny dimension joins.  So: when any input's size is
+    statically known, one partition per ``bytes_per_partition`` (clamped to
+    [lo, 4·cpus]); when nothing is known, half a partition per core — wide
+    enough that no reducer sees more than ~2 cores' worth of data, small
+    enough not to drown sf0.01 joins in scheduling.
+    """
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - uninitialised Ray
+        cpus = 8
+    size = 0
+    for ds in datasets:
+        try:
+            s = ds._logical_plan.dag.infer_metadata().size_bytes
+        except Exception:
+            s = None
+        if s:
+            size = max(size, int(s))
+    if size:
+        need = -(-size // bytes_per_partition)
+        return int(min(max(lo, need), 4 * cpus))
+    return max(lo, cpus // 2)
+
+
 def drop_empty_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     """Materialize ``ds`` and drop its 0-row blocks.
 
