@@ -152,6 +152,26 @@ def band_keys(doc_ids: np.ndarray, sigs: np.ndarray):
     )
 
 
+_FOLD_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def fold_bucket(*cols: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic shuffle-bucket fold of one or more int64 key columns.
+
+    LSH pair emission groups by keys of near-CORPUS cardinality (band keys,
+    shingle hashes, simhash chunks) — one ``map_groups`` Python call per
+    mostly-singleton group is pure scheduling overhead (the round-2
+    dedup_simhash driver-bench spread).  Folding the key space into
+    ``n_buckets`` coarse buckets keeps the all-to-all exchange identical in
+    bytes but caps the group COUNT; the emitter then finds the true key runs
+    vectorized inside each bucket.  Wrapping uint64 mix → uniform buckets.
+    """
+    acc = np.zeros(cols[0].shape[0], dtype=np.uint64)
+    for c in cols:
+        acc = (acc ^ c.astype(np.uint64)) * _FOLD_MULT
+    return (acc % np.uint64(n_buckets)).astype(np.int64)
+
+
 _M1 = np.uint64(0x5555555555555555)
 _M2 = np.uint64(0x3333333333333333)
 _M4 = np.uint64(0x0F0F0F0F0F0F0F0F)

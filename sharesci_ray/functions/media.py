@@ -11,9 +11,15 @@ format:
   FIMG blob:  b'FIMG' | u16 width | u16 height | u8 channels | pixels (w*h*c bytes)
   FVID blob:  b'FVID' | u16 n_frames | u16 width | u16 height | u8 channels | frames
 
-Pixel payloads derive from ``numpy.random.RandomState(media_id)`` — fully
-deterministic per id, so tests and the driver's oracle can recompute
-dimensions from the id formula while the engine must actually parse bytes.
+Pixel/sample payloads derive from a CLOSED-FORM integer formula of
+(media_id, element index) — fully deterministic per id AND expressible in
+one line of SQL, so the driver's oracle can recompute not just dimensions
+but pixel sums / audio energy from the id formula while the engine must
+actually parse bytes (synth→binary→decode→aggregate roundtrip):
+
+  payload_value(seed, i) = (seed·2654435761 + i·40503 + 12345) mod M
+  image/video:  M = 256 (uint8 pixels), seed = media_id (+7 for video)
+  audio:        M = 65536, minus 32768 (int16 samples), seed = media_id+99
 
 (ref: n/a — SURVEY.md §0; op required by the task brief, not BASELINE.json.)
 """
@@ -40,20 +46,29 @@ def synth_n_frames(media_id: int) -> int:
     return 4 + media_id % 5
 
 
+# closed-form payload formula constants (module docstring; mirrored in the
+# oracle SQL of ops_media.py — keep in sync)
+PAYLOAD_A = 2654435761
+PAYLOAD_B = 40503
+PAYLOAD_C = 12345
+
+
+def payload_values(seed: int, n: int, mod: int) -> np.ndarray:
+    """The SQL-twin payload formula: (seed·A + i·B + C) mod ``mod``."""
+    i = np.arange(n, dtype=np.int64)
+    return (seed * PAYLOAD_A + i * PAYLOAD_B + PAYLOAD_C) % mod
+
+
 def synth_image_blob(media_id: int) -> bytes:
     w, h, c = synth_dims(media_id)
-    px = np.random.RandomState(media_id % (2**31)).randint(
-        0, 256, size=w * h * c, dtype=np.uint8
-    )
+    px = payload_values(media_id, w * h * c, 256).astype(np.uint8)
     return _IMG_HDR.pack(MAGIC_IMG, w, h, c) + px.tobytes()
 
 
 def synth_video_blob(media_id: int) -> bytes:
     w, h, c = synth_dims(media_id)
     n = synth_n_frames(media_id)
-    px = np.random.RandomState((media_id + 7) % (2**31)).randint(
-        0, 256, size=n * w * h * c, dtype=np.uint8
-    )
+    px = payload_values(media_id + 7, n * w * h * c, 256).astype(np.uint8)
     return _VID_HDR.pack(MAGIC_VID, n, w, h, c) + px.tobytes()
 
 
@@ -84,9 +99,7 @@ MAGIC_AUD = b"FAUD"
 def synth_audio_blob(media_id: int) -> bytes:
     n = 1000 + (media_id % 7) * 500
     rate = 8000
-    samples = np.random.RandomState((media_id + 99) % (2**31)).randint(
-        -32768, 32768, size=n, dtype=np.int16
-    )
+    samples = (payload_values(media_id + 99, n, 65536) - 32768).astype(np.int16)
     return _AUD_HDR.pack(MAGIC_AUD, n, rate) + samples.tobytes()
 
 

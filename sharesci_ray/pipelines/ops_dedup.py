@@ -66,20 +66,93 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 _PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
 
-def _emit_pairs(group: pa.Table, id_col: str = "doc_id", cap: int = dd.LSH_BUCKET_CAP) -> pa.Table:
-    """Group of co-bucketed rows → all (doc_a < doc_b) candidate pairs,
-    vectorized (np.triu_indices).  Groups larger than ``cap`` are dropped —
-    the df-cap pre-pass: a degenerate bucket (stopword-like shingle) would
-    otherwise emit O(|group|²) pairs.  The oracle SQL applies the same cap,
-    so parity holds whether or not it binds."""
-    ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-    if ids.size < 2 or ids.size > cap:
+def _fold_count() -> int:
+    """Shuffle-bucket count for folded LSH pair emission: bounded group
+    count (→ bounded map_groups Python-call overhead) while each bucket
+    stays a small slice of the key space.  At extreme scale size this
+    ~(pair-stage rows / 10^6) instead so per-bucket tables stay in one
+    worker's heap."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover
+        cpus = 8
+    return max(256, 16 * cpus)
+
+
+def _key_runs(group: pa.Table, key_cols: list[str], id_col: str):
+    """Sort a fold bucket by (keys, id) and return (ids, run starts, run
+    ends) for the multi-row TRUE key groups inside it — vectorized; the
+    only Python loop left downstream is over groups that actually contain
+    candidate pairs."""
+    keys = [
+        group[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in key_cols
+    ]
+    ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, *reversed(keys)))
+    keys = [k[order] for k in keys]
+    ids = ids[order]
+    n = ids.size
+    change = np.zeros(max(n - 1, 0), dtype=bool)
+    for k in keys:
+        change |= k[1:] != k[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    multi = (ends - starts) >= 2
+    return ids, order, starts[multi], ends[multi]
+
+
+def _emit_pairs_bucket(
+    group: pa.Table,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    cap: int = dd.LSH_BUCKET_CAP,
+) -> pa.Table:
+    """Fold bucket of many (key → doc set) groups → all within-key
+    (doc_a < doc_b) candidate pairs.  One Python call per FOLD bucket
+    (bounded by _fold_count), not one per near-singleton key group — the
+    round-2 shape paid ~µs of scheduling per group at corpus-sized key
+    cardinality.  Key groups larger than ``cap`` are dropped (df-cap
+    pre-pass; the oracle SQL applies the same cap).  A pair co-bucketed
+    under k distinct keys is emitted k times — downstream counts rely on
+    it (Jaccard intersections) or dedupe (candidate sets)."""
+    if group.num_rows == 0:
         return _PAIRS_SCHEMA.empty_table()
-    ia, ib = np.triu_indices(ids.size, k=1)
+    ids, _order, starts, ends = _key_runs(group, key_cols, id_col)
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):  # multi-row true key groups only
+        u = np.unique(ids[s:e])
+        if u.size < 2 or u.size > cap:
+            continue
+        ia, ib = np.triu_indices(u.size, k=1)
+        out_a.append(u[ia])
+        out_b.append(u[ib])
+    if not out_a:
+        return _PAIRS_SCHEMA.empty_table()
     return pa.table(
-        {"doc_a": pa.array(ids[ia], pa.int64()), "doc_b": pa.array(ids[ib], pa.int64())},
+        {
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        },
         schema=_PAIRS_SCHEMA,
     )
+
+
+def _with_fold(key_cols: list[str], schema: pa.Schema, n_buckets: int):
+    """map_batches fn appending the int64 ``fold`` shuffle key."""
+
+    def add_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        cols = [
+            t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in key_cols
+        ]
+        return t.append_column(
+            "fold", pa.array(dd.fold_bucket(*cols, n_buckets=n_buckets), pa.int64())
+        )
+
+    return add_fold
 
 
 _TOPK_SCHEMA = pa.schema(
@@ -167,8 +240,22 @@ def dedup_minhash_lsh(sf_dir: str, cap: int = dd.LSH_BUCKET_CAP):
 
     band_ds = docs.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    pairs = band_ds.groupby(["band", "band_key"]).map_groups(
-        lambda g: _emit_pairs(g, cap=cap), batch_format="pyarrow"
+    _BAND_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("band", pa.int32()),
+            ("band_key", pa.int64()),
+            ("fold", pa.int64()),
+        ]
+    )
+    folded = band_ds.map_batches(
+        _with_fold(["band", "band_key"], _BAND_SCHEMA, _fold_count()),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = folded.groupby("fold").map_groups(
+        lambda g: _emit_pairs_bucket(g, ["band", "band_key"], cap=cap),
+        batch_format="pyarrow",
     )
     distinct = pairs.groupby(["doc_a", "doc_b"]).count()
     return distinct.select_columns(["doc_a", "doc_b"])
@@ -272,12 +359,22 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
         pa.schema([("doc_id", pa.int64()), ("count()", pa.int64())]),
     )  # (doc_id, count())
 
+    _HS_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("h31", pa.int64()), ("fold", pa.int64())]
+    )
     pair_counts = (
-        hs.groupby("h31")
-        .map_groups(lambda g: _emit_pairs(g, cap=cap), batch_format="pyarrow")
+        hs.map_batches(
+            _with_fold(["h31"], _HS_SCHEMA, _fold_count()),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("fold")
+        .map_groups(
+            lambda g: _emit_pairs_bucket(g, ["h31"], cap=cap), batch_format="pyarrow"
+        )
         .groupby(["doc_a", "doc_b"])
         .count()
-    )  # (doc_a, doc_b, count() = intersection)
+    )  # (doc_a, doc_b, count() = intersection; one emit per shared h31)
     # sparse-keyed shuffles emit schema-less empty blocks that crash the
     # joins below (see util.drop_empty_blocks)
     pair_counts = drop_empty_blocks(
@@ -566,17 +663,26 @@ def dedup_simhash(sf_dir: str):
     """
     sims = doc_simhash(sf_dir)
 
+    n_fold = _fold_count()
+
     def explode_chunks(batch: pa.Table) -> pa.Table:
+        """Each simhash → 4 (chunk_idx, chunk_val) rows, pre-folded into the
+        bounded shuffle-bucket key (see _emit_pairs_bucket)."""
         sim = batch["simhash"].to_numpy(zero_copy_only=False)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         ch = dd.simhash_chunks(sim)  # (n, 4)
         n = sim.size
+        cidx = np.repeat(np.arange(4, dtype=np.int64), n)
+        cval = ch.T.reshape(-1)
         return pa.table(
             {
-                "chunk_idx": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
-                "chunk_val": pa.array(ch.T.reshape(-1)),
+                "chunk_idx": pa.array(cidx.astype(np.int32)),
+                "chunk_val": pa.array(cval),
                 "doc_id": pa.array(np.tile(ids, 4)),
                 "simhash": pa.array(np.tile(sim, 4)),
+                "fold": pa.array(
+                    dd.fold_bucket(cidx, cval, n_buckets=n_fold), pa.int64()
+                ),
             }
         )
 
@@ -587,29 +693,34 @@ def dedup_simhash(sf_dir: str):
     )
 
     def emit(group: pa.Table) -> pa.Table:
-        """Exact-Hamming verify inside a chunk bucket, fully vectorized
-        (pairwise xor + SWAR popcount over np.triu_indices)."""
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        sh = group["simhash"].to_numpy(zero_copy_only=False)
-        if ids.size < 2:
+        """Exact-Hamming verify over every true (chunk_idx, chunk_val) run
+        inside one fold bucket — pairwise xor + SWAR popcount per run; one
+        Python call per BUCKET (bounded), not per near-singleton chunk
+        group (the round-2 scheduling-bound shape)."""
+        if group.num_rows == 0:
             return _EMIT_SCHEMA.empty_table()
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        ia, ib = np.triu_indices(ids.size, k=1)
-        h = dd.popcount64((sh[ia] ^ sh[ib]).astype(np.uint64))
-        m = h <= _HAMMING_MAX
+        ids, order, starts, ends = _key_runs(group, ["chunk_idx", "chunk_val"], "doc_id")
+        sh = group["simhash"].to_numpy(zero_copy_only=False)[order]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            ia, ib = np.triu_indices(e - s, k=1)
+            h = dd.popcount64((sh[s + ia] ^ sh[s + ib]).astype(np.uint64))
+            m = h <= _HAMMING_MAX
+            out_a.append(ids[s + ia[m]])
+            out_b.append(ids[s + ib[m]])
+            out_h.append(h[m])
+        if not out_a:
+            return _EMIT_SCHEMA.empty_table()
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia][m], pa.int64()),
-                "doc_b": pa.array(ids[ib][m], pa.int64()),
-                "hamming": pa.array(h[m], pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
             },
             schema=_EMIT_SCHEMA,
         )
 
-    pairs = chunks.groupby(["chunk_idx", "chunk_val"]).map_groups(
-        emit, batch_format="pyarrow"
-    )
+    pairs = chunks.groupby("fold").map_groups(emit, batch_format="pyarrow")
     from ray.data.aggregate import Min
 
     distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
@@ -678,8 +789,16 @@ def near_dup_embedding(sf_dir: str):
         )
 
     refs = emb.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
-    block_pairs = [
-        {"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))
+    # row-stripe decomposition: one task = block i × a STRIPE of blocks
+    # j ∈ [j0, j1) with j ≥ i, so block i ships once per stripe instead of
+    # once per (i, j) pair — ~2× fewer cross-cluster block transfers at
+    # large B, and the task count drops from B(B+1)/2 to ~B·⌈B/STRIPE⌉/2.
+    _STRIPE = 8
+    n_blocks = len(refs)
+    stripes = [
+        {"i": i, "j0": j0, "j1": min(j0 + _STRIPE, n_blocks)}
+        for i in range(n_blocks)
+        for j0 in range(i, n_blocks, _STRIPE)
     ]
 
     _PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
@@ -687,22 +806,27 @@ def near_dup_embedding(sf_dir: str):
     def cross(batch: pa.Table, _refs=refs) -> pa.Table:
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
-            bi, bj = ray.get(_refs[i]), ray.get(_refs[j])
+        for i, j0, j1 in zip(
+            batch["i"].to_pylist(), batch["j0"].to_pylist(), batch["j1"].to_pylist()
+        ):
+            bi = ray.get(_refs[i])
             ids_i = bi["vec_id"].to_numpy(zero_copy_only=False)
-            ids_j = bj["vec_id"].to_numpy(zero_copy_only=False)
-            sims = _embedding_matrix(bi) @ _embedding_matrix(bj).T
-            hit_i, hit_j = np.nonzero(
-                (sims >= _COS_MIN) & (ids_i[:, None] != ids_j[None, :])
-            )
-            a, b = ids_i[hit_i], ids_j[hit_j]
-            if i == j:  # within-block: keep each unordered pair once
-                keep = a < b
-                a, b = a[keep], b[keep]
-            else:  # cross-block ids are arbitrary: order each pair
-                a, b = np.minimum(a, b), np.maximum(a, b)
-            out_a.append(a)
-            out_b.append(b)
+            mat_i = _embedding_matrix(bi)
+            for j in range(j0, j1):
+                bj = ray.get(_refs[j])
+                ids_j = bj["vec_id"].to_numpy(zero_copy_only=False)
+                sims = mat_i @ _embedding_matrix(bj).T
+                hit_i, hit_j = np.nonzero(
+                    (sims >= _COS_MIN) & (ids_i[:, None] != ids_j[None, :])
+                )
+                a, b = ids_i[hit_i], ids_j[hit_j]
+                if i == j:  # within-block: keep each unordered pair once
+                    keep = a < b
+                    a, b = a[keep], b[keep]
+                else:  # cross-block ids are arbitrary: order each pair
+                    a, b = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(a)
+                out_b.append(b)
         if not out_a:
             return _PAIR_SCHEMA.empty_table()
         return pa.table(
@@ -713,7 +837,7 @@ def near_dup_embedding(sf_dir: str):
             schema=_PAIR_SCHEMA,
         )
 
-    pair_ds = ray.data.from_items(block_pairs)
+    pair_ds = ray.data.from_items(stripes)
     return pair_ds.map_batches(cross, batch_format="pyarrow", batch_size=1)
 
 
@@ -780,7 +904,7 @@ def ann_topk_cosine(sf_dir: str):
     )
 
 
-# ---- LSH-bucketed ANN: the scale path (approximate → no SQL oracle) -------
+# ---- LSH-bucketed ANN: the scale path (now with a FULL SQL oracle) --------
 
 # Tuned on the testdata distribution, which is ADVERSARIAL for LSH: the
 # synthetic embeddings are near-uniform (a query's true top-10 sits at
@@ -790,24 +914,85 @@ def ann_topk_cosine(sf_dir: str):
 _LSH_TABLES = 4       # independent hash tables (union of candidates)
 _LSH_PLANES = 5       # 32 buckets per table
 _LSH_MULTIPROBE = 2   # probe buckets within Hamming 2 of the query bucket
-_LSH_MIN_RECALL = 0.9  # asserted vs the brute-force truth (driver-visible)
+_LSH_MIN_RECALL = 0.9  # asserted vs the brute-force truth (verify=True path)
+_LSH_DIM = 64         # embeddings table dim (asserted at runtime)
+_LSH_QSCALE = 1 << 20  # embedding quantization: q = floor(x · 2^20)
 
-_PLANES: dict[tuple[int, int], np.ndarray] = {}
+# INTEGER hyperplane weights (fixed seed, embedded verbatim in the oracle
+# SQL): bucketing is an exact int64 dot-product sign on BOTH sides —
+# q_d = floor(x_d · 2^20) (exact: float32 → float64 widening and a
+# power-of-two scale are lossless, floor is identical in numpy and SQL),
+# w from a frozen RNG rounded to integers.  |q| < 2^21 · |w| < 2^22 · 64
+# terms → |dot| < 2^47, exact in int64 everywhere — no float-sign parity
+# hazard at the bucket boundary.
+_LSH_W = np.floor(
+    np.random.RandomState(0xBEEF).standard_normal((_LSH_TABLES, _LSH_PLANES, _LSH_DIM))
+    * 1_000_000
+).astype(np.int64)
 
 
-def _planes(dim: int, table: int) -> np.ndarray:
-    key = (dim, table)
-    if key not in _PLANES:
-        _PLANES[key] = np.random.RandomState(0xBEEF + 7 * table).standard_normal(
-            (_LSH_PLANES, dim)
-        )
-    return _PLANES[key]
+def _quantize(mat: np.ndarray) -> np.ndarray:
+    """float64 embedding rows → exact int64 lattice (SQL twin:
+    CAST(floor(x * 2^20) AS BIGINT) over CAST(embedding AS DOUBLE[]))."""
+    return np.floor(mat * _LSH_QSCALE).astype(np.int64)
 
 
-def _bucket_of(mat: np.ndarray, table: int) -> np.ndarray:
-    """Random-hyperplane LSH bucket id per row (int in [0, 2^planes))."""
-    proj = mat @ _planes(mat.shape[1], table).T > 0  # (n, planes)
+def _bucket_of(qmat: np.ndarray, table: int) -> np.ndarray:
+    """Hyperplane LSH bucket per QUANTIZED row (int in [0, 2^planes));
+    integer matmul — bit p set iff Σ_d q_d·w_pd > 0, exact in int64."""
+    proj = qmat @ _LSH_W[table].T > 0  # (n, planes) int64 matmul, no overflow
     return (proj.astype(np.int64) * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
+
+
+def _ann_lsh_sql() -> str:
+    """Full oracle: replay quantization, all T·P integer plane dots, bucket
+    assembly, Hamming-≤2 multiprobe and exact cosine re-ranking in SQL."""
+    per_table = []
+    for t in range(_LSH_TABLES):
+        bits = []
+        for p in range(_LSH_PLANES):
+            dot = " + ".join(
+                f"q[{d + 1}]*({int(_LSH_W[t, p, d])})" for d in range(_LSH_DIM)
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        per_table.append(
+            f"SELECT vec_id, {t} AS table_id, {' + '.join(bits)} AS bucket FROM emb"
+        )
+    buckets_union = " UNION ALL ".join(per_table)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_LSH_QSCALE}) AS BIGINT)) AS q,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    buck AS ({buckets_union}),
+    qb AS (
+      SELECT vec_id AS qid, table_id, bucket FROM buck WHERE vec_id < {_ANN_NQ}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.qid, b.vec_id
+      FROM qb JOIN buck b
+        ON b.table_id = qb.table_id
+       AND bit_count(xor(qb.bucket, b.bucket)) <= {_LSH_MULTIPROBE}
+      WHERE b.vec_id != qb.qid
+    ),
+    scored AS (
+      SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(qe.e, be.e) AS score
+      FROM cand c
+      JOIN emb qe ON qe.vec_id = c.qid
+      JOIN emb be ON be.vec_id = c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """
 
 
 _PARTIAL_SCHEMA = pa.schema(
@@ -815,8 +1000,8 @@ _PARTIAL_SCHEMA = pa.schema(
 )
 
 
-@op("ann_lsh_topk")  # approximate — rows-only driver check + recall column
-def ann_lsh_topk(sf_dir: str):
+@op("ann_lsh_topk", _ann_lsh_sql())
+def ann_lsh_topk(sf_dir: str, verify: bool = False):
     """LSH-bucketed ANN (scale path): _LSH_TABLES independent hyperplane
     tables (Indyk & Motwani, STOC 1998; multi-probe per Lv et al., VLDB
     2007); the corpus is bucketed by ONE groupby over exploded
@@ -824,22 +1009,40 @@ def ann_lsh_topk(sf_dir: str):
     query's probed buckets, and per-table candidates are unioned before
     the exact top-k merge.
 
-    Self-checking contract (driver-visible in lieu of a SQL oracle): the
-    output carries a per-query ``recall10`` column vs the exact
-    brute-force ranking (ann_topk_cosine), and the op RAISES if mean
-    recall < _LSH_MIN_RECALL — an approximate op that silently degrades
-    is a wrong op.  At 100 TB the truth side is estimated on a query
-    sample, which is exactly what this computes (nq sampled queries).
+    Integer-exact bucketing (round-3): projections are int64 dot products
+    over floor-quantized embeddings and frozen integer plane weights, so
+    the DuckDB oracle replays the EXACT same buckets, multiprobe set and
+    candidate list in SQL — the op is value-hash-checkable like any exact
+    op (an approximate ALGORITHM with a deterministic, verifiable output).
+
+    ``verify=True`` additionally computes recall@k against the exact
+    brute-force ranking (ann_topk_cosine) and RAISES below
+    _LSH_MIN_RECALL — the production spot-check on a query sample, kept
+    off the default path so callers don't pay the exact-truth cost per
+    run (round-2 item: it used to run unconditionally).
     """
     import ray
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q_ids, q_mat = _query_matrix(emb, _ANN_NQ)
+    q_rows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], _ANN_NQ)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded by the query sample
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_raw = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    if q_raw.shape[1] != _LSH_DIM:
+        raise ValueError(
+            f"ann_lsh_topk: embedding dim {q_raw.shape[1]} != configured "
+            f"{_LSH_DIM} (the SQL-twin plane table is dim-specific)"
+        )
+    q_mat = _normalize(q_raw)   # scoring side (exact cosine)
+    q_quant = _quantize(q_raw)  # bucketing side (integer-exact)
     # probe set per (table, bucket): every bucket within Hamming
     # _LSH_MULTIPROBE of the query's bucket in that table
     probe: dict[tuple[int, int], list[int]] = {}
     for t in range(_LSH_TABLES):
-        q_buckets = _bucket_of(q_mat, t)
+        q_buckets = _bucket_of(q_quant, t)
         for qi, b in zip(q_ids, q_buckets):
             for nb in range(1 << _LSH_PLANES):
                 if bin(int(b) ^ nb).count("1") <= _LSH_MULTIPROBE:
@@ -848,7 +1051,7 @@ def ann_lsh_topk(sf_dir: str):
 
     def add_buckets(batch: pa.Table) -> pa.Table:
         """Explode each vector into _LSH_TABLES (table, bucket) rows."""
-        m = _normalize(_embedding_matrix(batch))
+        m = _quantize(_embedding_matrix(batch))
         ids = pc.cast(batch["vec_id"], pa.int64())
         n = batch.num_rows
         buckets = np.concatenate([_bucket_of(m, t) for t in range(_LSH_TABLES)])
@@ -924,8 +1127,10 @@ def ann_lsh_topk(sf_dir: str):
         )
 
     lsh = partials.groupby("query_id").map_groups(merge_tables, batch_format="pyarrow")
+    if not verify:
+        return lsh  # streaming result; buckets/candidates oracle-checked
 
-    # ---- recall contract: compare against the exact brute-force ranking ----
+    # ---- recall spot-check: compare against the exact brute-force ranking --
     # both sides are nq·k rows (bounded by the query sample, NOT corpus-sized)
     lsh_t = lsh.take_all()
     truth_t = ann_topk_cosine(sf_dir).take_all()

@@ -27,6 +27,21 @@ from .ops import op
 _N_MEDIA = 200  # first N doc_ids become media rows
 _MEDIA_BATCH = 64
 
+# SQL twins of the closed-form payload formula (functions/media.py
+# payload_values): pixel/sample value at flat index expressed over a doc_id
+# column ``d.doc_id`` and an index expression — lets the oracle recompute
+# PIXEL SUMS / AUDIO ENERGY from the id formula while the engine must parse
+# the actual blob bytes.
+_W = "(8 + d.doc_id % 9)"
+_H = "(6 + d.doc_id % 7)"
+
+
+def _px_sql(seed_expr: str, idx_expr: str, mod: int) -> str:
+    return (
+        f"(({seed_expr}) * {md.PAYLOAD_A} + ({idx_expr}) * {md.PAYLOAD_B} "
+        f"+ {md.PAYLOAD_C}) % {mod}"
+    )
+
 
 def media_dataset(sf_dir: str, kind: str = "image"):
     """documents.doc_id → (media_id, media_type, blob) binary-column Dataset.
@@ -112,10 +127,24 @@ def media_decode_meta(sf_dir: str):
     return dec.select_columns(["media_id", "width", "height", "channels"])
 
 
-@op("media_image_features")  # pixel stats: not SQL-expressible → rows-only
+@op(
+    "media_image_features",
+    f"""
+    SELECT media_id, px_sum, n_px, px_sum::DOUBLE / n_px AS mean_px FROM (
+      SELECT d.doc_id AS media_id,
+             sum({_px_sql('d.doc_id', 'r.i', 256)})::BIGINT AS px_sum,
+             count(*)::BIGINT AS n_px
+      FROM documents d JOIN range(0, 16 * 12 * 3) r(i)
+        ON r.i < {_W} * {_H} * 3
+      WHERE d.doc_id < {_N_MEDIA}
+      GROUP BY d.doc_id
+    )
+    """,
+)
 def media_image_features(sf_dir: str):
     """Feature extraction over decoded pixels (int sums; mean = one int/int
-    division).  Value-checked in tests/test_media_ops.py."""
+    division).  The oracle recomputes the pixel sums from the closed-form
+    payload formula — the engine must parse the blob bytes to match."""
     dec = _decoded(sf_dir)
 
     def feat(t: pa.Table) -> pa.Table:
@@ -157,8 +186,24 @@ class ImageResizer:
         )
 
 
-@op("media_resize")  # resized pixel sums: rows-only (value-checked in pytest)
+_RESIZE_IDX = f"(((y.i * {_H}) // 4) * {_W} + ((x.i * {_W}) // 4)) * 3 + ch.i"
+
+
+@op(
+    "media_resize",
+    f"""
+    SELECT d.doc_id AS media_id,
+           CAST(4 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
+           sum({_px_sql('d.doc_id', _RESIZE_IDX, 256)})::BIGINT AS px_sum
+    FROM documents d, range(0, 4) y(i), range(0, 4) x(i), range(0, 3) ch(i)
+    WHERE d.doc_id < {_N_MEDIA}
+    GROUP BY d.doc_id
+    """,
+)
 def media_resize(sf_dir: str):
+    """Nearest-neighbor 4×4 resize: the oracle replays the gather indices
+    (yi = y·h//4, xi = x·w//4) and the payload formula in SQL; the engine
+    decodes real bytes and gathers with numpy."""
     return media_dataset(sf_dir, "image").map_batches(
         ImageResizer,
         fn_constructor_kwargs={"out_w": 4, "out_h": 4},
@@ -220,8 +265,25 @@ def media_audio_features(sf_dir: str):
     return feats.select_columns(["media_id", "n_samples", "sample_rate"])
 
 
-@op("media_audio_energy")  # integer energy features — rows-only + pytest
+@op(
+    "media_audio_energy",
+    f"""
+    SELECT d.doc_id AS media_id,
+           (1000 + (d.doc_id % 7) * 500)::BIGINT AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           sum(abs({_px_sql('d.doc_id + 99', 'r.i', 65536)} - 32768))::BIGINT
+             AS abs_energy,
+           max(abs({_px_sql('d.doc_id + 99', 'r.i', 65536)} - 32768))::BIGINT
+             AS peak
+    FROM documents d JOIN range(0, 4000) r(i)
+      ON r.i < 1000 + (d.doc_id % 7) * 500
+    WHERE d.doc_id < {_N_MEDIA}
+    GROUP BY d.doc_id
+    """,
+)
 def media_audio_energy(sf_dir: str):
+    """Integer audio energy features; oracle replays the int16 sample
+    formula in SQL, engine parses FAUD bytes."""
     return media_dataset(sf_dir, "audio").map_batches(
         AudioFeatures,
         batch_format="pyarrow",

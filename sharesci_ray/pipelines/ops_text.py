@@ -377,12 +377,64 @@ def phrase_match_counts(sf_dir: str):
     )
 
 
-@op("doc_fingerprint_rolling")  # char-level rolling hash — no SQL twin (rows-only check)
+_RH_WINDOW = 16
+_RH_BASE = 257
+_RH_MOD = 1 << 32
+
+
+def _rolling_fp_sql() -> str:
+    """SQL twin of functions/text.rolling_fingerprint for ASCII corpora
+    (the testdata is pure ASCII, so byte == character): every byte
+    contributes to its 16 covering windows via a cross join with the
+    position-power table; complete windows (16 terms, start ≥ 1) take the
+    min; sub-window docs fall back to the closed-form prefix hash."""
+    wpows = ", ".join(
+        f"({j}, {pow(_RH_BASE, _RH_WINDOW - 1 - j, _RH_MOD)})"
+        for j in range(_RH_WINDOW)
+    )
+    spows = ", ".join(
+        f"({e}, {pow(_RH_BASE, e, _RH_MOD)})" for e in range(_RH_WINDOW)
+    )
+    return f"""
+    WITH pows(j, pw) AS (VALUES {wpows}),
+    spows(e, pw) AS (VALUES {spows}),
+    ba AS (
+      SELECT doc_id, r.i AS i,
+             ascii(substring(text, CAST(r.i AS INT), 1)) AS b,
+             length(text) AS n
+      FROM documents, range(1, 2048) r(i) WHERE r.i <= length(text)
+    ),
+    wh AS (
+      SELECT b.doc_id, b.i - p.j AS wi,
+             sum(b.b * p.pw) % {_RH_MOD} AS h, count(*) AS cnt
+      FROM ba b CROSS JOIN pows p
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT doc_id, min(h) AS fp FROM wh
+      WHERE cnt = {_RH_WINDOW} AND wi >= 1 GROUP BY doc_id
+    ),
+    shrt AS (
+      SELECT b.doc_id, sum(b.b * s.pw) % {_RH_MOD} AS fp
+      FROM ba b JOIN spows s ON s.e = b.n - b.i
+      WHERE b.n < {_RH_WINDOW} GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN length(d.text) = 0 THEN 0
+                     WHEN length(d.text) < {_RH_WINDOW} THEN s.fp
+                     ELSE m.fp END AS BIGINT) AS fingerprint
+    FROM documents d
+    LEFT JOIN m ON m.doc_id = d.doc_id
+    LEFT JOIN shrt s ON s.doc_id = d.doc_id
+    """
+
+
+@op("doc_fingerprint_rolling", _rolling_fp_sql())
 def doc_fingerprint_rolling(sf_dir: str):
     """Char-level Rabin-Karp rolling-hash fingerprint (min window hash),
-    numpy sliding-window vectorized (functions/text.py).  Not expressible in
-    portable SQL → driver records the weaker rows-only check; value
-    correctness is unit-tested in tests/test_text_ops.py."""
+    numpy sliding-window vectorized (functions/text.py).  The SQL twin
+    replays the byte-window polynomial exactly (integer mod-2^32 arithmetic
+    on both sides; the testdata is pure ASCII so bytes == characters)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
