@@ -123,6 +123,266 @@ def _drop_dead_fn(dead: np.ndarray):
     return drop
 
 
+# avgdl-drift bound for bucket-scoped incremental re-encode: block maxes in
+# UNtouched buckets were computed under an older avgdl; the scorer keeps
+# WAND/BMW pruning safe by scaling them with max(1, avgdl_now/bm_avgdl_lo)
+# (tf_norm(avgdl') ≤ tf_norm(avgdl0)·max(1, avgdl'/avgdl0) — see
+# query.ScorerActor).  Once the live range of encode-time avgdls exceeds
+# this ratio the bounds get loose enough to erode skipping, so the next
+# update triggers a full re-encode instead.
+_BM_SLACK_LIMIT = 1.10
+
+
+def _set_encode_avgdl(state: BuildState, lo: float, hi: float) -> None:
+    """Record the [lo, hi] range of avgdl values live segments were encoded
+    under (stats.json sidecar keys ``bm_avgdl_lo``/``bm_avgdl_hi``)."""
+    stats = state.read_sidecar("stats.json")
+    stats["bm_avgdl_lo"] = lo
+    stats["bm_avgdl_hi"] = hi
+    state.write_sidecar("stats.json", stats)
+
+
+def _encode_segments_from_postings(
+    postings: ray.data.Dataset,
+    cfg: BuildConfig,
+    stats: dict,
+    out_dir: str,
+    metrics: dict,
+    hot_sample_frac: float = 1.0,
+) -> None:
+    """Shared segments-encode core (full build AND bucket-scoped partial
+    re-encode): postings (term, doc_id, tf, dl) → hot-term plan → packed
+    shuffle → per-bucket encode → salted merge → parquet partitioned by
+    term_bucket at ``out_dir`` (wiped first)."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    if cfg.doc_shards:
+        plan = SaltPlan(
+            n_buckets=cfg.n_buckets,
+            n_docs=stats.get("id_space", stats["n_docs"]),
+            doc_shards=cfg.doc_shards,
+        )
+    else:
+        src = postings
+        if hot_sample_frac < 1.0:
+            src = src.random_sample(hot_sample_frac, seed=7)
+        hot = detect_hot_terms(src, top_m=cfg.hot_top_m)
+        hot = {t: int(c / hot_sample_frac) for t, c in hot.items()}
+        hot = {t: c for t, c in hot.items() if c >= cfg.salt_threshold}
+        metrics["hot_pass_s"] = round(_time.perf_counter() - _t0, 3)
+        plan = SaltPlan.plan(
+            hot, cfg.n_buckets, stats.get("id_space", stats["n_docs"]), cfg.salt_target_group
+        )
+        metrics["hot_terms"] = {t: list(plan.salts[t]) for t in plan.salts}
+
+    packed = postings.map_batches(
+        make_bucket_packer(plan), batch_format="pyarrow", zero_copy_batch=True
+    )
+    encoder = make_packed_encoder(
+        stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
+    )
+    seg = packed.groupby("bucket").map_groups(encoder, batch_format="pyarrow")
+    if cfg.merge_salted and plan.salts:
+        # the finals/partials branches below both consume `seg`; Ray Data
+        # re-executes shared subplans per consumer, so pin the encoded
+        # segments in the object store once before branching
+        seg = seg.materialize()
+        finals = seg.map_batches(
+            lambda t: t.filter(pc.equal(t["salt_idx"], pa.scalar(-1, pa.int32()))),
+            batch_format="pyarrow",
+        )
+        partials = seg.map_batches(
+            lambda t: t.filter(pc.not_equal(t["salt_idx"], pa.scalar(-1, pa.int32()))),
+            batch_format="pyarrow",
+        )
+        merger = make_salted_merger(
+            stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
+        )
+        merged = partials.groupby("term").map_groups(merger, batch_format="pyarrow")
+        seg = finals.union(merged)
+    _t0 = _time.perf_counter()
+    _clean_dir(out_dir)
+    seg.write_parquet(out_dir, partition_cols=["term_bucket"])
+    metrics["encode_write_s"] = round(_time.perf_counter() - _t0, 3)
+
+
+_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
+    ]
+)
+
+
+def _terms_to_buckets(t: pa.Table, n_buckets: int) -> pa.Table:
+    """terms list-column batch → unique route-bucket ids touched by it."""
+    from ..functions.hashing import polyhash_column
+
+    terms = t["terms"]
+    terms = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+    flat = pc.unique(pc.list_flatten(terms))
+    if len(flat) == 0:
+        return pa.schema([("bucket", pa.int32())]).empty_table()
+    b = (polyhash_column(flat) % np.uint64(n_buckets)).astype(np.int32)
+    return pa.table({"bucket": pa.array(np.unique(b))})
+
+
+def _affected_buckets(
+    docvec_dir: str,
+    n_buckets: int,
+    newly_dead: np.ndarray,
+    delta_dir: str | None,
+) -> set[int]:
+    """Route buckets whose posting lists an update/delete can change: the
+    buckets of every term of the delta docs and of the newly-dead docs.
+    A term whose docs are untouched keeps byte-identical postings, so its
+    bucket never needs rewriting (df/doc ids/tfs all unchanged).  The scan
+    is column-pruned (doc_id+terms) and per-batch reduced to unique bucket
+    ids — only bucket ints shuffle."""
+    sources = []
+    if delta_dir is not None:
+        sources.append(ray.data.read_parquet(delta_dir, columns=["terms"]))
+    if newly_dead.size:
+        dead_ref = ray.put(pa.array(newly_dead, pa.int64()))
+
+        def keep_dead(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(dead_ref)))
+
+        sources.append(
+            ray.data.read_parquet(docvec_dir, columns=["doc_id", "terms"]).map_batches(
+                keep_dead, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    buckets: set[int] = set()
+    for src in sources:
+        parts = src.map_batches(
+            lambda t, _n=n_buckets: _terms_to_buckets(t, _n),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        buckets.update(int(b) for b in parts.unique("bucket"))
+    return buckets
+
+
+def _segments_to_postings_fn(dead: np.ndarray, min_dead_id: int):
+    """map_batches fn decoding segment rows back to posting rows, dropping
+    doc ids that are tombstoned or ≥ ``min_dead_id`` (the current delta's
+    id base — dropping-then-re-adding the delta makes a crash rerun
+    idempotent even over half-rewritten buckets)."""
+    from ..functions.codecs import decode_docids, decode_values
+
+    dead_ref = ray.put(np.sort(dead.astype(np.int64)))
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _POSTINGS_SCHEMA.empty_table()
+        ids_parts, tf_parts, dl_parts, counts = [], [], [], []
+        for i in range(t.num_rows):
+            ids_parts.append(decode_docids(t["docids"][i].as_py()))
+            tf_parts.append(decode_values(t["tfs"][i].as_py()))
+            dl_parts.append(decode_values(t["dls"][i].as_py()))
+            counts.append(ids_parts[-1].size)
+        ids = np.concatenate(ids_parts).astype(np.int64)
+        tfs = np.concatenate(tf_parts).astype(np.int32)
+        dls = np.concatenate(dl_parts).astype(np.int32)
+        term_col = t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+        idx = np.repeat(np.arange(t.num_rows), counts)
+        terms = pc.cast(
+            pa.DictionaryArray.from_arrays(pa.array(idx.astype(np.int32)), term_col),
+            pa.string(),
+        )
+        dead_arr = ray.get(dead_ref)
+        keep = ids < min_dead_id
+        if dead_arr.size:
+            pos = np.searchsorted(dead_arr, ids)
+            pos[pos == dead_arr.size] = 0
+            keep &= dead_arr[pos] != ids
+        k = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "term": terms.take(pa.array(k)),
+                "doc_id": pa.array(ids[k]),
+                "tf": pa.array(tfs[k]),
+                "dl": pa.array(dls[k]),
+            },
+            schema=_POSTINGS_SCHEMA,
+        )
+
+    return decode
+
+
+def _partial_reencode_segments(
+    state: BuildState,
+    cfg: BuildConfig,
+    affected: set[int],
+    dead: np.ndarray,
+    delta_dir: str | None,
+    delta_base: int,
+    metrics: dict,
+) -> None:
+    """Bucket-scoped incremental re-encode (O(delta-touched buckets), not
+    O(index)): decode ONLY the affected term buckets' existing segment
+    rows back to postings, drop tombstoned + current-delta ids, union the
+    delta's fresh postings, re-run the standard pack→encode→merge over
+    that subset, and swap just those ``term_bucket=`` partition dirs.
+
+    The corpus checkpoint is never scanned; untouched buckets' parquet is
+    never rewritten.  Untouched block maxes stay encoded under an older
+    avgdl — valid upper bounds via the scorer's bm_avgdl_lo slack (the
+    update caller enforces _BM_SLACK_LIMIT and falls back to a full
+    re-encode beyond it).  Crash-safe: the segments manifest is already
+    deleted; a rerun recomputes the same affected set and the decode
+    filter (ids ≥ delta_base dropped, then re-added from the delta dir)
+    makes re-processing half-swapped buckets idempotent."""
+    stats = state.read_sidecar("stats.json")
+    seg_dir = state.stage_dir("segments")
+    srcs = []
+    existing = [
+        os.path.join(seg_dir, f"term_bucket={b}")
+        for b in sorted(affected)
+        if os.path.isdir(os.path.join(seg_dir, f"term_bucket={b}"))
+    ]
+    if existing:
+        old = ray.data.read_parquet(
+            existing, columns=["term", "docids", "tfs", "dls"]
+        ).map_batches(
+            _segments_to_postings_fn(dead, delta_base),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        srcs.append(old)
+    if delta_dir is not None:
+        srcs.append(
+            ray.data.read_parquet(
+                delta_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
+            ).map_batches(explode_postings, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    if not srcs:
+        return
+    postings = srcs[0]
+    for s in srcs[1:]:
+        postings = postings.union(s)
+    # bounded by the affected buckets + delta → materialize once (the hot
+    # pass and the pack both consume it)
+    postings = postings.materialize()
+
+    tmp_dir = seg_dir + ".partial"
+    _encode_segments_from_postings(postings, cfg, stats, tmp_dir, metrics)
+    for b in sorted(affected):
+        dst = os.path.join(seg_dir, f"term_bucket={b}")
+        src = os.path.join(tmp_dir, f"term_bucket={b}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+    _clean_dir(tmp_dir)
+    metrics["affected_buckets"] = sorted(affected)
+    metrics["reencode_mode"] = "partial"
+
+
 def _tokenizer_id(tokenizer) -> str:
     """Stable identity for the §2.11 tokenizer hook — part of the docvec
     stage fingerprint, so resuming with a DIFFERENT tokenizer re-runs the
@@ -292,11 +552,6 @@ def build_index(
             "segments", inputs=[docvec_dir], upstream=["docvec", "stats"], cfg_hash=segments_hash
         )
 
-        def _postings(source: ray.data.Dataset) -> ray.data.Dataset:
-            return source.map_batches(
-                explode_postings, batch_format="pyarrow", zero_copy_batch=True
-            )
-
         import time as _time
 
         # hot-term pre-pass on a seeded row sample: only the salting PLAN
@@ -318,61 +573,15 @@ def build_index(
             )
         slim = slim.materialize()
         m.metrics["slim_mat_s"] = round(_time.perf_counter() - _t0, 3)
-        _t0 = _time.perf_counter()
-        if cfg.doc_shards:
-            # doc-sharded layout: EVERY term splits into doc-range slices —
-            # the skew problem disappears by construction (no term funnels
-            # more than 1/S of its postings through one reducer), so the
-            # hot-term pre-pass is skipped entirely
-            plan = SaltPlan(
-                n_buckets=cfg.n_buckets,
-                # doc-range math spans the id SPACE (ids are dense over live
-                # + tombstoned docs; SaltPlan clamps the last range anyway)
-                n_docs=stats.get("id_space", stats["n_docs"]),
-                doc_shards=cfg.doc_shards,
-            )
-        else:
-            src = slim
-            if frac < 1.0:
-                src = src.random_sample(frac, seed=7)
-            hot = detect_hot_terms(_postings(src), top_m=cfg.hot_top_m)
-            hot = {t: int(c / frac) for t, c in hot.items()}
-            hot = {t: c for t, c in hot.items() if c >= cfg.salt_threshold}
-            m.metrics["hot_pass_s"] = round(_time.perf_counter() - _t0, 3)
-            plan = SaltPlan.plan(
-                hot, cfg.n_buckets, stats.get("id_space", stats["n_docs"]), cfg.salt_target_group
-            )
-            m.metrics["hot_terms"] = {t: list(plan.salts[t]) for t in plan.salts}
-
-        packed = _postings(slim).map_batches(
-            make_bucket_packer(plan), batch_format="pyarrow", zero_copy_batch=True
+        postings = slim.map_batches(
+            explode_postings, batch_format="pyarrow", zero_copy_batch=True
         )
-        encoder = make_packed_encoder(
-            stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
+        _encode_segments_from_postings(
+            postings, cfg, stats, seg_dir, m.metrics, hot_sample_frac=frac
         )
-        seg = packed.groupby("bucket").map_groups(encoder, batch_format="pyarrow")
-        if cfg.merge_salted and plan.salts:
-            # the finals/partials branches below both consume `seg`; Ray Data
-            # re-executes shared subplans per consumer, so pin the encoded
-            # segments in the object store once before branching
-            seg = seg.materialize()
-            finals = seg.map_batches(
-                lambda t: t.filter(pc.equal(t["salt_idx"], pa.scalar(-1, pa.int32()))),
-                batch_format="pyarrow",
-            )
-            partials = seg.map_batches(
-                lambda t: t.filter(pc.not_equal(t["salt_idx"], pa.scalar(-1, pa.int32()))),
-                batch_format="pyarrow",
-            )
-            merger = make_salted_merger(
-                stats["avgdl"], cfg.k1, cfg.b, cfg.block_size, cfg.n_buckets
-            )
-            merged = partials.groupby("term").map_groups(merger, batch_format="pyarrow")
-            seg = finals.union(merged)
-        _t0 = _time.perf_counter()
-        _clean_dir(seg_dir)
-        seg.write_parquet(seg_dir, partition_cols=["term_bucket"])
-        m.metrics["encode_write_s"] = round(_time.perf_counter() - _t0, 3)
+        # a full encode resets the avgdl-slack range: every live segment's
+        # block maxes are now exact under the current avgdl
+        _set_encode_avgdl(state, stats["avgdl"], stats["avgdl"])
         m.rows_out = _parquet_rows(seg_dir)  # metadata-only, no re-read
         state.commit(m)
 
@@ -383,8 +592,10 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     """Delete documents by (repo, path) from an existing index.
 
     Same tombstone machinery as overwrite updates: matching live docs are
-    marked dead, stats are recomputed over the survivors, segments are
-    re-encoded from the checkpoint (no re-tokenization).  Crash-safe with
+    marked dead, stats are recomputed over the survivors, and only the
+    term buckets containing the deleted docs' terms are re-encoded
+    (bucket-scoped, O(deleted docs' vocabulary) — see update_index; full
+    re-encode on avgdl drift or doc-sharded layouts).  Crash-safe with
     the same ordering as update_index (segments manifest invalidated before
     tombstones/stats are written); rerunning the same delete is a no-op.
     """
@@ -467,19 +678,45 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     stats["id_space"] = _parquet_rows(docvec_dir)
     state.write_sidecar("stats.json", stats)
 
-    # snapshot config.json: the inner build_index rewrites it, and this flow
-    # must preserve the ORIGINAL tokenizer/extra_stages identity
-    cfg_snapshot = state.read_sidecar("config.json")
-    build_index(
-        ray.data.from_items([]), build_dir, cfg, resume=True, _tok_id=stored_tok
-    )
-    state.write_sidecar("config.json", cfg_snapshot)
+    # ---- re-encode: bucket-scoped when the deletion allows (see
+    # update_index — same drift/doc-shard fallbacks; affected buckets come
+    # from the deleted docs' terms only)
+    new_avgdl = float(stats["avgdl"])
+    lo = float(stats.get("bm_avgdl_lo") or new_avgdl)
+    hi = float(stats.get("bm_avgdl_hi") or new_avgdl)
+    lo2, hi2 = min(lo, new_avgdl), max(hi, new_avgdl)
+    newly_dead = np.array([r["doc_id"] for r in dead_rows], dtype=np.int64)
+    affected: set[int] | None = None
+    if not cfg.doc_shards and hi2 <= lo2 * _BM_SLACK_LIMIT:
+        affected = _affected_buckets(docvec_dir, cfg.n_buckets, newly_dead, None)
+    if affected is not None and len(affected) < cfg.n_buckets:
+        _set_encode_avgdl(state, lo2, hi2)
+        sm = state.begin(
+            "segments", inputs=[docvec_dir], upstream=["docvec", "stats"],
+            cfg_hash=state.cfg_hash,
+        )
+        _partial_reencode_segments(
+            state, cfg, affected, dead, None, 1 << 62, sm.metrics
+        )
+        sm.rows_out = _parquet_rows(state.stage_dir("segments"))
+        state.commit(sm)
+        reencode_mode = "partial"
+    else:
+        # snapshot config.json: the inner build_index rewrites it, and this
+        # flow must preserve the ORIGINAL tokenizer identity
+        cfg_snapshot = state.read_sidecar("config.json")
+        build_index(
+            ray.data.from_items([]), build_dir, cfg, resume=True, _tok_id=stored_tok
+        )
+        state.write_sidecar("config.json", cfg_snapshot)
+        reencode_mode = "full"
 
     m.rows_out = len(dead_rows)
     m.metrics = {
         "deleted_docs": len(dead_rows),
         "total_tombstones": int(dead.size),
         "new_n_docs": n_docs,
+        "reencode_mode": reencode_mode,
     }
     state.commit(m)
     return state
@@ -496,13 +733,16 @@ def update_index(
     Semantics: delta docs get fresh ids appended after the existing id
     space (old ids are stable — resume/rank determinism preserved);
     collection stats are updated exactly (integer count/sum addition); the
-    segments stage is re-run over the full docvec CHECKPOINT (term vectors,
-    not raw content — the expensive tokenize/fingerprint work happens only
-    for the delta).  Posting lists and block-max bounds are re-encoded
-    under the new avgdl, so WAND/BMW upper bounds stay tight and query
-    results are exactly what a from-scratch build over old∪new would score
-    (doc ids aside).  The update is recorded as an ``update-<k>`` manifest
-    with the delta's lineage.
+    segments re-encode is BUCKET-SCOPED — only term buckets whose posting
+    lists the delta (or the docs it supersedes) can change are decoded,
+    merged and rewritten, so a small delta costs O(touched buckets), not
+    O(index).  Untouched buckets keep block maxes from an older avgdl;
+    the scorer's bm_avgdl_lo slack keeps WAND/BMW bounds valid, and drift
+    beyond _BM_SLACK_LIMIT (or a doc-sharded layout, whose doc-range
+    shard math shifts with id_space) falls back to the full re-encode.
+    Query results are exactly what a from-scratch build over old∪new
+    would score (doc ids aside).  The update is recorded as an
+    ``update-<k>`` manifest with the delta's lineage.
 
     ``tokenizer`` must match the original build's (§2.11 hook, default
     code-aware tokenizer).
@@ -624,17 +864,48 @@ def update_index(
     stats["id_space"] = _parquet_rows(docvec_dir)
     state.write_sidecar("stats.json", stats)
 
-    # ---- re-run segments over the updated checkpoint ----------------------
-    build_index(
-        ray.data.from_items([]),  # docvec complete → corpus is never touched
-        build_dir,
-        cfg,
-        resume=True,
-        tokenizer=tokenizer,
-    )
+    # ---- re-encode segments: bucket-scoped when the delta allows ----------
+    # O(delta) path: only term buckets touched by the delta's terms or the
+    # superseded docs' terms change; everything else keeps byte-identical
+    # posting lists.  Falls back to the full re-encode when (a) the index
+    # is doc-sharded (id_space growth shifts every posting's doc-range
+    # shard), (b) avgdl has drifted past the block-max slack bound, or
+    # (c) the delta touches every bucket anyway.
+    new_avgdl = float(stats["avgdl"])
+    lo = float(stats.get("bm_avgdl_lo") or new_avgdl)
+    hi = float(stats.get("bm_avgdl_hi") or new_avgdl)
+    lo2, hi2 = min(lo, new_avgdl), max(hi, new_avgdl)
+    affected: set[int] | None = None
+    if not cfg.doc_shards and hi2 <= lo2 * _BM_SLACK_LIMIT:
+        affected = _affected_buckets(
+            docvec_dir, cfg.n_buckets, newly_dead, delta_dir
+        )
+    if affected is not None and len(affected) < cfg.n_buckets:
+        _set_encode_avgdl(state, lo2, hi2)
+        sm = state.begin(
+            "segments", inputs=[docvec_dir], upstream=["docvec", "stats"],
+            cfg_hash=state.cfg_hash,
+        )
+        _partial_reencode_segments(
+            state, cfg, affected, dead, delta_dir, base, sm.metrics
+        )
+        sm.rows_out = _parquet_rows(state.stage_dir("segments"))
+        state.commit(sm)
+        m.metrics["reencode_mode"] = "partial"
+        m.metrics["affected_buckets"] = len(affected)
+    else:
+        build_index(
+            ray.data.from_items([]),  # docvec complete → corpus never touched
+            build_dir,
+            cfg,
+            resume=True,
+            tokenizer=tokenizer,
+        )
+        m.metrics["reencode_mode"] = "full"
 
     m.rows_out = delta_rows
     m.metrics = {
+        **m.metrics,
         "delta_docs": delta_rows,
         "delta_tokens": total - old_total,
         "new_n_docs": n_docs,

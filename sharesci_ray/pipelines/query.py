@@ -174,6 +174,20 @@ class ScorerActor:
             self.allowed = None
         self.build_dir = build_dir
         self.n_buckets = int(self.stats["n_buckets"])
+        # block-max slack for bucket-scoped incremental updates: untouched
+        # buckets keep maxes computed under an older avgdl (bm_avgdl_lo =
+        # smallest encode-time avgdl among live segments).  For any dl, tf:
+        # tf_norm(avgdl') ≤ tf_norm(avgdl0) · max(1, avgdl'/avgdl0) — the
+        # BM25 length normalizer k1·(1−b+b·dl/avgdl) shrinks by at most
+        # factor avgdl0/avgdl' when avgdl grows — so scaling stored maxes
+        # by this keeps WAND/BMW upper bounds valid (exact scores are always
+        # recomputed from the stored tf/dl under the CURRENT avgdl; rank
+        # identity is unaffected, only skip tightness).  build.py caps the
+        # drift at _BM_SLACK_LIMIT before falling back to a full re-encode.
+        _avgdl = float(self.stats["avgdl"]) or 1.0
+        self.bm_slack = max(
+            1.0, _avgdl / (float(self.stats.get("bm_avgdl_lo") or _avgdl) or 1.0)
+        )
         self.doc_shard = doc_shard
         if doc_shard is not None:
             n_shards = self.stats.get("doc_shards")
@@ -381,7 +395,11 @@ class ScorerActor:
                     "dls": dls,
                     "pos": 0,
                     "idf": w,
-                    "ub": w * float(blk_max.max()) if blk_max.size else 0.0,
+                    "ub": (
+                        w * float(blk_max.max()) * self.bm_slack
+                        if blk_max.size
+                        else 0.0
+                    ),
                     "blk_first": blk_first,
                     "blk_max": blk_max,
                 }
@@ -435,7 +453,7 @@ class ScorerActor:
                 for p in live[: pivot + 1]:
                     j = int(np.searchsorted(p["blk_first"], pivot_doc, side="right")) - 1
                     if 0 <= j < p["blk_max"].size:
-                        bub += p["idf"] * float(p["blk_max"][j])
+                        bub += p["idf"] * float(p["blk_max"][j]) * self.bm_slack
                 if bub * (1 + _UB_EPS) + 1e-300 <= th:
                     # advance the term with the largest idf past pivot_doc
                     adv = max(live[: pivot + 1], key=lambda p: p["ub"])

@@ -331,3 +331,122 @@ def test_empty_corpus_fails_loudly(ray_session, tmp_path):
             BuildConfig(n_buckets=4, langs=("nosuchlang",)),
             resume=False,
         )
+
+
+def _bucket_dirs_state(build_dir: str) -> dict[str, tuple]:
+    """term_bucket partition dir → sorted (file, size, mtime_ns) tuples."""
+    import glob
+    import os
+
+    out = {}
+    for d in glob.glob(f"{build_dir}/stage=segments/term_bucket=*"):
+        files = []
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            st = os.stat(f)
+            files.append((os.path.basename(f), st.st_size, st.st_mtime_ns))
+        out[os.path.basename(d)] = tuple(files)
+    return out
+
+
+def test_partial_reencode_touches_only_affected_buckets(ray_session, tmp_path_factory):
+    """O(delta) contract: a single-doc delta whose vocabulary routes to one
+    term bucket must rewrite ONLY that bucket's partition (<10% of segment
+    files on a 16-bucket index), record reencode_mode=partial, and still
+    score bit-identically to a fresh build over the union — on the
+    exhaustive DAAT path AND the block-max WAND path (whose bounds for
+    untouched buckets rely on the bm_avgdl_lo slack)."""
+    base = make_corpus(120, seed=2024)
+    d_incr = str(tmp_path_factory.mktemp("part_incr"))
+    d_full = str(tmp_path_factory.mktemp("part_full"))
+    cfg = BuildConfig(n_buckets=16)
+    build_index(corpus_from_table(base), d_incr, cfg, resume=False)
+    before = _bucket_dirs_state(d_incr)
+
+    delta = pa.Table.from_pydict(
+        {
+            "repo": ["zzz/newrepo"],
+            "path": ["src/zq.py"],
+            "commit": ["deadbeef"],
+            "lang": ["py"],
+            "content": ["zqxwv zqxwv zqxwv zqxwv"],  # one distinct term
+        },
+        schema=base.schema,
+    )
+    state = update_index(d_incr, corpus_from_table(delta, parallelism=1))
+    man = state.read_manifest("update-0")
+    assert man["metrics"]["reencode_mode"] == "partial"
+    assert man["metrics"]["affected_buckets"] == 1
+
+    after = _bucket_dirs_state(d_incr)
+    changed = {b for b in before | after.keys() if before.get(b) != after.get(b)}
+    n_files = sum(len(v) for v in before.values())
+    n_changed_files = sum(
+        len(after.get(b, ())) + (len(before.get(b, ())) if b not in after else 0)
+        for b in changed
+    )
+    assert len(changed) == 1, changed
+    assert n_changed_files / max(n_files, 1) < 0.10
+
+    # fresh build over the union: rank AND score equality on both scorers
+    union = pa.concat_tables([base, delta])
+    build_index(corpus_from_table(union), d_full, cfg, resume=False)
+    pm_full, pm_incr = _path_map(d_full), _path_map(d_incr)
+    for scorer in ("daat", "bmw"):
+        s_f = ScorerActor(d_full, k=10, scorer=scorer)
+        s_i = ScorerActor(d_incr, k=10, scorer=scorer)
+        for q in make_queries(25, seed=77)["text"].to_pylist() + ["zqxwv"]:
+            df_, sf_ = s_f.score_query(q)
+            di_, si_ = s_i.score_query(q)
+            assert sf_.size == si_.size, (scorer, q)
+            assert (np.sort(sf_)[::-1] == np.sort(si_)[::-1]).all(), (scorer, q)
+            assert sorted(pm_full[d] for d in df_) == sorted(
+                pm_incr[d] for d in di_
+            ), (scorer, q)
+
+
+def test_partial_delete_rank_identity(ray_session, tmp_path_factory):
+    """Deleting one low-vocabulary doc re-encodes only its buckets and the
+    surviving index scores exactly like a fresh build over the survivors
+    (DAAT bit-equal; BMW rank-identical under the avgdl slack)."""
+    import glob as _glob
+
+    base = make_corpus(100, seed=909)
+    # append one tiny doc so the delete touches few buckets
+    extra = pa.Table.from_pydict(
+        {
+            "repo": ["zzz/tiny"],
+            "path": ["src/tiny.py"],
+            "commit": ["cafecafe"],
+            "lang": ["py"],
+            "content": ["qvxzw qvxzw qvxzw"],
+        },
+        schema=base.schema,
+    )
+    corpus = pa.concat_tables([base, extra])
+    d_del = str(tmp_path_factory.mktemp("pdel"))
+    d_ref = str(tmp_path_factory.mktemp("pdel_ref"))
+    cfg = BuildConfig(n_buckets=16)
+    build_index(corpus_from_table(corpus), d_del, cfg, resume=False)
+    before = _bucket_dirs_state(d_del)
+
+    from sharesci_ray.pipelines.build import delete_docs
+
+    state = delete_docs(d_del, [("zzz/tiny", "src/tiny.py")])
+    assert state.read_manifest("delete-0")["metrics"]["reencode_mode"] == "partial"
+    after = _bucket_dirs_state(d_del)
+    changed = {b for b in before | after.keys() if before.get(b) != after.get(b)}
+    assert 1 <= len(changed) <= 2, changed
+
+    build_index(corpus_from_table(base), d_ref, cfg, resume=False)
+    pm_del, pm_ref = _path_map(d_del), _path_map(d_ref)
+    for scorer in ("daat", "bmw"):
+        sd = ScorerActor(d_del, k=10, scorer=scorer)
+        sr = ScorerActor(d_ref, k=10, scorer=scorer)
+        for q in make_queries(20, seed=31)["text"].to_pylist() + ["qvxzw"]:
+            dd_, sds = sd.score_query(q)
+            dr_, srs = sr.score_query(q)
+            assert sds.size == srs.size, (scorer, q)
+            assert (np.sort(sds)[::-1] == np.sort(srs)[::-1]).all(), (scorer, q)
+            assert sorted(pm_del[x] for x in dd_) == sorted(
+                pm_ref[x] for x in dr_
+            ), (scorer, q)
