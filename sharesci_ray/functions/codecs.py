@@ -132,6 +132,53 @@ def decode_values(buf: bytes) -> np.ndarray:
     return varbyte_decode(buf).astype(np.int64)
 
 
+def sublist_gather(
+    flat: np.ndarray, off: np.ndarray, perm: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Gather variable-length segments ``flat[off[p] : off[p]+counts[p]]``
+    for each p in ``perm``, concatenated — vectorized (repeat + arange),
+    no per-segment Python.  Used to permute per-posting position lists
+    alongside a posting sort."""
+    counts_perm = counts[perm]
+    total = int(counts_perm.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    out_start = np.concatenate([[0], np.cumsum(counts_perm)])[:-1]
+    base = np.repeat(off[perm], counts_perm)
+    within = np.arange(total, dtype=np.int64) - np.repeat(out_start, counts_perm)
+    return flat[base + within]
+
+
+def delta_within_sublists(flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Delta-encode ascending values WITHIN each sublist (first element of
+    every sublist kept absolute) — the positional-payload layout: one
+    posting's token positions are ascending, across postings they reset."""
+    d = np.asarray(flat, dtype=np.int64).copy()
+    if d.size:
+        d[1:] -= flat[:-1]
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        starts = starts[np.asarray(counts) > 0]
+        d[starts] = flat[starts]
+    return d.astype(np.uint64)
+
+
+def decode_positions(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Inverse of delta_within_sublists∘varbyte: blob + per-posting counts
+    → flat ascending-within-posting position array (int64)."""
+    vals = varbyte_decode(buf).astype(np.int64)
+    if vals.size == 0:
+        return vals
+    counts = np.asarray(counts, dtype=np.int64)
+    out = np.cumsum(vals)
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    # subtract each sublist's inherited prefix so its first value is absolute
+    nz = counts > 0  # zero-count sublists would index past the end
+    resets = np.zeros(counts.size, dtype=np.int64)
+    resets[nz] = out[starts[nz]] - vals[starts[nz]]
+    out -= np.repeat(resets, counts)
+    return out
+
+
 def block_layout(
     docids: np.ndarray, bounds: np.ndarray, block_size: int = BLOCK_SIZE
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -60,6 +60,7 @@ class BuildConfig:
     merge_salted: bool = True         # False = leave multi-row terms (extreme scale)
     doc_shards: int | None = None     # doc-sharded layout for sharded query serving
     langs: tuple[str, ...] | None = None
+    positions: bool = False           # store token positions (phrase queries)
 
 
 def _clean_dir(path: str) -> None:
@@ -207,14 +208,16 @@ def _encode_segments_from_postings(
     metrics["encode_write_s"] = round(_time.perf_counter() - _t0, 3)
 
 
-_POSTINGS_SCHEMA = pa.schema(
-    [
+def _postings_schema(positions: bool) -> pa.Schema:
+    fields = [
         ("term", pa.string()),
         ("doc_id", pa.int64()),
         ("tf", pa.int32()),
         ("dl", pa.int32()),
     ]
-)
+    if positions:
+        fields.append(("positions", pa.list_(pa.int32())))
+    return pa.schema(fields)
 
 
 def _terms_to_buckets(t: pa.Table, n_buckets: int) -> pa.Table:
@@ -267,24 +270,30 @@ def _affected_buckets(
     return buckets
 
 
-def _segments_to_postings_fn(dead: np.ndarray, min_dead_id: int):
+def _segments_to_postings_fn(dead: np.ndarray, min_dead_id: int, positions: bool):
     """map_batches fn decoding segment rows back to posting rows, dropping
     doc ids that are tombstoned or ≥ ``min_dead_id`` (the current delta's
     id base — dropping-then-re-adding the delta makes a crash rerun
-    idempotent even over half-rewritten buckets)."""
-    from ..functions.codecs import decode_docids, decode_values
+    idempotent even over half-rewritten buckets).  ``positions=True``
+    (positional index) re-emits each posting's token-position sublist."""
+    from ..functions.codecs import decode_docids, decode_positions, decode_values
 
     dead_ref = ray.put(np.sort(dead.astype(np.int64)))
+    schema = _postings_schema(positions)
 
     def decode(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return _POSTINGS_SCHEMA.empty_table()
-        ids_parts, tf_parts, dl_parts, counts = [], [], [], []
+            return schema.empty_table()
+        ids_parts, tf_parts, dl_parts, pos_parts, counts = [], [], [], [], []
         for i in range(t.num_rows):
             ids_parts.append(decode_docids(t["docids"][i].as_py()))
             tf_parts.append(decode_values(t["tfs"][i].as_py()))
             dl_parts.append(decode_values(t["dls"][i].as_py()))
             counts.append(ids_parts[-1].size)
+            if positions:
+                pos_parts.append(
+                    decode_positions(t["positions"][i].as_py(), tf_parts[-1])
+                )
         ids = np.concatenate(ids_parts).astype(np.int64)
         tfs = np.concatenate(tf_parts).astype(np.int32)
         dls = np.concatenate(dl_parts).astype(np.int32)
@@ -301,15 +310,24 @@ def _segments_to_postings_fn(dead: np.ndarray, min_dead_id: int):
             pos[pos == dead_arr.size] = 0
             keep &= dead_arr[pos] != ids
         k = np.flatnonzero(keep)
-        return pa.table(
-            {
-                "term": terms.take(pa.array(k)),
-                "doc_id": pa.array(ids[k]),
-                "tf": pa.array(tfs[k]),
-                "dl": pa.array(dls[k]),
-            },
-            schema=_POSTINGS_SCHEMA,
-        )
+        out = {
+            "term": terms.take(pa.array(k)),
+            "doc_id": pa.array(ids[k]),
+            "tf": pa.array(tfs[k]),
+            "dl": pa.array(dls[k]),
+        }
+        if positions:
+            from ..functions.codecs import sublist_gather
+
+            pos_flat = np.concatenate(pos_parts)
+            off = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])[:-1]
+            kept_flat = sublist_gather(pos_flat, off, k, tfs.astype(np.int64))
+            koff = np.concatenate([[0], np.cumsum(tfs[k].astype(np.int64))])
+            out["positions"] = pa.ListArray.from_arrays(
+                pa.array(koff, type=pa.int64()).cast(pa.int32()),
+                pa.array(kept_flat.astype(np.int32)),
+            )
+        return pa.table(out, schema=schema)
 
     return decode
 
@@ -345,20 +363,23 @@ def _partial_reencode_segments(
         for b in sorted(affected)
         if os.path.isdir(os.path.join(seg_dir, f"term_bucket={b}"))
     ]
+    seg_cols = ["term", "docids", "tfs", "dls"]
+    delta_cols = ["doc_id", "doc_len", "terms", "tfs"]
+    if cfg.positions:
+        seg_cols.append("positions")
+        delta_cols.append("positions")
     if existing:
-        old = ray.data.read_parquet(
-            existing, columns=["term", "docids", "tfs", "dls"]
-        ).map_batches(
-            _segments_to_postings_fn(dead, delta_base),
+        old = ray.data.read_parquet(existing, columns=seg_cols).map_batches(
+            _segments_to_postings_fn(dead, delta_base, cfg.positions),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         srcs.append(old)
     if delta_dir is not None:
         srcs.append(
-            ray.data.read_parquet(
-                delta_dir, columns=["doc_id", "doc_len", "terms", "tfs"]
-            ).map_batches(explode_postings, batch_format="pyarrow", zero_copy_batch=True)
+            ray.data.read_parquet(delta_dir, columns=delta_cols).map_batches(
+                explode_postings, batch_format="pyarrow", zero_copy_batch=True
+            )
         )
     if not srcs:
         return
@@ -406,12 +427,18 @@ def _ingest_termvecs(ds: ray.data.Dataset, cfg: BuildConfig, tokenizer, base: in
     ds = assign_doc_ids(ds, base=base)
     if tokenizer is not None:
         ds = ds.map_batches(
-            lambda t, _tok=tokenizer: to_term_vectors(t, tokenizer=_tok),
+            lambda t, _tok=tokenizer, _p=cfg.positions: to_term_vectors(
+                t, tokenizer=_tok, positions=_p
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
     else:
-        ds = ds.map_batches(to_term_vectors, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(
+            lambda t, _p=cfg.positions: to_term_vectors(t, positions=_p),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     return ds
 
 
@@ -451,6 +478,7 @@ def build_index(
     # re-tokenize of the corpus
     docvec_hash = _cfg_hash(
         {"langs": cfg.langs, "tokenizer": tok_id,
+         "positions": cfg.positions,
          "extra": [n for n, _ in (extra_stages or [])]}
     )
     # stats.json carries the scoring params, so those join its fingerprint
@@ -563,7 +591,10 @@ def build_index(
         # one slim (id/len/terms/tfs) object-store copy feeds BOTH the
         # hot-term pass and the encode pass — parquet list-column decode is
         # the expensive part of re-reading the checkpoint, so pay it once
-        slim = docvec_cols(["doc_id", "doc_len", "terms", "tfs"])
+        slim_cols = ["doc_id", "doc_len", "terms", "tfs"]
+        if cfg.positions:
+            slim_cols.append("positions")
+        slim = docvec_cols(slim_cols)
         dead = _read_tombstones(build_dir)
         if dead.size:
             # tombstoned docs are excluded from encoding entirely: segments,
@@ -623,7 +654,8 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
         raise ValueError(f"{build_dir} is not a complete index; run build_index first")
     expected_docvec_hash = _cfg_hash(
-        {"langs": cfg.langs, "tokenizer": stored_tok, "extra": []}
+        {"langs": cfg.langs, "tokenizer": stored_tok,
+         "positions": cfg.positions, "extra": []}
     )
     if not state.is_complete("docvec", expected_docvec_hash):
         raise ValueError(

@@ -286,18 +286,26 @@ def _code_fingerprint() -> str:
     return h.hexdigest()[:8]
 
 
-def _index_for(sf_dir: str) -> str:
-    """Build (or reuse) the inverted index for a testdata dir's documents.
-    The cache dir is salted with a source-code fingerprint so kernel edits
+def _index_for(sf_dir: str, positions: bool = False) -> str:
+    """Build (or reuse) the inverted index for a testdata dir's documents
+    (``positions=True`` → the positional variant, its own cache dir).  The
+    cache dir is salted with a source-code fingerprint so kernel edits
     invalidate stale /tmp indexes automatically."""
     from .build import BuildConfig, build_index
 
-    if sf_dir in _INDEX_CACHE:
-        return _INDEX_CACHE[sf_dir]
-    tag = hashlib.sha256(f"{sf_dir}:{_code_fingerprint()}".encode()).hexdigest()[:10]
+    key = f"{sf_dir}:{int(positions)}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha256(
+        f"{sf_dir}:{int(positions)}:{_code_fingerprint()}".encode()
+    ).hexdigest()[:10]
     build_dir = os.path.join(tempfile.gettempdir(), f"sharesci_idx_{tag}")
-    build_index(documents_as_corpus(sf_dir), build_dir, BuildConfig(n_buckets=16))
-    _INDEX_CACHE[sf_dir] = build_dir
+    build_index(
+        documents_as_corpus(sf_dir),
+        build_dir,
+        BuildConfig(n_buckets=16, positions=positions),
+    )
+    _INDEX_CACHE[key] = build_dir
     return build_dir
 
 

@@ -324,11 +324,41 @@ def _phrase_sql() -> str:
 
 @op("phrase_match_counts", _phrase_sql())
 def phrase_match_counts(sf_dir: str):
-    """Exact two-token phrase matching by token-adjacency verify (the index
-    stores no positions, so phrase queries scan-verify candidates — the
-    classic fallback; at scale the candidate set would come from the BM25
-    index first and only candidates would be scanned).  Counts matching
-    docs and total occurrences per phrase."""
+    """Exact phrase matching via the POSITIONAL index (round-3): candidate
+    docs come from the doc-id intersection of the phrase terms' posting
+    lists, the verify intersects per-doc position sets — no corpus scan
+    anywhere in the Ray plan (the index build is amortized across every
+    index-backed op via the /tmp cache).  Counts matching docs and total
+    occurrences per phrase; phrases with zero matches are dropped (the
+    oracle's inner join does the same).  The scan-path twin
+    (phrase_match_counts_scan) is kept for A/B tests."""
+    import ray.data
+
+    from .ops import _index_for
+    from .query import PhraseCounter
+
+    build_dir = _index_for(sf_dir, positions=True)
+    phrases = ray.data.from_arrow(
+        pa.table({"phrase": pa.array(_PHRASES, pa.string())})
+    )
+    res = phrases.map_batches(
+        PhraseCounter,
+        fn_constructor_kwargs={"build_dir": build_dir},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=1,
+    )
+    return res.map_batches(
+        lambda t: t.filter(pc.greater(t["n_docs"], 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def phrase_match_counts_scan(sf_dir: str):
+    """Scan-path twin of phrase_match_counts (bigram-adjacency verify over
+    the whole corpus) — the fallback when no positional index exists, and
+    the A/B reference for the index path (tests assert equality)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     phrase_set = pa.array(_PHRASES, pa.string())
 

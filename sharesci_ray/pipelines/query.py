@@ -71,6 +71,10 @@ class _TermPostings:
         return self._tbl["dls"][self._row].as_py()
 
     @property
+    def positions(self):
+        return self._tbl["positions"][self._row].as_py()
+
+    @property
     def blk_first(self):
         return np.asarray(self._tbl["block_first_docid"][self._row].as_py(), dtype=np.int64)
 
@@ -302,6 +306,81 @@ class ScorerActor:
             _t, old = self._decoded.popitem(last=False)
             self._cached_postings -= old[1].size
         return out
+
+    # ---- positional access (phrase queries) -------------------------------
+    def _postings_pos(self, term: str):
+        """term → (docids, per-posting offsets, flat positions) or None.
+
+        Requires a positional build (BuildConfig.positions); raises on an
+        index without stored positions.  Multi-row terms concatenate in
+        salt order like _postings (disjoint ascending doc ranges)."""
+        from ..functions.codecs import decode_positions
+
+        bucket = int(polyhash_column(pa.array([term]))[0]) % self.n_buckets
+        self._load_bucket(bucket)
+        rows = self._terms.get(term)
+        if not rows:
+            return None
+        docids_parts, tf_parts, pos_parts = [], [], []
+        for r in rows:
+            blob = r.positions
+            if not blob:
+                raise ValueError(
+                    "phrase query on an index built without positions — "
+                    "rebuild with BuildConfig(positions=True)"
+                )
+            d = decode_docids(r.docids)
+            tf = decode_values(r.tfs)
+            docids_parts.append(d)
+            tf_parts.append(tf)
+            pos_parts.append(decode_positions(blob, tf))
+        docids = np.concatenate(docids_parts)
+        tfs = np.concatenate(tf_parts)
+        off = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+        return docids, off, np.concatenate(pos_parts)
+
+    def phrase_occurrences(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Exact-phrase match via the positional index: (doc_ids,
+        occurrence counts) of docs containing the phrase's tokens at
+        CONSECUTIVE positions in the filtered token stream (the same
+        adjacency the bigram/shingle oracle uses).
+
+        Candidates come from the doc-id intersection of the phrase terms'
+        posting lists — never a corpus scan; the positional verify then
+        intersects per-doc position sets term by term (pos(term_i) − i)."""
+        terms = self.tokenize_fn(text)  # in phrase order, duplicates kept
+        if not terms:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        plists = []
+        for term in terms:
+            p = self._postings_pos(term)
+            if p is None:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            plists.append(p)
+        cand = plists[0][0]
+        for d, _, _ in plists[1:]:
+            # both sorted ascending unique → searchsorted membership
+            pos = np.searchsorted(d, cand)
+            pos[pos == d.size] = 0
+            cand = cand[d[pos] == cand]
+            if cand.size == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        out_docs, out_n = [], []
+        for doc in cand:
+            match = None
+            for i, (d, off, flat) in enumerate(plists):
+                j = int(np.searchsorted(d, doc))
+                p = flat[off[j] : off[j + 1]] - i  # shift to phrase start
+                match = p if match is None else np.intersect1d(match, p, assume_unique=True)
+                if match.size == 0:
+                    break
+            if match is not None and match.size:
+                out_docs.append(int(doc))
+                out_n.append(int(match.size))
+        return (
+            np.array(out_docs, dtype=np.int64),
+            np.array(out_n, dtype=np.int64),
+        )
 
     # ---- scoring ----------------------------------------------------------
     def _contrib(self, term: str):
@@ -552,6 +631,39 @@ class ScorerActor:
                 "rank": pa.array(ranks, pa.int32()),
                 "doc_id": pa.array(docs, pa.int64()),
                 "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+class PhraseCounter:
+    """Actor-pool stage for phrase queries over a POSITIONAL index: each
+    batch of phrases → (phrase, n_docs, n_occurrences).  Index state loads
+    once per actor (ScorerActor machinery, lazy buckets — a phrase touches
+    only its terms' buckets; no corpus scan anywhere in the plan)."""
+
+    def __init__(self, build_dir: str, tokenize_fn=None):
+        with open(os.path.join(build_dir, "config.json")) as f:
+            if not json.load(f).get("positions"):
+                raise ValueError(
+                    "PhraseCounter needs a positional index — build with "
+                    "BuildConfig(positions=True)"
+                )
+        self.scorer = ScorerActor(
+            build_dir, k=1, scorer="daat", preload=False, tokenize_fn=tokenize_fn
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        phrases, n_docs, n_occ = [], [], []
+        for phrase in batch["phrase"].to_pylist():
+            docs, occ = self.scorer.phrase_occurrences(phrase or "")
+            phrases.append(phrase)
+            n_docs.append(int(docs.size))
+            n_occ.append(int(occ.sum()))
+        return pa.table(
+            {
+                "phrase": pa.array(phrases, pa.string()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_occurrences": pa.array(n_occ, pa.int64()),
             }
         )
 

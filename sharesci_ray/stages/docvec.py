@@ -149,53 +149,107 @@ def assign_doc_ids(ds: ray.data.Dataset, base: int = 0) -> ray.data.Dataset:
     )
 
 
-def to_term_vectors(batch: pa.Table, tokenizer=flat_tokens) -> pa.Table:
+def to_term_vectors(
+    batch: pa.Table, tokenizer=flat_tokens, positions: bool = False
+) -> pa.Table:
     """M2/M3/M4 (doc-level): content → sorted (terms, tfs) lists + doc_len.
 
     Output schema: doc_id, repo, path, commit, lang, content_sha256,
-    doc_len:int64, terms:list<string>, tfs:list<int32>.  ``content`` is
-    dropped here (M6).  Terms within a doc are sorted ascending — the scorer
-    and oracle both rely on deterministic order.
+    doc_len:int64, terms:list<string>, tfs:list<int32>
+    [, positions:list<int32>].  ``content`` is dropped here (M6).  Terms
+    within a doc are sorted ascending — the scorer and oracle both rely on
+    deterministic order.
+
+    ``positions=True`` additionally stores, per doc, the FLAT list of
+    token positions (index within the doc's filtered token stream, the
+    same stream the oracle's shingle adjacency walks) grouped by term in
+    term-sorted order — term i's positions are the next tfs[i] entries,
+    ascending.  This is the source for the positional posting payload
+    (phrase queries); off by default since it ~doubles checkpoint size.
 
     ``tokenizer`` is the §2.11 hook: a vectorized callable
     ``(string column) -> (flat token array, row index per token)``; the
     default is the shared code-aware tokenizer (functions/text.py).
     """
+    fields = [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content_sha256", pa.string()),
+        ("doc_len", pa.int64()),
+        ("terms", pa.list_(pa.string())),
+        ("tfs", pa.list_(pa.int32())),
+    ]
+    if positions:
+        fields.append(("positions", pa.list_(pa.int32())))
     if batch.num_rows == 0:  # sparse-keyed shuffles emit schema-less empties
-        return pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("repo", pa.string()),
-                ("path", pa.string()),
-                ("commit", pa.string()),
-                ("lang", pa.string()),
-                ("content_sha256", pa.string()),
-                ("doc_len", pa.int64()),
-                ("terms", pa.list_(pa.string())),
-                ("tfs", pa.list_(pa.int32())),
-            ]
-        ).empty_table()
+        return pa.schema(fields).empty_table()
     flat, parent = tokenizer(batch["content"])
     n_rows = batch.num_rows
-    # per-(row, term) counts via Arrow hash aggregation (C++, vectorized)
-    pairs = pa.table(
-        {"row": pa.array(parent, type=pa.int64()), "term": flat}
-    ).group_by(["row", "term"]).aggregate([([], "count_all")])
-    # sort by (row, term) so each doc's term list is sorted
-    pairs = pairs.sort_by([("row", "ascending"), ("term", "ascending")])
-    rows = pairs["row"].to_numpy(zero_copy_only=False)
-    counts = np.zeros(n_rows + 1, dtype=np.int64)
-    np.add.at(counts, rows + 1, 1)
-    offsets = np.cumsum(counts)
-    terms_col = pairs["term"].combine_chunks() if isinstance(pairs["term"], pa.ChunkedArray) else pairs["term"]
-    tfs_flat = pc.cast(pairs["count_all"], pa.int32())
-    tfs_flat = tfs_flat.combine_chunks() if isinstance(tfs_flat, pa.ChunkedArray) else tfs_flat
-    off32 = pa.array(offsets, type=pa.int32())  # batches are << 2^31 tokens
-    terms_list = pa.ListArray.from_arrays(off32, terms_col)
-    tfs_list = pa.ListArray.from_arrays(off32, tfs_flat)
-    # doc_len = total token occurrences per row (sum of tfs)
+    # doc_len = total token occurrences per row
     doc_len = np.zeros(n_rows, dtype=np.int64)
     np.add.at(doc_len, parent, 1)
+    if positions:
+        # position of each token within its doc's filtered stream: tokens
+        # arrive in document order, so pos = global index − doc start
+        doc_start = np.concatenate([[0], np.cumsum(doc_len)])[:-1]
+        pos = np.arange(parent.size, dtype=np.int64) - doc_start[parent]
+        trip = pa.table(
+            {
+                "row": pa.array(parent, type=pa.int64()),
+                "term": flat,
+                "pos": pa.array(pos.astype(np.int32)),
+            }
+        ).sort_by(
+            [("row", "ascending"), ("term", "ascending"), ("pos", "ascending")]
+        )
+        rows_t = trip["row"].to_numpy(zero_copy_only=False)
+        # term-run boundaries within the sorted triples → tfs + term heads
+        term_codes = pc.dictionary_encode(
+            trip["term"].combine_chunks()
+            if isinstance(trip["term"], pa.ChunkedArray)
+            else trip["term"]
+        )
+        code_np = np.asarray(term_codes.indices, dtype=np.int64)
+        n_tok = rows_t.size
+        is_head = np.ones(n_tok, dtype=bool)
+        if n_tok > 1:
+            is_head[1:] = (rows_t[1:] != rows_t[:-1]) | (code_np[1:] != code_np[:-1])
+        heads = np.flatnonzero(is_head)
+        run_len = np.diff(np.concatenate([heads, [n_tok]]))
+        terms_flat = term_codes.dictionary.take(pa.array(code_np[heads]))
+        tfs_np = run_len.astype(np.int32)
+        head_rows = rows_t[heads]
+        counts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.add.at(counts, head_rows + 1, 1)
+        offsets = np.cumsum(counts)
+        pcounts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.add.at(pcounts, rows_t + 1, 1)
+        poffsets = np.cumsum(pcounts)
+        off32 = pa.array(offsets, type=pa.int32())
+        terms_list = pa.ListArray.from_arrays(off32, terms_flat)
+        tfs_list = pa.ListArray.from_arrays(off32, pa.array(tfs_np))
+        pos_col = trip["pos"].combine_chunks() if isinstance(trip["pos"], pa.ChunkedArray) else trip["pos"]
+        pos_list = pa.ListArray.from_arrays(pa.array(poffsets, type=pa.int32()), pos_col)
+    else:
+        # per-(row, term) counts via Arrow hash aggregation (C++, vectorized)
+        pairs = pa.table(
+            {"row": pa.array(parent, type=pa.int64()), "term": flat}
+        ).group_by(["row", "term"]).aggregate([([], "count_all")])
+        # sort by (row, term) so each doc's term list is sorted
+        pairs = pairs.sort_by([("row", "ascending"), ("term", "ascending")])
+        rows = pairs["row"].to_numpy(zero_copy_only=False)
+        counts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.add.at(counts, rows + 1, 1)
+        offsets = np.cumsum(counts)
+        terms_flat = pairs["term"].combine_chunks() if isinstance(pairs["term"], pa.ChunkedArray) else pairs["term"]
+        tfs_flat = pc.cast(pairs["count_all"], pa.int32())
+        tfs_flat = tfs_flat.combine_chunks() if isinstance(tfs_flat, pa.ChunkedArray) else tfs_flat
+        off32 = pa.array(offsets, type=pa.int32())  # batches are << 2^31 tokens
+        terms_list = pa.ListArray.from_arrays(off32, terms_flat)
+        tfs_list = pa.ListArray.from_arrays(off32, tfs_flat)
     out = {
         "doc_id": batch["doc_id"],
         "repo": batch["repo"],
@@ -207,16 +261,22 @@ def to_term_vectors(batch: pa.Table, tokenizer=flat_tokens) -> pa.Table:
         "terms": terms_list,
         "tfs": tfs_list,
     }
+    if positions:
+        out["positions"] = pos_list
     return pa.table(out)
 
 
 def explode_postings(batch: pa.Table) -> pa.Table:
-    """M4: term-vector rows → postings rows (term, doc_id, tf, dl).
+    """M4: term-vector rows → postings rows (term, doc_id, tf, dl
+    [, positions]).
 
     Pure Arrow flatten — no Python per row.  ``dl`` (doc length) is carried
     with every posting so segments are self-contained at query time (no
     global doc-length broadcast needed at 10^12-doc scale; costs ~1 byte per
-    posting after varbyte).
+    posting after varbyte).  When the input carries a ``positions`` column
+    (positional build), each posting gets its own list<int32> of in-doc
+    token positions — the per-doc flat list re-split by tf counts, a pure
+    offset rebuild (no value copy).
     """
     terms = batch["terms"].combine_chunks() if isinstance(batch["terms"], pa.ChunkedArray) else batch["terms"]
     flat_terms = pc.list_flatten(terms)
@@ -224,11 +284,21 @@ def explode_postings(batch: pa.Table) -> pa.Table:
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parent]
     dls = batch["doc_len"].to_numpy(zero_copy_only=False)[parent]
     tfs = pc.list_flatten(batch["tfs"])
-    return pa.table(
-        {
-            "term": flat_terms,
-            "doc_id": pa.array(doc_ids),
-            "tf": tfs,
-            "dl": pa.array(dls.astype(np.int32)),
-        }
-    )
+    out = {
+        "term": flat_terms,
+        "doc_id": pa.array(doc_ids),
+        "tf": tfs,
+        "dl": pa.array(dls.astype(np.int32)),
+    }
+    if "positions" in batch.column_names:
+        pos = batch["positions"].combine_chunks() if isinstance(batch["positions"], pa.ChunkedArray) else batch["positions"]
+        pos_flat = pc.list_flatten(pos)
+        if isinstance(pos_flat, pa.ChunkedArray):
+            pos_flat = pos_flat.combine_chunks()
+        # per-posting offsets: docs' flat position lists split by tf runs
+        tf_np = tfs.to_numpy(zero_copy_only=False) if not isinstance(tfs, pa.ChunkedArray) else tfs.combine_chunks().to_numpy(zero_copy_only=False)
+        off = np.concatenate([[0], np.cumsum(tf_np.astype(np.int64))])
+        out["positions"] = pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int64()).cast(pa.int32()), pos_flat
+        )
+    return pa.table(out)

@@ -38,8 +38,11 @@ import ray.data
 from ..functions.bm25 import tf_norm
 from ..functions.codecs import (
     decode_docids,
+    decode_positions,
     decode_values,
     delta_decode,
+    delta_within_sublists,
+    sublist_gather,
     varbyte_decode,
     varbyte_encode_with_lengths,
 )
@@ -54,6 +57,11 @@ SEGMENT_SCHEMA = pa.schema(
         ("docids", pa.binary()),
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
+        # positional payload (BuildConfig.positions): per posting, its token
+        # positions delta+varbyte encoded, concatenated in posting order —
+        # the decoded tf array is the split key.  b"" on non-positional
+        # builds (schema stays uniform).
+        ("positions", pa.binary()),
         ("block_first_docid", pa.list_(pa.int64())),
         ("block_max_tfnorm", pa.list_(pa.float64())),
         ("term_bucket", pa.int32()),
@@ -213,9 +221,26 @@ def make_bucket_packer(plan: SaltPlan):
 
         g_idx = codes[order]  # int gather — no per-posting string take
         doc_ids = doc_ids[order]
-        tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        tf0 = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = tf0.astype(np.uint64)[order]
         dls = batch["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
         salt = salt_idx[order]
+        has_pos = "positions" in batch.column_names
+        if has_pos:
+            # positional payload: permute the per-posting sublists with the
+            # same order, delta within posting, one varbyte pass, slice per
+            # bucket run (all vectorized — same shape as the id/tf columns)
+            pos_col = batch["positions"]
+            if isinstance(pos_col, pa.ChunkedArray):
+                pos_col = pos_col.combine_chunks()
+            pos_flat0 = pc.list_flatten(pos_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            off0 = np.concatenate([[0], np.cumsum(tf0)])[:-1]
+            pos_perm = sublist_gather(pos_flat0, off0, order, tf0)
+            enc_p, len_p = varbyte_encode_with_lengths(
+                delta_within_sublists(pos_perm, tf0[order])
+            )
+            offB = np.concatenate([[0], np.cumsum(len_p)])
+            voff = np.concatenate([[0], np.cumsum(tf0[order])])
 
         # ---- fully vectorized encode: ONE varbyte call per column over the
         # whole batch, then byte-sliced per run via the returned lengths ----
@@ -260,18 +285,25 @@ def make_bucket_packer(plan: SaltPlan):
                 enc[off[s] : off[e]].tobytes() for s, e in zip(run_start, run_end)
             ]
 
-        return pa.table(
-            {
-                "bucket": pa.array(b_sorted[run_start].astype(np.int32)),
-                "salt": pa.array(salt[run_start] if n_rows else salt),
-                "n": pa.array((run_end - run_start).astype(np.int64)),
-                "term_dict": term_dicts,
-                "term_idx": pa.array(_slices(enc_ti, off_ti), pa.large_binary()),
-                "docids_vb": pa.array(_slices(enc_d, off_d), pa.large_binary()),
-                "tfs_vb": pa.array(_slices(enc_tf, off_tf), pa.large_binary()),
-                "dls_vb": pa.array(_slices(enc_dl, off_dl), pa.large_binary()),
-            }
-        )
+        out = {
+            "bucket": pa.array(b_sorted[run_start].astype(np.int32)),
+            "salt": pa.array(salt[run_start] if n_rows else salt),
+            "n": pa.array((run_end - run_start).astype(np.int64)),
+            "term_dict": term_dicts,
+            "term_idx": pa.array(_slices(enc_ti, off_ti), pa.large_binary()),
+            "docids_vb": pa.array(_slices(enc_d, off_d), pa.large_binary()),
+            "tfs_vb": pa.array(_slices(enc_tf, off_tf), pa.large_binary()),
+            "dls_vb": pa.array(_slices(enc_dl, off_dl), pa.large_binary()),
+        }
+        if has_pos:
+            out["pos_vb"] = pa.array(
+                [
+                    enc_p[offB[voff[s]] : offB[voff[e]]].tobytes()
+                    for s, e in zip(run_start, run_end)
+                ],
+                pa.large_binary(),
+            )
+        return pa.table(out)
 
     return pack
 
@@ -290,7 +322,9 @@ def make_packed_encoder(
     def encode(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return SEGMENT_SCHEMA.empty_table()
+        has_pos = "pos_vb" in group.column_names
         term_parts, did_parts, tf_parts, dl_parts, salt_parts = [], [], [], [], []
+        pos_parts = []
         salts = group["salt"].to_pylist()
         dicts = group["term_dict"].to_pylist()
         for i in range(group.num_rows):
@@ -301,6 +335,10 @@ def make_packed_encoder(
             tf_parts.append(varbyte_decode(group["tfs_vb"][i].as_py()).astype(np.int64))
             dl_parts.append(varbyte_decode(group["dls_vb"][i].as_py()).astype(np.int64))
             salt_parts.append(np.full(idx.size, salts[i], dtype=np.int32))
+            if has_pos:
+                pos_parts.append(
+                    decode_positions(group["pos_vb"][i].as_py(), tf_parts[-1])
+                )
         terms_all = pa.concat_arrays(term_parts)
         docids = np.concatenate(did_parts).astype(np.int64)
         tfs = np.concatenate(tf_parts)
@@ -324,6 +362,11 @@ def make_packed_encoder(
         term_col = pa.DictionaryArray.from_arrays(
             pa.array(rank[codes][perm].astype(np.int32)), dict_sorted
         )
+        positions = None
+        if has_pos:
+            pos_flat = np.concatenate(pos_parts)
+            off = np.concatenate([[0], np.cumsum(tfs)])[:-1]
+            positions = sublist_gather(pos_flat, off, perm, tfs)
         return _encode_runs(
             term_col,
             docids[perm],
@@ -335,6 +378,7 @@ def make_packed_encoder(
             b,
             block_size,
             n_route_buckets,
+            positions=positions,
         )
 
     return encode
@@ -351,8 +395,12 @@ def _encode_runs(
     b: float,
     block_size: int,
     n_route_buckets: int,
+    positions: np.ndarray | None = None,
 ) -> pa.Table:
-    """Vectorized core: rows sorted by (term, doc_id) → one segment row per term run."""
+    """Vectorized core: rows sorted by (term, doc_id) → one segment row per
+    term run.  ``positions`` (optional): flat per-posting position values in
+    the SAME sorted order (counts = tfs) → delta+varbyte positions blob per
+    run."""
     n = docids.size
     if n == 0:
         return SEGMENT_SCHEMA.empty_table()
@@ -393,6 +441,18 @@ def _encode_runs(
     d_bytes = [enc_d[off_d[s] : off_d[e]].tobytes() for s, e in zip(run_start, run_end)]
     t_bytes = [enc_t[off_t[s] : off_t[e]].tobytes() for s, e in zip(run_start, run_end)]
     l_bytes = [enc_l[off_l[s] : off_l[e]].tobytes() for s, e in zip(run_start, run_end)]
+    if positions is not None:
+        enc_p, len_p = varbyte_encode_with_lengths(
+            delta_within_sublists(positions, tfs.astype(np.int64))
+        )
+        offB = np.concatenate([[0], np.cumsum(len_p)])
+        voff = np.concatenate([[0], np.cumsum(tfs.astype(np.int64))])
+        p_bytes = [
+            enc_p[offB[voff[s]] : offB[voff[e]]].tobytes()
+            for s, e in zip(run_start, run_end)
+        ]
+    else:
+        p_bytes = [b""] * run_start.size
 
     blk_offsets = pa.array(np.concatenate([[0], np.cumsum(n_blocks)]), type=pa.int32())
     return pa.table(
@@ -404,6 +464,7 @@ def _encode_runs(
             "docids": pa.array(d_bytes, type=pa.binary()),
             "tfs": pa.array(t_bytes, type=pa.binary()),
             "dls": pa.array(l_bytes, type=pa.binary()),
+            "positions": pa.array(p_bytes, type=pa.binary()),
             "block_first_docid": pa.ListArray.from_arrays(
                 blk_offsets, pa.array(bfirst.astype(np.int64))
             ),
@@ -424,11 +485,24 @@ def make_salted_merger(avgdl: float, k1: float, b: float, block_size: int, n_rou
 
     def merge(group: pa.Table) -> pa.Table:
         # input is pre-filtered to salted partials (salt_idx != -1) by
-        # build.py; every group is decoded, concatenated, re-encoded
+        # build.py; every group is decoded, concatenated, re-encoded.
+        # Partials cover disjoint ascending doc ranges, so concatenation in
+        # salt order IS (doc_id) order — positions ride along unchanged.
         g = group.sort_by([("salt_idx", "ascending")])
+        tf_rows = [decode_values(bs.as_py()) for bs in g["tfs"]]
         docids = np.concatenate([decode_docids(bs.as_py()) for bs in g["docids"]])
-        tfs = np.concatenate([decode_values(bs.as_py()) for bs in g["tfs"]])
+        tfs = np.concatenate(tf_rows)
         dls = np.concatenate([decode_values(bs.as_py()) for bs in g["dls"]])
+        positions = None
+        if "positions" in g.column_names and any(
+            len(bs.as_py()) for bs in g["positions"]
+        ):
+            positions = np.concatenate(
+                [
+                    decode_positions(bs.as_py(), tf_i)
+                    for bs, tf_i in zip(g["positions"], tf_rows)
+                ]
+            )
         term_arr = pa.array([g["term"][0].as_py()] * docids.size, type=pa.string())
         return _encode_runs(
             term_arr,
@@ -441,6 +515,7 @@ def make_salted_merger(avgdl: float, k1: float, b: float, block_size: int, n_rou
             b,
             block_size,
             n_route_buckets,
+            positions=positions,
         )
 
     return merge
