@@ -157,7 +157,7 @@ def run_bench(sf_dir: str, num_cpus: int, n_queries: int = 200) -> dict:
 
 
 SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "200000"))
-SCALE_DIR = f"/tmp/sharesci_scale_corpus_{SCALE_DOCS}_v50k"
+SCALE_DIR = f"/tmp/sharesci_scale_corpus_{SCALE_DOCS}_v50k1250"
 
 
 def run_scaling_child(num_cpus: int) -> dict:
@@ -186,7 +186,7 @@ def run_scaling_child(num_cpus: int) -> dict:
     from sharesci_ray.pipelines.query import run_queries
     from sharesci_ray.sources.synth import SCALE_VOCAB, ensure_scale_corpus, make_queries
 
-    ensure_scale_corpus(SCALE_DOCS, SCALE_DIR, shard_docs=5000)
+    ensure_scale_corpus(SCALE_DOCS, SCALE_DIR, shard_docs=1250)
 
     @ray.remote(num_cpus=1)
     def _spin() -> int:
@@ -278,7 +278,7 @@ def run_node_child(cpu_list: str, shard_lo: int, shard_hi: int, num_cpus: int) -
         for f in os.listdir(SCALE_DIR)
         if f.endswith(".parquet")
     )[shard_lo:shard_hi]
-    n_docs = 5000 * len(shard_files)
+    n_docs = 1250 * len(shard_files)
 
     @ray.remote(num_cpus=1)
     def _spin() -> int:
@@ -355,7 +355,7 @@ def run_scaling_nodes(n_nodes: int = 4, cpus_per_node: int = 8) -> dict:
             "-c",
             (
                 "from sharesci_ray.sources.synth import ensure_scale_corpus; "
-                f"ensure_scale_corpus({SCALE_DOCS}, '{SCALE_DIR}', shard_docs=5000)"
+                f"ensure_scale_corpus({SCALE_DOCS}, '{SCALE_DIR}', shard_docs=1250)"
             ),
         ],
         cwd=os.path.dirname(os.path.abspath(__file__)),

@@ -4,10 +4,12 @@ SURVEY.md §3.1 (ref: n/a, §0 — reference checkout empty; contract
 BASELINE.json:6,14,15).  Stages, each gated by a manifest (resume skips
 complete stages):
 
-  docvec   : read corpus → sha256 fingerprint → deterministic dense doc ids
-             (sort + distributed prefix-sum) → per-doc sorted term vectors
-             (content dropped) → parquet checkpoint.  The ONLY stage that
-             touches raw content; resume never re-tokenizes.
+  docvec   : read corpus → sha256 fingerprint → per-doc sorted term vectors
+             (content dropped in the same fused task that decoded it) →
+             deterministic dense doc ids (key-only sort + distributed
+             prefix-sum over the content-free rows) → parquet checkpoint.
+             The ONLY stage that touches raw content; resume never
+             re-tokenizes.
   stats    : N, avgdl, total_tokens → stats.json sidecar.
   segments : explode postings → hot-term pre-pass → salted bucket keys →
              groupby(bucket) encode (delta+varbyte+block-max) → optional
@@ -413,33 +415,47 @@ def _tokenizer_id(tokenizer) -> str:
     return f"{getattr(tokenizer, '__module__', '?')}.{getattr(tokenizer, '__qualname__', repr(tokenizer))}"
 
 
+# docs per ingest batch: ~10 MB of source at typical doc sizes — big enough
+# to amortize Arrow per-batch costs and keep block counts low, small enough
+# that batch × concurrency stays far under a worker heap
+_DOCVEC_BATCH = 1000
+
+
 def _ingest_termvecs(ds: ray.data.Dataset, cfg: BuildConfig, tokenizer, base: int):
     """Shared ingest chain (fresh build AND incremental update): lang filter
-    → sha256 fingerprint → dense doc ids from ``base`` → term vectors."""
+    → sha256 fingerprint → term vectors → dense doc ids from ``base``.
+
+    Order is load-bearing for scale: read → filter → fingerprint →
+    tokenize all FUSE into one streamed pass (raw ``content`` never hits
+    the object store — it is dropped inside the same task that decoded
+    it), and the id-assignment sort/attach then moves only the ~2× smaller
+    content-free term-vector rows.  The sort keys (repo/path/commit/sha)
+    all survive tokenization, so ids are identical to the old
+    assign-then-tokenize order.
+
+    ``_DOCVEC_BATCH`` coalesces the reader's dynamically-split ~250-row
+    blocks into ~1000-doc batches: Arrow's per-batch hash aggregation
+    amortizes, and the downstream id sort sees tens of multi-MB blocks
+    instead of hundreds of ~1 MB ones (6× faster sort leg at 50 k docs)."""
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=_DOCVEC_BATCH)
     if cfg.langs:
         allowed = pa.array(list(cfg.langs))
         ds = ds.map_batches(
-            lambda t, _a=allowed: t.filter(pc.is_in(t["lang"], value_set=_a)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            lambda t, _a=allowed: t.filter(pc.is_in(t["lang"], value_set=_a)), **kw
         )
-    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
-    ds = assign_doc_ids(ds, base=base)
+    ds = ds.map_batches(add_fingerprint, **kw)
     if tokenizer is not None:
         ds = ds.map_batches(
             lambda t, _tok=tokenizer, _p=cfg.positions: to_term_vectors(
                 t, tokenizer=_tok, positions=_p
             ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            **kw,
         )
     else:
         ds = ds.map_batches(
-            lambda t, _p=cfg.positions: to_term_vectors(t, positions=_p),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            lambda t, _p=cfg.positions: to_term_vectors(t, positions=_p), **kw
         )
-    return ds
+    return assign_doc_ids(ds, base=base)
 
 
 def build_index(
@@ -588,9 +604,6 @@ def build_index(
         # trades a little salting precision for skipping 90% of the pass.
         _t0 = _time.perf_counter()
         frac = 1.0 if stats["n_docs"] < 20_000 else cfg.hot_sample
-        # one slim (id/len/terms/tfs) object-store copy feeds BOTH the
-        # hot-term pass and the encode pass — parquet list-column decode is
-        # the expensive part of re-reading the checkpoint, so pay it once
         slim_cols = ["doc_id", "doc_len", "terms", "tfs"]
         if cfg.positions:
             slim_cols.append("positions")
@@ -602,7 +615,13 @@ def build_index(
             slim = slim.map_batches(
                 _drop_dead_fn(dead), batch_format="pyarrow", zero_copy_batch=True
             )
-        slim = slim.materialize()
+        if termvec_mem is None:
+            # resumed build: the hot-term pass and the pack both consume
+            # `slim`; pin it once so the checkpoint's list columns are
+            # parquet-decoded a single time.  (Fresh builds skip this: the
+            # termvecs are already pinned and re-projecting them per
+            # consumer is cheaper than a second full in-memory copy.)
+            slim = slim.materialize()
         m.metrics["slim_mat_s"] = round(_time.perf_counter() - _t0, 3)
         postings = slim.map_batches(
             explode_postings, batch_format="pyarrow", zero_copy_batch=True

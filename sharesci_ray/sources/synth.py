@@ -154,7 +154,15 @@ def ensure_scale_corpus(
                 pa.array([f"s{shard_idx}"] * n), t["repo"], "/"
             ),
         )
-        pq.write_table(t, os.path.join(out_dir, f"shard_{shard_idx:05d}.parquet"))
+        # small row groups: a production corpus has far more files than any
+        # node has cores; a 10-file sandbox corpus must not cap read-task
+        # parallelism at 10, so let Ray split each file at row-group
+        # boundaries (~625 docs ≈ 6 MB per group)
+        pq.write_table(
+            t,
+            os.path.join(out_dir, f"shard_{shard_idx:05d}.parquet"),
+            row_group_size=625,
+        )
         return n
 
     ray.get([_write_shard.remote(i, n) for i, n in shards])

@@ -1,4 +1,4 @@
-"""Stages 00-02: fingerprint → deterministic doc ids → per-doc term vectors.
+"""Stages 00-02: fingerprint → per-doc term vectors → deterministic doc ids.
 
 SURVEY.md §3.1 stages 00/01/02 (ref: n/a, §0 — reference checkout empty;
 contract BASELINE.json:15: per-row content sha256 invariant; M1/M2/M3/M4/M9).
@@ -48,11 +48,18 @@ def _block_num_rows(block: pa.Table) -> int:
     return block.num_rows
 
 
+def _id_first(block: pa.Table) -> pa.Table:
+    """Canonical column order (doc_id first) — zero-copy metadata reorder."""
+    return block.select(
+        ["doc_id"] + [c for c in block.column_names if c != "doc_id"]
+    )
+
+
 @ray.remote
 def _attach_range_ids(block: pa.Table, offset: int) -> pa.Table:
     """Small-corpus path: block is already globally sorted; ids are a range."""
     ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64))
-    return block.append_column("doc_id", ids)
+    return _id_first(block.append_column("doc_id", ids))
 
 
 _KEY_SCHEMA = pa.schema(
@@ -141,7 +148,7 @@ def assign_doc_ids(ds: ray.data.Dataset, base: int = 0) -> ray.data.Dataset:
         ids[group["row"].to_numpy(zero_copy_only=False)] = group[
             "doc_id"
         ].to_numpy(zero_copy_only=False)
-        return blk.append_column("doc_id", pa.array(ids))
+        return _id_first(blk.append_column("doc_id", pa.array(ids)))
 
     # groupby shuffles only (block, row, doc_id) rank rows — 16 B/doc
     return ray.data.from_arrow_refs(rank_refs).groupby("block").map_groups(
@@ -171,8 +178,8 @@ def to_term_vectors(
     ``(string column) -> (flat token array, row index per token)``; the
     default is the shared code-aware tokenizer (functions/text.py).
     """
-    fields = [
-        ("doc_id", pa.int64()),
+    has_id = "doc_id" in batch.column_names
+    fields = ([("doc_id", pa.int64())] if has_id else []) + [
         ("repo", pa.string()),
         ("path", pa.string()),
         ("commit", pa.string()),
@@ -251,7 +258,7 @@ def to_term_vectors(
         terms_list = pa.ListArray.from_arrays(off32, terms_flat)
         tfs_list = pa.ListArray.from_arrays(off32, tfs_flat)
     out = {
-        "doc_id": batch["doc_id"],
+        **({"doc_id": batch["doc_id"]} if has_id else {}),
         "repo": batch["repo"],
         "path": batch["path"],
         "commit": batch["commit"],
