@@ -1205,4 +1205,5 @@ def supplier_by_region(sf_dir: str):
 # -- extension registries (import side-effect: registers into REGISTRY) -----
 from . import ops_dedup  # noqa: E402,F401  (dedup + similarity search)
 from . import ops_media  # noqa: E402,F401  (multimodal column plumbing)
+from . import ops_relational  # noqa: E402,F401  (pii scrub, as-of join, pivot)
 from . import ops_text  # noqa: E402,F401  (text analysis)

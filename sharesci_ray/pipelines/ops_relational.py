@@ -1,0 +1,265 @@
+"""Relational / training-data-prep extension ops (registry side-module).
+
+Four operators a large-scale training-data pipeline needs that the core
+registry lacked:
+
+  pii_scrub          — regex redaction (emails, digit runs) with per-row
+                       redaction counts; RE2 semantics shared with the
+                       DuckDB oracle.
+  asof_join_events   — a genuine AS-OF join (purchase → most recent view
+                       at-or-before it, per user): an operator Ray Data
+                       has no native form for, composed as tag + union +
+                       per-key map_groups merge (searchsorted).
+  grouped_quantiles  — exact per-group quantiles by integer index formula
+                       floor((n-1)*q) over the sorted values — deterministic
+                       and hash-comparable, unlike interpolated quantiles.
+  pivot_event_counts — wide pivot (one count column per event type) via
+                       per-batch partial pivot + small groupby-sum.
+
+Scale notes: pii_scrub is embarrassingly parallel (one RE2 pass per batch);
+the as-of join and quantiles shuffle by key/group exactly once and assume a
+single key's history fits one group (time-bucket the key at extreme per-key
+volume — same caveat as the windowed ops in ops.py); the pivot pre-aggregates
+per batch so only (n_users × n_types) partial rows shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.corpus import read_table
+from .ops import _cents, _rename, op
+
+# ---------------------------------------------------------------------------
+# pii_scrub — regex redaction over events.props
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_NUM_RE = "[0-9]+"
+
+
+@op(
+    "pii_scrub",
+    f"""
+    SELECT event_id,
+           regexp_replace(regexp_replace(props, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_NUM_RE}', '<NUM>', 'g') AS props_clean,
+           len(regexp_extract_all(props, '{_EMAIL_RE}'))::BIGINT
+             + len(regexp_extract_all(regexp_replace(props, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_NUM_RE}'))::BIGINT AS n_redacted
+    FROM events
+    """,
+)
+def pii_scrub(sf_dir: str):
+    """PII redaction: emails then digit runs, with a per-row redaction
+    count.  One vectorized RE2 pass per pattern per batch (pyarrow and
+    DuckDB both use RE2, so the engine and the oracle share regex
+    semantics exactly).  Stateless map_batches — no shuffle."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        props = batch["props"]
+        n_email = pc.count_substring_regex(props, pattern=_EMAIL_RE)
+        no_email = pc.replace_substring_regex(
+            props, pattern=_EMAIL_RE, replacement="<EMAIL>"
+        )
+        n_num = pc.count_substring_regex(no_email, pattern=_NUM_RE)
+        clean = pc.replace_substring_regex(
+            no_email, pattern=_NUM_RE, replacement="<NUM>"
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "props_clean": clean,
+                "n_redacted": pc.cast(pc.add(n_email, n_num), pa.int64()),
+            }
+        )
+
+    return ev.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# asof_join_events — purchase → most recent view at-or-before, per user
+# ---------------------------------------------------------------------------
+
+_ASOF_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("view_ts", pa.timestamp("us")),
+        ("view_cents", pa.int64()),
+    ]
+)
+
+
+@op(
+    "asof_join_events",
+    """
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts, v.value_c AS view_cents
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (
+      SELECT user_id, ts, max(CAST(round(value * 100) AS BIGINT)) AS value_c
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ) v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_events(sf_dir: str):
+    """AS-OF join: each 'purchase' event matched to the same user's most
+    recent 'view' event at-or-before it (inner: purchases with no prior
+    view drop out).  Ray Data has no native as-of join; composition: tag
+    both sides, union, ONE shuffle (groupby user), then a vectorized
+    searchsorted merge inside each group.  Partitioning assumption: one
+    user's history fits one group (time-bucket the key at extreme per-user
+    volume).  The right side is pre-deduplicated to one row per
+    (user, ts) via max(cents) so equal-timestamp ties are deterministic on
+    both the engine and the oracle side."""
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def split(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "view"))
+        t = batch.filter(keep)
+        is_left = pc.equal(t["event_type"], "purchase")
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts": t["ts"],
+                "cents": _cents(t["value"]),
+                "is_left": pc.cast(is_left, pa.int8()),
+            }
+        )
+
+    tagged = ev.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _ASOF_SCHEMA.empty_table()
+        side = group["is_left"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        lmask, rmask = side == 1, side == 0
+        if not lmask.any() or not rmask.any():
+            return _ASOF_SCHEMA.empty_table()
+        # right side: one row per ts, max(cents) on ties (mirrors the oracle)
+        r_ts, r_cents = ts[rmask], cents[rmask]
+        order = np.lexsort((r_cents, r_ts))
+        r_ts, r_cents = r_ts[order], r_cents[order]
+        last = np.r_[r_ts[1:] != r_ts[:-1], True]  # keep last (max cents) per ts
+        r_ts, r_cents = r_ts[last], r_cents[last]
+        l_ts = ts[lmask]
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        hit = idx >= 0
+        lidx = np.flatnonzero(lmask)[hit]
+        ridx = idx[hit]
+        return pa.table(
+            {
+                "event_id": group["event_id"].take(pa.array(lidx)),
+                "user_id": group["user_id"].take(pa.array(lidx)),
+                "ts": group["ts"].take(pa.array(lidx)),
+                "view_ts": pa.array(r_ts[ridx], pa.timestamp("us")),
+                "view_cents": pa.array(r_cents[ridx], pa.int64()),
+            }
+        )
+
+    return tagged.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped_quantiles — exact per-group p50/p90/p99 by index formula
+# ---------------------------------------------------------------------------
+
+_QS = (("p50_cents", 0.5), ("p90_cents", 0.9), ("p99_cents", 0.99))
+
+
+@op(
+    "grouped_quantiles",
+    """
+    SELECT event_type, max(cnt) AS n,
+           max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) THEN cents END) AS p50_cents,
+           max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) AS BIGINT) THEN cents END) AS p90_cents,
+           max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.99) AS BIGINT) THEN cents END) AS p99_cents
+    FROM (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+    )
+    GROUP BY event_type
+    """,
+)
+def grouped_quantiles(sf_dir: str):
+    """Exact per-group quantiles: the value at sorted index floor((n-1)*q)
+    — integer indexing into the sorted group, so the result is exact and
+    hash-comparable (interpolated quantiles are float-rounding hazards).
+    One shuffle (groupby event_type); the in-group sort assumes a group
+    fits one task — for groups beyond that, length_deciles' distributed
+    histogram shape (ops_text.py) is the scale path for discrete values."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema(
+                [("event_type", pa.string()), ("n", pa.int64())]
+                + [(name, pa.int64()) for name, _ in _QS]
+            ).empty_table()
+        cents = np.sort(_cents(group["value"]).to_numpy(zero_copy_only=False))
+        n = cents.size
+        out = {
+            "event_type": pa.array([group["event_type"][0].as_py()]),
+            "n": pa.array([n], pa.int64()),
+        }
+        for name, q in _QS:
+            # same double expression as the oracle: floor((n-1)*q)
+            out[name] = pa.array([int(cents[int(np.floor((n - 1) * q))])], pa.int64())
+        return pa.table(out)
+
+    return ev.groupby("event_type").map_groups(quantiles, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# pivot_event_counts — wide per-user event-type counts
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@op(
+    "pivot_event_counts",
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}')::BIGINT AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def pivot_event_counts(sf_dir: str):
+    """Pivot to wide: one count column per event type, keyed by user.
+    Per-batch partial pivot (np.add.at over user codes × a mask per type)
+    so only n_users × n_types partial rows enter the final groupby-sum."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        users, codes = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for t in _EVENT_TYPES:
+            mask = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            cnt = np.zeros(users.size, dtype=np.int64)
+            np.add.at(cnt, codes[mask], 1)
+            cols[f"n_{t}"] = pa.array(cnt, pa.int64())
+        return pa.table(cols)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby("user_id").sum([f"n_{t}" for t in _EVENT_TYPES])
+    return _rename(
+        agg,
+        {f"sum(n_{t})": f"n_{t}" for t in _EVENT_TYPES},
+        int64_cols=tuple(f"n_{t}" for t in _EVENT_TYPES),
+    )
