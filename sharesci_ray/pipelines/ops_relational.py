@@ -136,38 +136,43 @@ def asof_join_events(sf_dir: str):
         )
 
     tagged = ev.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("user_id").map_groups(asof_merge_group, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return _ASOF_SCHEMA.empty_table()
-        side = group["is_left"].to_numpy(zero_copy_only=False)
-        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cents = group["cents"].to_numpy(zero_copy_only=False)
-        lmask, rmask = side == 1, side == 0
-        if not lmask.any() or not rmask.any():
-            return _ASOF_SCHEMA.empty_table()
-        # right side: one row per ts, max(cents) on ties (mirrors the oracle)
-        r_ts, r_cents = ts[rmask], cents[rmask]
-        order = np.lexsort((r_cents, r_ts))
-        r_ts, r_cents = r_ts[order], r_cents[order]
-        last = np.r_[r_ts[1:] != r_ts[:-1], True]  # keep last (max cents) per ts
-        r_ts, r_cents = r_ts[last], r_cents[last]
-        l_ts = ts[lmask]
-        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
-        hit = idx >= 0
-        lidx = np.flatnonzero(lmask)[hit]
-        ridx = idx[hit]
-        return pa.table(
-            {
-                "event_id": group["event_id"].take(pa.array(lidx)),
-                "user_id": group["user_id"].take(pa.array(lidx)),
-                "ts": group["ts"].take(pa.array(lidx)),
-                "view_ts": pa.array(r_ts[ridx], pa.timestamp("us")),
-                "view_cents": pa.array(r_cents[ridx], pa.int64()),
-            }
-        )
 
-    return tagged.groupby("user_id").map_groups(merge, batch_format="pyarrow")
+def asof_merge_group(group: pa.Table) -> pa.Table:
+    """One key's as-of merge (vectorized): rows tagged ``is_left`` 1/0;
+    each left row matches the greatest right ``ts`` ≤ its own, ties on a
+    right ``ts`` pre-resolved to max ``cents``.  Module-level so the
+    kernel is property-testable against a brute-force reference without
+    a Ray pipeline around it."""
+    if group.num_rows == 0:
+        return _ASOF_SCHEMA.empty_table()
+    side = group["is_left"].to_numpy(zero_copy_only=False)
+    ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    cents = group["cents"].to_numpy(zero_copy_only=False)
+    lmask, rmask = side == 1, side == 0
+    if not lmask.any() or not rmask.any():
+        return _ASOF_SCHEMA.empty_table()
+    # right side: one row per ts, max(cents) on ties (mirrors the oracle)
+    r_ts, r_cents = ts[rmask], cents[rmask]
+    order = np.lexsort((r_cents, r_ts))
+    r_ts, r_cents = r_ts[order], r_cents[order]
+    last = np.r_[r_ts[1:] != r_ts[:-1], True]  # keep last (max cents) per ts
+    r_ts, r_cents = r_ts[last], r_cents[last]
+    l_ts = ts[lmask]
+    idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+    hit = idx >= 0
+    lidx = np.flatnonzero(lmask)[hit]
+    ridx = idx[hit]
+    return pa.table(
+        {
+            "event_id": group["event_id"].take(pa.array(lidx)),
+            "user_id": group["user_id"].take(pa.array(lidx)),
+            "ts": group["ts"].take(pa.array(lidx)),
+            "view_ts": pa.array(r_ts[ridx], pa.timestamp("us")),
+            "view_cents": pa.array(r_cents[ridx], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -69,3 +69,53 @@ def test_minhash_bounds_and_permutation_invariance(hashes, n_rows):
     perm = np.random.RandomState(0).permutation(h.size)
     rows2, sigs2 = minhash_signatures(h[perm], parent[perm], n_rows)
     assert (rows == rows2).all() and (sigs == sigs2).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 20),      # ts (small domain -> many ties)
+            st.integers(-5, 5),      # cents
+            st.booleans(),           # is_left
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_asof_merge_matches_bruteforce(rows):
+    """asof_merge_group ≡ brute force: every left row matches the greatest
+    right ts ≤ its own; right (ts)-ties resolve to max cents; no-match
+    left rows drop (inner semantics)."""
+    from sharesci_ray.pipelines.ops_relational import asof_merge_group
+
+    us = pa.timestamp("us")
+    group = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.int64()).cast(us),
+            "cents": pa.array([r[1] for r in rows], pa.int64()),
+            "is_left": pa.array([1 if r[2] else 0 for r in rows], pa.int8()),
+        }
+    )
+    got = asof_merge_group(group)
+    want = {}  # event_id -> (view_ts, view_cents)
+    rights = [(t, c) for t, c, l in rows if not l]
+    for eid, (t, _c, is_l) in enumerate(rows):
+        if not is_l:
+            continue
+        cand = [(rt, rc) for rt, rc in rights if rt <= t]
+        if cand:
+            best_ts = max(rt for rt, _ in cand)
+            best_c = max(rc for rt, rc in cand if rt == best_ts)
+            want[eid] = (best_ts, best_c)
+    got_map = {
+        int(e): (int(vt), int(vc))
+        for e, vt, vc in zip(
+            got["event_id"].to_pylist(),
+            got["view_ts"].cast(pa.int64()).to_pylist(),
+            got["view_cents"].to_pylist(),
+        )
+    }
+    assert got_map == want
