@@ -3,11 +3,11 @@
 The operational surface a user of the reference engine would expect:
 
   build  --input GLOB --build-dir DIR [--n-buckets N] [--langs py,js]
-         [--no-resume]
+         [--positions] [--no-resume]
   update --input GLOB --build-dir DIR
   delete --build-dir DIR --keys FILE   (one "repo<TAB>path" per line)
   query  --build-dir DIR (--text "..." | --queries FILE.{jsonl,parquet})
-         [--k 10] [--scorer auto] [--output out.parquet]
+         [--k 10] [--scorer auto] [--phrase] [--output out.parquet]
 
 Owns its Ray session (guarded — a driver that already called ray.init can
 import and call :func:`main` directly).
@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--build-dir", required=True)
     b.add_argument("--n-buckets", type=int, default=64)
     b.add_argument("--langs", default=None, help="comma-separated lang allowlist")
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (enables exact-phrase queries)")
     b.add_argument("--no-resume", action="store_true")
 
     u = sub.add_parser("update", help="append a delta corpus to an existing index")
@@ -45,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--queries", default=None, help="query-set file (.jsonl/.parquet)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--scorer", default="auto", choices=["daat", "wand", "bmw", "auto"])
+    q.add_argument("--phrase", action="store_true",
+                   help="exact-phrase mode (index must be built with --positions); "
+                        "ranks matching docs by occurrence count")
     q.add_argument("--output", default=None, help="write results parquet here (else print)")
 
     args = ap.parse_args(argv)
@@ -63,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = BuildConfig(
             n_buckets=args.n_buckets,
             langs=tuple(args.langs.split(",")) if args.langs else None,
+            positions=args.positions,
         )
         state = build_index(
             read_corpus(args.input), args.build_dir, cfg, resume=not args.no_resume
@@ -95,6 +101,32 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             qds = read_queries(args.queries)
+        if args.phrase:
+            import pyarrow as pa
+
+            from .pipelines.query import PhraseCounter
+
+            pds = qds.map_batches(
+                lambda t: t.rename_columns(
+                    ["phrase" if c == "text" else c for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            res = pds.map_batches(
+                PhraseCounter,
+                fn_constructor_kwargs={"build_dir": args.build_dir, "topk": args.k},
+                concurrency=(1, 8),
+                batch_size=32,
+                batch_format="pyarrow",
+            )
+            if args.output:
+                res.write_parquet(args.output)
+                print(json.dumps({"output": args.output, "rows": res.count()}))
+            else:
+                for row in res.sort(["phrase", "rank"]).iter_rows():
+                    print(json.dumps(row))
+            return 0
         res = run_queries(args.build_dir, qds, k=args.k, scorer=args.scorer)
         if args.output:
             res.write_parquet(args.output)

