@@ -476,3 +476,113 @@ def doc_fingerprint_rolling(sf_dir: str):
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Unigram log-probability quality score (CCNet-style LM filter, exact ints)
+# ===========================================================================
+
+@op(
+    "unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    freq AS (
+      SELECT term,
+             CAST(round(1000000.0 * ln(
+               count(*)::DOUBLE / (SELECT count(*) FROM toks))) AS BIGINT)
+               AS w_micronats
+      FROM toks GROUP BY term
+    )
+    SELECT t.doc_id,
+           sum(f.w_micronats)::BIGINT AS sum_micronats,
+           count(*)::BIGINT AS n_tokens
+    FROM toks t JOIN freq f ON f.term = t.term
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob(sf_dir: str):
+    """Unigram LM document score (the CCNet/Wikipedia-LM quality-filter
+    shape): per-token weight = round(1e6·ln(corpus_tf/total)) in integer
+    "micronats", per-doc score = exact int sum — integer accumulation makes
+    the result order-independent, so the engine and the SQL oracle agree
+    bit-for-bit (double ln agreement verified across sf0.001-0.1; both
+    sides are libm).  Scale shape: one partial-agg pass builds the
+    (term, tf) table, the tiny vocab table broadcasts via ray.put, and the
+    scoring pass is stateless map_batches — no per-doc shuffle at all."""
+    import ray
+
+    from .ops import term_tf_total
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tf_tbl = term_tf_total(sf_dir).materialize()
+    freq = tf_tbl.take_all()  # |vocab| rows — bounded, not corpus-sized
+    total = float(sum(r["tf_total"] for r in freq))
+    terms = pa.array([r["term"] for r in freq], pa.string())
+    w = pa.array(
+        [int(np.round(1_000_000.0 * np.log(r["tf_total"] / total))) for r in freq],
+        pa.int64(),
+    )
+    lut_ref = ray.put((terms, w))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts, ws = ray.get(lut_ref)
+        flat, parent = flat_tokens(batch["text"])
+        idx = pc.index_in(flat, value_set=ts)
+        tok_w = ws.take(idx).to_numpy(zero_copy_only=False)
+        s = np.zeros(batch.num_rows, dtype=np.int64)
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(s, parent, tok_w)
+        np.add.at(n, parent, 1)
+        keep = n > 0  # docs with zero tokens have no oracle row (inner join)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(np.flatnonzero(keep))),
+                "sum_micronats": pa.array(s[keep], pa.int64()),
+                "n_tokens": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Stratified systematic sample (per-lang every-k-th)
+# ===========================================================================
+
+_STRATA_K = 10
+
+
+@op(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rn
+      FROM documents
+    ) WHERE rn % {_STRATA_K} = 0
+    """,
+)
+def stratified_sample(sf_dir: str):
+    """Stratified systematic sampling: within each language stratum, every
+    {k}-th document by doc_id — proportional allocation with deterministic
+    membership (the training-data "balanced subsample" op).  One shuffle
+    (groupby lang); in-group sort assumes a stratum fits one group — for
+    corpus-scale strata, range-partition by doc_id and offset each range's
+    phase by its cumulative count (same arithmetic, no global sort)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("lang", pa.string())]
+            ).empty_table()
+        g = group.sort_by([("doc_id", "ascending")])
+        sel = np.arange(0, g.num_rows, _STRATA_K)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].take(pa.array(sel)),
+                "lang": g["lang"].take(pa.array(sel)),
+            }
+        )
+
+    return docs.groupby("lang").map_groups(pick, batch_format="pyarrow")
