@@ -6,6 +6,7 @@ The operational surface a user of the reference engine would expect:
          [--positions] [--no-resume]
   update --input GLOB --build-dir DIR
   delete --build-dir DIR --keys FILE   (one "repo<TAB>path" per line)
+  compact --build-dir DIR              (reclaim tombstones, re-densify ids)
   query  --build-dir DIR (--text "..." | --queries FILE.{jsonl,parquet})
          [--k 10] [--scorer auto] [--phrase] [--output out.parquet]
 
@@ -41,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--build-dir", required=True)
     d.add_argument("--keys", required=True, help='file with one "repo<TAB>path" per line')
 
+    c = sub.add_parser(
+        "compact",
+        help="drop tombstoned docs, re-densify ids, rebuild stats+segments "
+             "from the checkpoint (no re-tokenize)",
+    )
+    c.add_argument("--build-dir", required=True)
+
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--build-dir", required=True)
     q.add_argument("--text", default=None, help="single query string")
@@ -60,7 +68,13 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     import ray.data
 
-    from .pipelines.build import BuildConfig, build_index, delete_docs, update_index
+    from .pipelines.build import (
+        BuildConfig,
+        build_index,
+        compact_index,
+        delete_docs,
+        update_index,
+    )
     from .pipelines.query import run_queries
     from .sources.corpus import read_corpus, read_queries
 
@@ -87,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
                 if line.strip()
             ]
         state = delete_docs(args.build_dir, keys)
+        print(json.dumps({"build_dir": args.build_dir,
+                          "stats": state.read_sidecar("stats.json")}))
+    elif args.cmd == "compact":
+        state = compact_index(args.build_dir)
         print(json.dumps({"build_dir": args.build_dir,
                           "stats": state.read_sidecar("stats.json")}))
     else:  # query

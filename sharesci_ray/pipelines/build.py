@@ -466,6 +466,7 @@ def build_index(
     tokenizer=None,
     extra_stages=None,
     _tok_id: str | None = None,
+    _termvecs: ray.data.Dataset | None = None,
 ) -> BuildState:
     """Run (or resume) the index build; returns the BuildState handle.
 
@@ -516,7 +517,13 @@ def build_index(
         import time as _time
 
         _t0 = _time.perf_counter()
-        ds = _ingest_termvecs(ds, cfg, tokenizer, base=0)
+        if _termvecs is not None:
+            # maintenance flows (compact_index) hand the stage pre-built
+            # term vectors with ids already assigned — the ingest/tokenize
+            # pass is skipped, everything downstream is identical
+            ds = _termvecs
+        else:
+            ds = _ingest_termvecs(ds, cfg, tokenizer, base=0)
         # materialize ONCE: the checkpoint write below streams from the
         # pinned blocks, and stats/segments consume the same blocks without
         # re-reading (and re-decoding) the parquet — one full-corpus pass
@@ -965,3 +972,108 @@ def update_index(
     }
     state.commit(m)
     return state
+
+
+def compact_index(build_dir: str) -> BuildState:
+    """Compact an index after incremental updates/deletes: drop tombstoned
+    rows from the docvec checkpoint, reassign dense doc ids, and rebuild
+    stats + segments from the SURVIVING term vectors — equivalent to a
+    fresh build over the surviving corpus (tested bit-equal, ids included:
+    the id sort keys survive in the checkpoint) WITHOUT re-running the
+    ingest/tokenize pass, which is the expensive stage at corpus scale.
+
+    Reclaims the dead rows' checkpoint space, resets ``id_space`` to
+    ``n_docs`` (the dense DAAT accumulator and doc-range salt math size by
+    id_space, so a long overwrite history degrades both until compaction),
+    and resets the block-max avgdl slack, re-arming bucket-scoped
+    incremental updates that had drifted toward the full-re-encode
+    fallback.
+
+    Crash-safe via shadow-dir + swap: the compacted index is built next to
+    the live one (``<build_dir>.compact``) and swapped in with two renames;
+    the live index serves unmodified until the swap, a crash before it
+    leaves the original untouched (a rerun restarts cleanly), and a crash
+    between the renames is healed by the recovery branch below on the next
+    call.  No tombstones exist afterwards.
+    """
+    from ..stages.docvec import assign_doc_ids
+
+    old_dir = build_dir + ".old"
+    if not os.path.isdir(build_dir) and os.path.isdir(old_dir):
+        # crash between the two swap renames: the original is intact under
+        # .old — restore it and fall through to a normal (re)compaction
+        os.rename(old_dir, build_dir)
+
+    # ---- validation (same contract as delete_docs, before any write) ------
+    stored = BuildState(build_dir, {}).read_sidecar("config.json")
+    stored_tok = stored.pop("tokenizer", "default")
+    if stored.pop("extra_stages", []):
+        raise ValueError(
+            "compact_index on an index built with extra_stages is not "
+            "supported (the custom stages cannot be reconstructed from "
+            "disk); rebuild over the surviving corpus instead"
+        )
+    cfg = BuildConfig(
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in stored.items()}
+    )
+    state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
+    if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
+        raise ValueError(f"{build_dir} is not a complete index; run build_index first")
+
+    dead = _read_tombstones(build_dir)
+    if dead.size == 0:
+        return state  # nothing tombstoned — the index is already compact
+
+    # ---- survivor term vectors, ids reassigned densely --------------------
+    docvec_dir = state.stage_dir("docvec")
+    dv = ray.data.read_parquet(docvec_dir)
+    dv = dv.map_batches(
+        _drop_dead_fn(dead), batch_format="pyarrow", zero_copy_batch=True
+    ).drop_columns(["doc_id"])
+    # the dead-filter can empty whole blocks, and Ray stores those
+    # schema-less — heal before the id sort so no schema-less empty can
+    # poison the sorted dataset's schema (pipelines/util.py containment)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from .util import drop_empty_blocks
+
+    dv_schema = _pq.read_schema(
+        sorted(_glob.glob(os.path.join(docvec_dir, "**", "*.parquet"), recursive=True))[0]
+    )
+    dv_schema = pa.schema([f for f in dv_schema if f.name != "doc_id"])
+    survivors = assign_doc_ids(drop_empty_blocks(dv, dv_schema), base=0)
+
+    # ---- shadow build (stats + segments from the given termvecs) ----------
+    tmp_dir = build_dir + ".compact"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    build_index(
+        ray.data.from_items([]),  # unused: _termvecs supplies the stage
+        tmp_dir,
+        cfg,
+        resume=False,
+        _tok_id=stored_tok,
+        _termvecs=survivors,
+    )
+
+    # ---- swap --------------------------------------------------------------
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(build_dir, old_dir)
+    os.rename(tmp_dir, build_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+
+    new_state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
+    k = 0
+    while new_state.read_manifest(f"compact-{k}") is not None:
+        k += 1
+    m = new_state.begin(
+        f"compact-{k}", inputs=[docvec_dir], upstream=["docvec", "stats", "segments"]
+    )
+    m.rows_out = int(new_state.read_sidecar("stats.json")["n_docs"])
+    m.metrics = {
+        "dropped_tombstones": int(dead.size),
+        "n_docs": m.rows_out,
+    }
+    new_state.commit(m)
+    return new_state

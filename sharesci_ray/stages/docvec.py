@@ -58,6 +58,12 @@ def _id_first(block: pa.Table) -> pa.Table:
 @ray.remote
 def _attach_range_ids(block: pa.Table, offset: int) -> pa.Table:
     """Small-corpus path: block is already globally sorted; ids are a range."""
+    if block.num_rows == 0:
+        # Ray stores 0-row blocks schema-less (ZERO columns); appending
+        # doc_id to one would create a block whose only column is doc_id,
+        # and that block can become the dataset's schema donor — leave the
+        # empty block untouched (schema-less empties are ignored for schema)
+        return block
     ids = pa.array(np.arange(offset, offset + block.num_rows, dtype=np.int64))
     return _id_first(block.append_column("doc_id", ids))
 

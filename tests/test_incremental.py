@@ -450,3 +450,94 @@ def test_partial_delete_rank_identity(ray_session, tmp_path_factory):
             assert sorted(pm_del[x] for x in dd_) == sorted(
                 pm_ref[x] for x in dr_
             ), (scorer, q)
+
+
+def test_compact_equals_fresh_build(ray_session, tmp_path_factory):
+    """update(overwrite) + delete → compact: the compacted index is
+    BIT-equal to a fresh build over the final corpus — same stats, same
+    dense doc ids (sort keys survive the checkpoint), identical top-k ids
+    AND scores — with no tombstones left, id_space re-densified, and the
+    ingest/tokenize stage never re-run."""
+    import json
+    import os
+
+    from sharesci_ray.pipelines.build import (
+        _read_tombstones,
+        compact_index,
+        delete_docs,
+    )
+
+    base = make_corpus(80, seed=909)
+    d_cmp = str(tmp_path_factory.mktemp("cmp"))
+    d_ref = str(tmp_path_factory.mktemp("cmp_ref"))
+    cfg = BuildConfig(n_buckets=8)
+    build_index(corpus_from_table(base), d_cmp, cfg, resume=False)
+
+    # overwrite one doc (tombstones the old row) and delete two others
+    row = base.slice(5, 1).to_pydict()
+    row["content"] = ["compactme replacement body entirely new tokens"]
+    update_index(d_cmp, corpus_from_table(pa.table(row)))
+    victims = [11, 42]
+    delete_docs(d_cmp, [(base["repo"][i].as_py(), base["path"][i].as_py()) for i in victims])
+    assert _read_tombstones(d_cmp).size == 3  # 1 overwritten + 2 deleted
+
+    state = compact_index(d_cmp)
+    assert _read_tombstones(d_cmp).size == 0
+    s_cmp = state.read_sidecar("stats.json")
+    assert s_cmp["n_docs"] == 78 and s_cmp["id_space"] == 78  # re-densified
+    assert not os.path.isdir(d_cmp + ".compact") and not os.path.isdir(d_cmp + ".old")
+    assert state.read_manifest("compact-0")["metrics"]["dropped_tombstones"] == 3
+
+    # reference: fresh build over the final corpus
+    keep = [i for i in range(80) if i not in (5, *victims)]
+    final = pa.concat_tables([base.take(keep), pa.table(row)])
+    build_index(corpus_from_table(final), d_ref, cfg, resume=False)
+    with open(f"{d_ref}/stats.json") as f:
+        s_ref = json.load(f)
+    assert s_cmp["n_docs"] == s_ref["n_docs"]
+    assert s_cmp["total_tokens"] == s_ref["total_tokens"]
+    assert s_cmp["avgdl"] == s_ref["avgdl"]
+    # identical dense id assignment → identical (doc_id → key) maps
+    assert _path_map(d_cmp) == _path_map(d_ref)
+
+    sc = ScorerActor(d_cmp, k=10, scorer="bmw")
+    sr = ScorerActor(d_ref, k=10, scorer="bmw")
+    for q in make_queries(25, seed=6)["text"].to_pylist() + ["compactme replacement"]:
+        ic, scs = sc.score_query(q)
+        ir, srs = sr.score_query(q)
+        assert (ic == ir).all() and (scs == srs).all(), q
+
+    # compact with nothing tombstoned: no-op, index untouched
+    before = os.stat(f"{d_cmp}/stats.json").st_mtime_ns
+    compact_index(d_cmp)
+    assert os.stat(f"{d_cmp}/stats.json").st_mtime_ns == before
+
+    # incremental update still works after compaction (slack re-armed)
+    update_index(d_cmp, corpus_from_table(make_corpus(10, seed=31)))
+    assert json.load(open(f"{d_cmp}/stats.json"))["n_docs"] == 88
+
+
+def test_compact_crash_between_renames_recovers(ray_session, tmp_path_factory):
+    """A crash between the two swap renames leaves the original under
+    .old; the next compact_index call restores and completes."""
+    import os
+    import shutil
+
+    from sharesci_ray.pipelines.build import (
+        _read_tombstones,
+        compact_index,
+        delete_docs,
+    )
+
+    base = make_corpus(40, seed=111)
+    d = str(tmp_path_factory.mktemp("crash"))
+    cfg = BuildConfig(n_buckets=4)
+    build_index(corpus_from_table(base), d, cfg, resume=False)
+    delete_docs(d, [(base["repo"][0].as_py(), base["path"][0].as_py())])
+
+    # simulate the crash window: build_dir renamed away, swap unfinished
+    shutil.move(d, d + ".old")
+    assert not os.path.isdir(d)
+    state = compact_index(d)  # recovery branch restores, then compacts
+    assert _read_tombstones(d).size == 0
+    assert state.read_sidecar("stats.json")["n_docs"] == 39
