@@ -148,6 +148,19 @@ class ScorerActor:
         (run_queries_sharded)."""
         from ..functions.scoring import Bm25Scoring
 
+        # fail fast on an index that is mid-maintenance: update/delete/
+        # compact remove the segments manifest BEFORE touching stats or
+        # segment files (crash-safe ordering, build.py) — loading now
+        # would pair new stats with old segments, the exact WAND/BMW
+        # mis-pruning hazard that ordering exists to prevent.  Actors
+        # constructed before the maintenance keep serving their loaded
+        # state; only NEW loads are refused.
+        if not os.path.exists(os.path.join(build_dir, "manifests", "segments.json")):
+            raise ValueError(
+                f"{build_dir}: segments manifest absent — the index is "
+                "incomplete or an update/delete/compact is in flight; retry "
+                "when it completes (or rebuild if it crashed mid-write)"
+            )
         with open(os.path.join(build_dir, "stats.json")) as f:
             self.stats = json.load(f)
         # dense-id upper bound: after tombstoned incremental updates the id

@@ -180,3 +180,31 @@ def test_resume_skips_and_reproduces(ray_session, corpus_tbl, tmp_path_factory):
     assert not state2.is_complete("segments") or state2.read_manifest("segments")[
         "config_hash"
     ] == state2.cfg_hash
+
+
+def test_scorer_refuses_mid_maintenance_index(ray_session, tmp_path_factory):
+    """A ScorerActor constructed while the segments manifest is absent
+    (update/delete/compact in flight, or a crashed maintenance run) must
+    refuse to load rather than pair fresh stats with stale segments."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from sharesci_ray.pipelines.build import BuildConfig, build_index
+    from sharesci_ray.pipelines.query import ScorerActor
+    from sharesci_ray.sources.corpus import corpus_from_table
+    from sharesci_ray.sources.synth import make_corpus
+
+    d = str(tmp_path_factory.mktemp("midmaint"))
+    build_index(corpus_from_table(make_corpus(30, seed=22)), d, BuildConfig(n_buckets=4), resume=False)
+    ScorerActor(d, k=5)  # complete index loads fine
+
+    man = os.path.join(d, "manifests", "segments.json")
+    bak = man + ".bak"
+    shutil.move(man, bak)
+    with _pytest.raises(ValueError, match="segments manifest absent"):
+        ScorerActor(d, k=5)
+    shutil.move(bak, man)
+    ids, _ = ScorerActor(d, k=5).score_query("table scan")
+    assert ids.size >= 0  # restored index serves again
