@@ -268,3 +268,105 @@ def pivot_event_counts(sf_dir: str):
         {f"sum(n_{t})": f"n_{t}" for t in _EVENT_TYPES},
         int64_cols=tuple(f"n_{t}" for t in _EVENT_TYPES),
     )
+
+
+# ---------------------------------------------------------------------------
+# top_revenue_customers — 3-table join pipeline (lineitem ⋈ orders ⋈ customer)
+# ---------------------------------------------------------------------------
+
+@op(
+    "top_revenue_customers",
+    """
+    SELECT c.c_custkey, c.c_name, r.rev_e4
+    FROM (
+      SELECT o.o_custkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+               AS rev_e4
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+      ORDER BY rev_e4 DESC, o.o_custkey LIMIT 10
+    ) r JOIN customer c ON c.c_custkey = r.o_custkey
+    """,
+)
+def top_revenue_customers(sf_dir: str):
+    """Deep relational pipeline (TPC-H Q3/Q10 flavor): revenue per customer
+    through lineitem ⋈ orders, global top-10, names attached last.
+
+    Exactness: revenue is computed in integer "e4" units — cents × (100 −
+    discount%), both factors exact int64 round-trips of 2-decimal doubles
+    — so no float summation or .5-rounding hazard anywhere.
+
+    Scale shape: per-batch partial sums by l_orderkey shrink lineitem
+    before its only wide exchange; the orders join is a native hash join
+    (scale-adaptive partitions); the per-customer aggregate is partial+
+    final; the top-10 is a global sort-limit over the already-small
+    per-customer table; and customer NAMES are attached to just the 10
+    winners (a driver-side lookup of a bounded set — never a join against
+    the full customer table)."""
+    import ray
+
+    from .util import drop_empty_blocks, join_partitions
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_pct = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)  # 0-100
+        rev = price_cents * (100 - disc_pct)
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "rev": pa.array(rev, pa.int64())})
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    per_order = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("rev")
+    )
+    per_order = _rename(per_order, {"sum(rev)": "rev"}, int64_cols=("rev",))
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = drop_empty_blocks(
+        per_order.join(
+            orders,
+            join_type="inner",
+            num_partitions=join_partitions(per_order, orders),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("rev", pa.int64()),
+             ("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    )
+    per_cust = _rename(
+        joined.groupby("o_custkey").sum("rev"), {"sum(rev)": "rev_e4"},
+        int64_cols=("rev_e4",),
+    )
+    top = per_cust.sort(["rev_e4", "o_custkey"], descending=[True, False]).limit(10)
+    winners = top.take_all()  # exactly 10 rows
+    keys = pa.array([r["o_custkey"] for r in winners], pa.int64())
+    revs = {int(r["o_custkey"]): int(r["rev_e4"]) for r in winners}
+    names = (
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda t, _k=keys: t.filter(pc.is_in(t["c_custkey"], value_set=_k)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )  # bounded: 10 rows
+    return pa.table(
+        {
+            "c_custkey": pa.array([r["c_custkey"] for r in names], pa.int64()),
+            "c_name": pa.array([r["c_name"] for r in names], pa.string()),
+            "rev_e4": pa.array(
+                [revs[int(r["c_custkey"])] for r in names], pa.int64()
+            ),
+        }
+    )
