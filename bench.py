@@ -226,9 +226,16 @@ def run_scaling_child(num_cpus: int) -> dict:
     refs = shared_segment_refs(build_dir)
     pool = dict(concurrency=max(2, num_cpus // 2), batch_size=64, bucket_refs=refs)
     run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
-    t0 = time.perf_counter()
-    run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
-    query_s = time.perf_counter() - t0
+    # median of 3 measured passes: a single ~10 s pass is short enough for
+    # the host's documented ±2× wall-clock noise to dominate the qps sample
+    # (round-3 batteries saw 1.9× pre/post-baseline swings); the median is
+    # robust to one slow pass while leaving the workload unchanged
+    passes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
+        passes.append(time.perf_counter() - t0)
+    query_s = sorted(passes)[1]
 
     shutil.rmtree(build_dir, ignore_errors=True)
     shutil.rmtree(warm_dir, ignore_errors=True)
@@ -238,6 +245,7 @@ def run_scaling_child(num_cpus: int) -> dict:
         "build_s": round(build_s, 2),
         "docs_per_sec": round(SCALE_DOCS / build_s, 1),
         "query_s": round(query_s, 2),
+        "query_s_passes": [round(p, 2) for p in passes],
         "queries_per_sec": round(10_000 / query_s, 1),
     }
     ray.shutdown()
@@ -315,9 +323,15 @@ def run_node_child(cpu_list: str, shard_lo: int, shard_hi: int, num_cpus: int) -
     refs = shared_segment_refs(build_dir)
     pool = dict(concurrency=max(2, num_cpus // 2), batch_size=64, bucket_refs=refs)
     run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
-    t0 = time.perf_counter()
-    run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
-    query_s = time.perf_counter() - t0
+    # median of 3 measured passes (see run_scaling_child): the ~4 s single
+    # pass this replaced produced 1.9× pre/post-baseline qps swings in the
+    # round-3 batteries — pure host noise, not engine behavior
+    passes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="auto", **pool).count()
+        passes.append(time.perf_counter() - t0)
+    query_s = sorted(passes)[1]
 
     shutil.rmtree(build_dir, ignore_errors=True)
     shutil.rmtree(warm_dir, ignore_errors=True)
@@ -328,6 +342,7 @@ def run_node_child(cpu_list: str, shard_lo: int, shard_hi: int, num_cpus: int) -
         "build_s": round(build_s, 2),
         "docs_per_sec": round(n_docs / build_s, 1),
         "query_s": round(query_s, 2),
+        "query_s_passes": [round(p, 2) for p in passes],
         "queries_per_sec": round(2_500 / query_s, 1),
     }
     ray.shutdown()

@@ -645,6 +645,42 @@ def build_index(
     return state
 
 
+def _load_stored_state(build_dir: str, op_name: str):
+    """Shared maintenance-op preamble (update/delete/compact): load
+    config.json, reject indexes whose docvec content cannot be
+    reconstructed from disk (extra_stages), rebuild the BuildConfig +
+    BuildState, and require the docvec + stats manifests (the segments
+    manifest may legitimately be absent after a crashed maintenance run —
+    every caller rebuilds segments anyway).
+
+    Checks config.json BEFORE constructing any BuildState: BuildState's
+    constructor creates the manifests/ skeleton as a side effect, and a
+    skeleton dir must not be mistaken for an index by later recovery
+    logic (see compact_index's swap recovery).
+
+    Returns ``(cfg, stored_tok, state)``."""
+    if not os.path.exists(os.path.join(build_dir, "config.json")):
+        raise ValueError(
+            f"{build_dir} is not an index (missing config.json); "
+            "run build_index first"
+        )
+    stored = BuildState(build_dir, {}).read_sidecar("config.json")
+    stored_tok = stored.pop("tokenizer", "default")
+    if stored.pop("extra_stages", []):
+        raise ValueError(
+            f"{op_name} on an index built with extra_stages is not supported "
+            "(the custom stages cannot be reconstructed from disk); rebuild "
+            "over the corpus instead"
+        )
+    cfg = BuildConfig(
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in stored.items()}
+    )
+    state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
+    if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
+        raise ValueError(f"{build_dir} is not a complete index; run build_index first")
+    return cfg, stored_tok, state
+
+
 def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     """Delete documents by (repo, path) from an existing index.
 
@@ -658,8 +694,6 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     """
     from ..state.manifest import config_hash as _cfg_hash
 
-    stored = BuildState(build_dir, {}).read_sidecar("config.json")
-    stored_tok = stored.pop("tokenizer", "default")
     # validate UP FRONT, before any destructive write (ADVICE r2): the inner
     # build_index below reconstructs the docvec fingerprint WITHOUT the
     # original extra_stages / tokenizer objects — if it would mismatch, the
@@ -667,18 +701,7 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     # segments manifest and stats were already clobbered, stranding the
     # index in the exact stats/segments-inconsistent state the ordering
     # comment in update_index warns about.
-    if stored.pop("extra_stages", []):
-        raise ValueError(
-            "delete_docs on an index built with extra_stages is not supported "
-            "(the custom stages cannot be reconstructed from disk); rebuild "
-            "over the surviving corpus instead"
-        )
-    cfg = BuildConfig(
-        **{k: tuple(v) if isinstance(v, list) else v for k, v in stored.items()}
-    )
-    state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
-    if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
-        raise ValueError(f"{build_dir} is not a complete index; run build_index first")
+    cfg, stored_tok, state = _load_stored_state(build_dir, "delete_docs")
     expected_docvec_hash = _cfg_hash(
         {"langs": cfg.langs, "tokenizer": stored_tok,
          "positions": cfg.positions, "extra": []}
@@ -805,29 +828,12 @@ def update_index(
     ``tokenizer`` must match the original build's (§2.11 hook, default
     code-aware tokenizer).
     """
-    stored = BuildState(build_dir, {}).read_sidecar("config.json")
-    stored_tok = stored.pop("tokenizer", "default")
-    if stored.pop("extra_stages", []):
-        raise ValueError(
-            "incremental update of an index built with extra_stages is not "
-            "supported (the custom stages cannot be reconstructed from disk); "
-            "rebuild from scratch or apply the stages to the delta corpus "
-            "before calling update_index"
-        )
+    cfg, stored_tok, state = _load_stored_state(build_dir, "update_index")
     if stored_tok != _tokenizer_id(tokenizer):
         raise ValueError(
             f"tokenizer mismatch: index was built with {stored_tok!r}, "
             f"update called with {_tokenizer_id(tokenizer)!r}"
         )
-    cfg = BuildConfig(
-        **{k: tuple(v) if isinstance(v, list) else v for k, v in stored.items()}
-    )
-    state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
-    # docvec + stats are the prerequisites; the segments manifest may be
-    # legitimately absent after a crashed update (it is deleted before the
-    # rebuild) — update_index always re-runs segments anyway
-    if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
-        raise ValueError(f"{build_dir} is not a complete index; run build_index first")
 
     k = 0
     while state.read_manifest(f"update-{k}") is not None:
@@ -999,26 +1005,25 @@ def compact_index(build_dir: str) -> BuildState:
     from ..stages.docvec import assign_doc_ids
 
     old_dir = build_dir + ".old"
-    if not os.path.isdir(build_dir) and os.path.isdir(old_dir):
+    tmp_dir = build_dir + ".compact"
+    if os.path.isdir(old_dir) and not os.path.exists(
+        os.path.join(build_dir, "config.json")
+    ):
         # crash between the two swap renames: the original is intact under
-        # .old — restore it and fall through to a normal (re)compaction
+        # .old — restore it and fall through to a normal (re)compaction.
+        # Keyed on config.json, NOT on the directory's existence: a failed
+        # maintenance call in the crash window leaves a manifests/ skeleton
+        # (BuildState constructor side effect) that must not mask recovery.
+        shutil.rmtree(build_dir, ignore_errors=True)
         os.rename(old_dir, build_dir)
 
     # ---- validation (same contract as delete_docs, before any write) ------
-    stored = BuildState(build_dir, {}).read_sidecar("config.json")
-    stored_tok = stored.pop("tokenizer", "default")
-    if stored.pop("extra_stages", []):
-        raise ValueError(
-            "compact_index on an index built with extra_stages is not "
-            "supported (the custom stages cannot be reconstructed from "
-            "disk); rebuild over the surviving corpus instead"
-        )
-    cfg = BuildConfig(
-        **{k: tuple(v) if isinstance(v, list) else v for k, v in stored.items()}
-    )
-    state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
-    if state.read_manifest("docvec") is None or state.read_manifest("stats") is None:
-        raise ValueError(f"{build_dir} is not a complete index; run build_index first")
+    cfg, stored_tok, state = _load_stored_state(build_dir, "compact_index")
+    # the live index is valid here, so any surviving .old (crash after the
+    # swap completed, before its cleanup rmtree) or .compact (aborted
+    # shadow build) is garbage — sweep it on every call, including no-ops
+    shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
 
     dead = _read_tombstones(build_dir)
     if dead.size == 0:
@@ -1046,8 +1051,6 @@ def compact_index(build_dir: str) -> BuildState:
     survivors = assign_doc_ids(drop_empty_blocks(dv, dv_schema), base=0)
 
     # ---- shadow build (stats + segments from the given termvecs) ----------
-    tmp_dir = build_dir + ".compact"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
     build_index(
         ray.data.from_items([]),  # unused: _termvecs supplies the stage
         tmp_dir,
@@ -1064,11 +1067,12 @@ def compact_index(build_dir: str) -> BuildState:
     shutil.rmtree(old_dir, ignore_errors=True)
 
     new_state = BuildState(build_dir, {**asdict(cfg), "tokenizer": stored_tok})
-    k = 0
-    while new_state.read_manifest(f"compact-{k}") is not None:
-        k += 1
+    # always compact-0: the swap replaces the whole directory, so prior
+    # maintenance manifests (update-k/delete-k/compact-0) are deliberately
+    # discarded with the old id space they describe — compaction is the
+    # history reset point
     m = new_state.begin(
-        f"compact-{k}", inputs=[docvec_dir], upstream=["docvec", "stats", "segments"]
+        "compact-0", inputs=[docvec_dir], upstream=["docvec", "stats", "segments"]
     )
     m.rows_out = int(new_state.read_sidecar("stats.json")["n_docs"])
     m.metrics = {
