@@ -1162,3 +1162,231 @@ def ann_lsh_topk(sf_dir: str, verify: bool = False):
             ),
         }
     )
+
+
+# ===========================================================================
+# IVF-bucketed ANN: the clustered-partition scale path
+# ===========================================================================
+
+# Parameters tuned on the testdata distribution — which is ADVERSARIAL for
+# any partition-pruning ANN: the synthetic embeddings are near-uniform (a
+# query's true top-10 sits at cos ≈ 0.27), so neighbors spread uniformly
+# over lists and recall ≈ the scanned fraction (measured 0.69 at P/C = 1/2
+# on sf0.01).  On a real embedding corpus (clustered; neighbors at
+# cos ≥ 0.7) IVF prunes 10-100× at the same recall — that, not the uniform
+# floor, is the production operating point.
+_IVF_C = 16          # number of inverted lists (centroids)
+_IVF_PROBE = 8       # lists probed per query
+_IVF_MIN_RECALL = 0.6  # asserted vs brute-force truth (verify=True path)
+
+# Centroids are a deterministic data sample: the _IVF_C embedding rows with
+# vec_id in [NQ, NQ+C) — a fixed, SQL-replayable rule (k-means would refine
+# them but makes the oracle impossible; at scale swap in any offline
+# centroid table and keep the same assignment/probe/rerank dataflow).
+# Assignment/probe use EXACT int64 dot products over floor-quantized
+# embeddings (same lattice as ann_lsh_topk: q = floor(x·2^20), |dot| <
+# 64·2^42 « 2^63), so buckets and probe sets replay exactly in SQL.
+
+
+def _ivf_assign(quant: np.ndarray, cent_q: np.ndarray) -> np.ndarray:
+    """Nearest centroid per QUANTIZED row by int64 inner product; ties →
+    smallest centroid id (np.argmax takes the first max; SQL twin orders
+    d DESC, cid ASC)."""
+    return np.argmax(quant @ cent_q.T, axis=1).astype(np.int64)
+
+
+def _ivf_sql() -> str:
+    """Replay quantization, all n×C integer centroid dots, argmax list
+    assignment, top-P probe and exact cosine re-ranking in SQL."""
+    dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(_LSH_DIM))
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_LSH_QSCALE}) AS BIGINT)) AS q,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id - {_ANN_NQ} AS cid, q AS cq FROM emb
+      WHERE vec_id >= {_ANN_NQ} AND vec_id < {_ANN_NQ + _IVF_C}
+    ),
+    dots AS (
+      SELECT e.vec_id, c.cid, {dot} AS d FROM emb e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots WHERE vec_id < {_ANN_NQ}
+      ) WHERE rn <= {_IVF_PROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probe p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id != p.qid
+    ),
+    scored AS (
+      SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(qe.e, be.e) AS score
+      FROM cand c
+      JOIN emb qe ON qe.vec_id = c.qid
+      JOIN emb be ON be.vec_id = c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {_ANN_K}
+    """
+
+
+@op("ann_ivf_topk", _ivf_sql())
+def ann_ivf_topk(sf_dir: str, verify: bool = False):
+    """IVF-bucketed ANN (clustered-partition scale path, complementing
+    ann_lsh_topk's hashed-partition one): every vector is assigned to its
+    nearest of _IVF_C centroid lists; a query scores only the _IVF_PROBE
+    lists nearest to it (Sivic & Zisserman ICCV 2003 "Video Google"
+    inverted-file retrieval; the IVF stage of Jégou et al. TPAMI 2011).
+
+    Assignment and probing are integer-exact (floor-quantized embeddings ×
+    integer centroid dots) so the DuckDB oracle replays the exact lists,
+    probe sets and candidates in SQL — deterministic, value-hash-checkable
+    output like every exact op, even though the ALGORITHM is approximate.
+
+    Scale shape: centroid matrix (C×dim) is the only broadcast; one
+    stateless map assigns lists and emits per-query partial top-k rows for
+    probed candidates (only nq·k rows per batch leave); the final merge
+    groups by query.  At real scale the same dataflow reads centroids from
+    an offline k-means table and writes list-partitioned parquet
+    (partition_cols=[cid]) so queries prune at the read — the brief's
+    "IVF variant as the scale path".
+
+    ``verify=True`` computes recall@k vs the brute-force truth and raises
+    below _IVF_MIN_RECALL (0.6 on the near-uniform testdata, where recall
+    ≈ scanned fraction = P/C; see the parameter comment)."""
+    import ray
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # centroids: bounded C-row sample, deterministic order (vec_id asc)
+    cent_rows = emb.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["vec_id"], _ANN_NQ),
+                pc.less(t["vec_id"], _ANN_NQ + _IVF_C),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    cent_rows.sort(key=lambda r: int(r["vec_id"]))
+    if len(cent_rows) != _IVF_C:
+        raise ValueError(
+            f"ann_ivf_topk: expected {_IVF_C} centroid rows "
+            f"(vec_id in [{_ANN_NQ}, {_ANN_NQ + _IVF_C})), got {len(cent_rows)}"
+        )
+    cent_raw = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    if cent_raw.shape[1] != _LSH_DIM:
+        raise ValueError(
+            f"ann_ivf_topk: embedding dim {cent_raw.shape[1]} != configured "
+            f"{_LSH_DIM} (the SQL-twin dot unroll is dim-specific)"
+        )
+    cent_q = _quantize(cent_raw)
+
+    # queries: bounded nq-row sample; probe sets from the same integer dots
+    q_rows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], _ANN_NQ)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_raw = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat = _normalize(q_raw)
+    q_dots = _quantize(q_raw) @ cent_q.T  # (nq, C) exact int64
+    # top-P lists per query; ties → smaller cid (stable argsort on -d;
+    # SQL twin orders d DESC, cid ASC)
+    probe = np.argsort(-q_dots, axis=1, kind="stable")[:, :_IVF_PROBE]
+    probe_masks = np.zeros((q_ids.size, _IVF_C), dtype=bool)
+    for r in range(q_ids.size):
+        probe_masks[r, probe[r]] = True
+    ref = ray.put((q_ids, q_mat, cent_q, probe_masks))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, cq, pm = ray.get(ref)
+        if batch.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        b_raw = _embedding_matrix(batch)
+        assign = _ivf_assign(_quantize(b_raw), cq)
+        b_mat = _normalize(b_raw)
+        sims = qm @ b_mat.T  # (nq, batch) float64
+        out_q, out_n, out_s = [], [], []
+        for r in range(qi.size):
+            mask = pm[r][assign] & (b_ids != qi[r])
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            s = sims[r]
+            order = idx[np.lexsort((b_ids[idx], -s[idx]))][:_ANN_K]
+            out_q.extend([qi[r]] * order.size)
+            out_n.extend(b_ids[order])
+            out_s.extend(s[order])
+        if not out_q:
+            return _PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    partials = emb.map_batches(partial_topk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    ivf = partials.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, _ANN_K), batch_format="pyarrow"
+    )
+    if not verify:
+        return ivf
+
+    # ---- recall spot-check vs the exact brute-force ranking (bounded) ------
+    ivf_t = ivf.take_all()
+    truth_t = ann_topk_cosine(sf_dir).take_all()
+    truth_sets: dict[int, set[int]] = {}
+    for r in truth_t:
+        truth_sets.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    got_sets: dict[int, set[int]] = {}
+    for r in ivf_t:
+        got_sets.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    recall = {
+        q: len(got_sets.get(q, set()) & t) / max(len(t), 1)
+        for q, t in truth_sets.items()
+    }
+    mean_recall = float(np.mean(list(recall.values()))) if recall else 0.0
+    if mean_recall < _IVF_MIN_RECALL:
+        raise AssertionError(
+            f"ann_ivf_topk mean recall@{_ANN_K} = {mean_recall:.3f} < "
+            f"{_IVF_MIN_RECALL} vs brute-force truth — IVF parameters "
+            f"(C={_IVF_C}, probe={_IVF_PROBE}) are mis-tuned for this corpus"
+        )
+    return pa.table(
+        {
+            "query_id": pa.array([int(r["query_id"]) for r in ivf_t], pa.int64()),
+            "rank": pa.array([int(r["rank"]) for r in ivf_t], pa.int64()),
+            "neighbor_id": pa.array([int(r["neighbor_id"]) for r in ivf_t], pa.int64()),
+            "recall10": pa.array(
+                [recall.get(int(r["query_id"]), 0.0) for r in ivf_t], pa.float64()
+            ),
+        }
+    )

@@ -370,3 +370,290 @@ def top_revenue_customers(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# top_parts_per_brand — per-group top-k (the window row_number() shape)
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_GROUP = 3
+
+
+@op(
+    "top_parts_per_brand",
+    f"""
+    SELECT p_brand, rank, p_partkey, price_cents FROM (
+      SELECT p_brand, p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC, p_partkey
+             ) AS rank
+      FROM part
+    ) WHERE rank <= {_TOPK_PER_GROUP}
+    """,
+)
+def top_parts_per_brand(sf_dir: str):
+    """Per-group top-k (SQL: row_number() OVER (PARTITION BY ...)): the 3
+    highest-priced parts per brand, tie-break p_partkey asc.  Exact integer
+    cents ordering — hash-comparable.
+
+    Scale shape: each batch emits AT MOST k rows per brand it contains
+    (vectorized partial top-k: one lexsort + per-group position, no Python
+    row loop), so only n_brands × k × n_blocks partial rows reach the one
+    groupby; the final per-group top-k is over those partials, never the
+    full table."""
+    part = read_table(
+        sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"]
+    )
+    partials = part.map_batches(
+        topk_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("p_brand").map_groups(
+        topk_final, batch_format="pyarrow"
+    )
+
+
+def topk_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial top-k per brand (module-level so the partial+final
+    invariant is property-testable against brute force without a Ray
+    pipeline around it): one lexsort (brand, cents desc, key asc) + a
+    per-group position filter — no Python row loop."""
+    out_schema = pa.schema(
+        [("p_brand", pa.string()), ("p_partkey", pa.int64()),
+         ("price_cents", pa.int64())]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    cents = _cents(batch["p_retailprice"]).to_numpy(zero_copy_only=False)
+    pk = batch["p_partkey"].to_numpy(zero_copy_only=False)
+    _, codes = np.unique(
+        batch["p_brand"].to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    order = np.lexsort((pk, -cents, codes))  # brand, then cents desc, key asc
+    sorted_codes = codes[order]
+    starts = np.flatnonzero(np.r_[True, sorted_codes[1:] != sorted_codes[:-1]])
+    counts = np.diff(np.r_[starts, sorted_codes.size])
+    pos = np.arange(sorted_codes.size) - np.repeat(starts, counts)
+    keep = order[pos < _TOPK_PER_GROUP]
+    return pa.table(
+        {
+            "p_brand": batch["p_brand"].take(pa.array(keep)),
+            "p_partkey": pa.array(pk[keep], pa.int64()),
+            "price_cents": pa.array(cents[keep], pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def topk_final(group: pa.Table) -> pa.Table:
+    """One brand's merge of partials → ranked top-k (cents desc, key asc)."""
+    out_schema = pa.schema(
+        [("p_brand", pa.string()), ("rank", pa.int64()),
+         ("p_partkey", pa.int64()), ("price_cents", pa.int64())]
+    )
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    cents = group["price_cents"].to_numpy(zero_copy_only=False)
+    pk = group["p_partkey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pk, -cents))[:_TOPK_PER_GROUP]
+    return pa.table(
+        {
+            "p_brand": group["p_brand"].take(pa.array(order)),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "p_partkey": pa.array(pk[order], pa.int64()),
+            "price_cents": pa.array(cents[order], pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_by_nation — TPC-H Q5-shape 6-table join pipeline
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+
+
+@op(
+    "revenue_by_nation",
+    f"""
+    SELECT n.n_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+             AS rev_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{_Q5_REGION}'
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 shape: local-supplier revenue per nation in one region,
+    through lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region.
+    Exact integer e4 revenue (cents × (100 − discount%)) — no float sums.
+
+    Scale shape: revenue is computed per lineitem row up front and the
+    money columns dropped (projection hygiene); the three
+    scale-proportional tables (lineitem, orders, customer, supplier) meet
+    in native hash joins with scale-adaptive partition counts; nation ⋈
+    region (≤ a few hundred rows at any scale) collapses to a broadcast
+    is_in filter + dict lookup — never a shuffle; the final aggregate is
+    a partial+final groupby over ≤ n_nations keys."""
+    from .util import drop_empty_blocks, join_partitions
+
+    # broadcast side: nation ⋈ region → allowed nationkeys + key→name map
+    nations = read_table(sf_dir, "nation").take_all()      # ≤ 25 rows
+    regions = read_table(sf_dir, "region").take_all()      # ≤ 5 rows
+    region_keys = {
+        int(r["r_regionkey"]) for r in regions if r["r_name"] == _Q5_REGION
+    }
+    name_of = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nations
+        if int(r["n_regionkey"]) in region_keys
+    }
+    allowed = pa.array(sorted(name_of), pa.int64())
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def to_rev(t: pa.Table) -> pa.Table:
+        price_cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_pct = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "rev": pa.array(price_cents * (100 - disc_pct), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(to_rev, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j1_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("rev", pa.int64()),
+         ("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+    )
+    j1 = drop_empty_blocks(
+        li.join(orders, join_type="inner",
+                num_partitions=join_partitions(li, orders),
+                on=("l_orderkey",), right_on=("o_orderkey",)),
+        j1_schema,
+    )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j2_schema = j1_schema.append(pa.field("c_custkey", pa.int64())).append(
+        pa.field("c_nationkey", pa.int32())
+    )
+    j2 = drop_empty_blocks(
+        j1.join(cust, join_type="inner",
+                num_partitions=join_partitions(j1, cust),
+                on=("o_custkey",), right_on=("c_custkey",)),
+        j2_schema,
+    )
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j3_schema = j2_schema.append(pa.field("s_suppkey", pa.int64())).append(
+        pa.field("s_nationkey", pa.int32())
+    )
+    j3 = drop_empty_blocks(
+        j2.join(sup, join_type="inner",
+                num_partitions=join_partitions(j2, sup),
+                on=("l_suppkey",), right_on=("s_suppkey",)),
+        j3_schema,
+    )
+
+    def local_in_region(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("n_name", pa.string()), ("rev", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        c_nat = pc.cast(t["c_nationkey"], pa.int64())
+        s_nat = pc.cast(t["s_nationkey"], pa.int64())
+        keep = pc.and_(pc.equal(c_nat, s_nat), pc.is_in(s_nat, value_set=allowed))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        nat = pc.cast(t["s_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        # partial per-nation sums inside the batch: ≤ n_nations rows leave
+        keys, codes = np.unique(nat, return_inverse=True)
+        sums = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(sums, codes, rev)
+        return pa.table(
+            {
+                "n_name": pa.array([name_of[int(k)] for k in keys], pa.string()),
+                "rev": pa.array(sums, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    partials = j3.map_batches(local_in_region, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _rename(
+        partials.groupby("n_name").sum("rev"), {"sum(rev)": "rev_e4"},
+        int64_cols=("rev_e4",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_priority_counts — EXISTS-semi-join aggregate (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+@op(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_counts(sf_dir: str):
+    """TPC-H Q4 shape: orders per priority having at least one returned
+    lineitem (EXISTS semi-join + aggregate).
+
+    Scale shape: the existence side is reduced FIRST — per-batch unique
+    orderkeys, then a distinct groupby — so the semi join ships one row
+    per qualifying order, not one per lineitem; the join is a native hash
+    join with scale-adaptive partitions (distinct keys → no fanout, an
+    inner join IS the semi join); the count is a partial+final groupby
+    over 5 keys."""
+    from .util import drop_empty_blocks, join_partitions
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        keys = np.unique(t.filter(keep)["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64())})
+
+    keys = (
+        li.map_batches(returned_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .count()
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = drop_empty_blocks(
+        orders.join(keys, join_type="inner",
+                    num_partitions=join_partitions(orders, keys),
+                    on=("o_orderkey",), right_on=("l_orderkey",)),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
+             ("l_orderkey", pa.int64()), ("count()", pa.int64())]
+        ),
+    )
+    return _rename(
+        joined.groupby("o_orderpriority").count(), {"count()": "n_orders"},
+        int64_cols=("n_orders",),
+    )

@@ -586,3 +586,93 @@ def stratified_sample(sf_dir: str):
         )
 
     return docs.groupby("lang").map_groups(pick, batch_format="pyarrow")
+
+
+# ===========================================================================
+# Fixed-window text chunking (the LLM-pipeline "split long docs" op)
+# ===========================================================================
+
+CHUNK_W = 200      # window size (characters)
+CHUNK_STRIDE = 150  # window stride (overlap = W - stride = 50)
+
+
+def n_chunks_of(length: int) -> int:
+    """Chunk count for a document of ``length`` chars: one window if it
+    fits, else enough stride steps that the last window reaches the end.
+    Exact-double arithmetic (lengths are small ints), same expression as
+    the SQL twin."""
+    if length <= CHUNK_W:
+        return 1
+    return int(np.ceil((length - CHUNK_W) / float(CHUNK_STRIDE))) + 1
+
+
+@op(
+    "text_chunks",
+    f"""
+    WITH spans AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0,
+               CASE WHEN length(text) <= {CHUNK_W} THEN 0
+                    ELSE CAST(ceil((length(text) - {CHUNK_W}) / {CHUNK_STRIDE}.0)
+                              AS BIGINT)
+               END
+             )) AS chunk_id
+      FROM documents
+    )
+    SELECT doc_id, chunk_id,
+           substr(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_W}) AS chunk,
+           length(substr(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_W}))::BIGINT
+             AS n_chunk_chars
+    FROM spans
+    """,
+)
+def text_chunks(sf_dir: str):
+    """Overlapping fixed-window chunking: every document becomes
+    ceil-covering windows of CHUNK_W chars at CHUNK_STRIDE spacing (the
+    standard pre-tokenization split for long documents in a training-data
+    pipeline; overlap preserves cross-boundary context).
+
+    Vectorized batch-level flat_map: chunk counts from utf8 lengths, then
+    ONE vectorized slice pass per chunk ordinal (pyarrow's slice kernel
+    takes scalar offsets, so rows are grouped by ordinal — the loop is
+    over max-chunks-per-doc, bounded by maxlen/stride, never over rows).
+    Character (codepoint) semantics match DuckDB substr/length exactly.
+    No shuffle; output streams."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        if lens.size == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+                 ("chunk", pa.string()), ("n_chunk_chars", pa.int64())]
+            ).empty_table()
+        n_chunks = np.where(
+            lens <= CHUNK_W,
+            1,
+            np.ceil((lens - CHUNK_W) / float(CHUNK_STRIDE)).astype(np.int64) + 1,
+        ).astype(np.int64)
+        parts = []
+        for j in range(int(n_chunks.max())):
+            sel = np.flatnonzero(n_chunks > j)
+            rows = batch.take(pa.array(sel))
+            start = j * CHUNK_STRIDE
+            chunk = pc.utf8_slice_codeunits(
+                rows["text"], start=start, stop=start + CHUNK_W
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.cast(rows["doc_id"], pa.int64()),
+                        "chunk_id": pa.array(
+                            np.full(sel.size, j, dtype=np.int64), pa.int64()
+                        ),
+                        "chunk": chunk,
+                        "n_chunk_chars": pc.cast(pc.utf8_length(chunk), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

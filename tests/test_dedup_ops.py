@@ -310,3 +310,41 @@ def test_hot_bucket_cap_minhash(ray_session, tmp_path):
     assert not any(a < 20 and b < 20 for a, b in eng_pairs)
     # ...but the small planted pair survives
     assert (20, 21) in eng_pairs
+
+
+def test_ivf_assignment_ties_and_probe():
+    """_ivf_assign ties resolve to the smallest centroid id (the SQL twin's
+    ORDER BY d DESC, cid), and assignment is the exact argmax of the
+    integer dots on random lattices."""
+    import numpy as np
+
+    from sharesci_ray.pipelines.ops_dedup import _ivf_assign
+
+    rng = np.random.default_rng(3)
+    quant = rng.integers(-(1 << 20), 1 << 20, size=(64, 16)).astype(np.int64)
+    cent = rng.integers(-(1 << 20), 1 << 20, size=(5, 16)).astype(np.int64)
+    cent[3] = cent[1]  # duplicate centroid → guaranteed ties
+    got = _ivf_assign(quant, cent)
+    dots = quant @ cent.T
+    for i in range(quant.shape[0]):
+        best = dots[i].max()
+        assert dots[i][got[i]] == best
+        assert got[i] == min(np.flatnonzero(dots[i] == best))  # smallest cid on tie
+
+
+def test_ivf_recall_gate(ray_session):
+    """verify=True raises below the recall floor and annotates recall10
+    when above it (sf0.001: same 500-row embeddings table)."""
+    import numpy as np
+
+    from sharesci_ray.pipelines.ops_dedup import _IVF_MIN_RECALL, ann_ivf_topk
+
+    t = ann_ivf_topk("/root/testdata/sf0.001", verify=True)  # raises below gate
+    rec = t["recall10"].to_numpy()
+    assert ((rec >= 0.0) & (rec <= 1.0)).all()
+    # one recall value per query, constant within a query's rows
+    per_q = {}
+    for q, r in zip(t["query_id"].to_numpy(), rec):
+        per_q.setdefault(int(q), set()).add(float(r))
+    assert all(len(v) == 1 for v in per_q.values())
+    assert float(np.mean([v.pop() for v in per_q.values()])) >= _IVF_MIN_RECALL

@@ -110,3 +110,120 @@ def test_pivot_counts_sum_to_total(ray_session):
     df = pivot_event_counts(SF).to_pandas()
     total = int(df[[c for c in df.columns if c.startswith("n_")]].sum().sum())
     assert total == read_table(SF, "events", columns=["event_id"]).count()
+
+
+def test_top_parts_per_brand_vs_window(ray_session):
+    """Partial-topk + final merge ≡ the SQL window (brute force in DuckDB
+    at a second scale factor, sf0.001, so parity isn't only checked at the
+    driver's sf0.01)."""
+    from sharesci_ray.pipelines.ops_relational import top_parts_per_brand
+
+    got = (
+        top_parts_per_brand(SF)
+        .to_pandas()
+        .sort_values(["p_brand", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT p_brand, rank, p_partkey, price_cents FROM (
+          SELECT p_brand, p_partkey,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                 row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC,
+                            p_partkey
+                 ) AS rank
+          FROM read_parquet('{SF}/part.parquet')
+        ) WHERE rank <= 3 ORDER BY p_brand, rank
+        """
+    ).df().reset_index(drop=True)
+    assert got.equals(exp[got.columns.tolist()])
+    # every brand contributes, ranks are 1..k, prices non-increasing per brand
+    assert (got.groupby("p_brand")["rank"].min() == 1).all()
+    assert (got.groupby("p_brand")["price_cents"].diff().dropna() <= 0).all()
+
+
+def test_topk_partial_kernel_random():
+    """The per-batch partial keeps enough rows that ANY split of the input
+    into batches merges to the true top-k (the partial+final invariant)."""
+    from sharesci_ray.pipelines import ops_relational as R
+
+    rng = np.random.default_rng(7)
+    n = 500
+    brands = rng.integers(0, 8, n)
+    keys = rng.permutation(n).astype(np.int64)
+    cents = rng.integers(0, 50, n).astype(np.int64)  # many ties
+    # brute-force top-3 per brand: (cents desc, key asc)
+    truth = {}
+    for b in range(8):
+        idx = np.flatnonzero(brands == b)
+        order = idx[np.lexsort((keys[idx], -cents[idx]))][:3]
+        truth[b] = [(int(cents[i]), int(keys[i])) for i in order]
+    # simulate: split into 7 uneven batches, run `partial` logic inline,
+    # concat, then `final` per brand
+    tbl = pa.table(
+        {
+            "p_brand": pa.array([f"B{b}" for b in brands]),
+            "p_partkey": pa.array(keys, pa.int64()),
+            "p_retailprice": pa.array(cents / 100.0, pa.float64()),
+        }
+    )
+    cuts = sorted(rng.integers(1, n, 6).tolist())
+    pieces = []
+    lo = 0
+    for hi in cuts + [n]:
+        pieces.append(tbl.slice(lo, hi - lo))
+        lo = hi
+    partials = pa.concat_tables([R.topk_partial(p) for p in pieces])
+    for b in range(8):
+        g = partials.filter(pa.compute.equal(partials["p_brand"], f"B{b}"))
+        out = R.topk_final(g)
+        got = [
+            (int(out["price_cents"][i].as_py()), int(out["p_partkey"][i].as_py()))
+            for i in range(out.num_rows)
+        ]
+        assert got == truth[b], f"brand {b}"
+
+
+def test_revenue_by_nation_exact(ray_session):
+    """Q5-shape pipeline at sf0.001 vs DuckDB (second scale factor), plus
+    the integer-e4 exactness invariant: engine sum == oracle sum bit-for-bit."""
+    from sharesci_ray.pipelines.ops_relational import revenue_by_nation
+
+    got = revenue_by_nation(SF).to_pandas().sort_values("n_name").reset_index(drop=True)
+    exp = duckdb.sql(
+        f"""
+        SELECT n.n_name,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+                 AS rev_e4
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{SF}/supplier.parquet') s
+          ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN read_parquet('{SF}/nation.parquet') n ON s.s_nationkey = n.n_nationkey
+        JOIN read_parquet('{SF}/region.parquet') r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY n_name
+        """
+    ).df().reset_index(drop=True)
+    assert got[["n_name", "rev_e4"]].equals(exp)
+
+
+def test_order_priority_counts_semi_join(ray_session):
+    """EXISTS-semi-join: per-priority totals and the no-fanout invariant
+    (Σ n_orders == count of DISTINCT qualifying orders, never more)."""
+    from sharesci_ray.pipelines.ops_relational import order_priority_counts
+
+    got = order_priority_counts(SF).to_pandas()
+    n_qual = duckdb.sql(
+        f"""
+        SELECT count(DISTINCT o.o_orderkey) FROM
+        read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        """
+    ).fetchone()[0]
+    assert int(got["n_orders"].sum()) == int(n_qual)

@@ -83,3 +83,46 @@ def test_doc_fingerprint_min_shingle_semantics(ray_session):
         else:
             shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
             assert got[r["doc_id"]] == int(dd.md5_int60(shingles).min())
+
+
+def test_chunk_count_formula():
+    """n_chunks_of edge cases: exact window fit, one char over, exact
+    stride multiple, tiny doc — last chunk must always reach the end and
+    no chunk may start at-or-past it."""
+    from sharesci_ray.pipelines.ops_text import CHUNK_STRIDE, CHUNK_W, n_chunks_of
+
+    for length in [1, CHUNK_W - 1, CHUNK_W, CHUNK_W + 1,
+                   CHUNK_W + CHUNK_STRIDE, CHUNK_W + CHUNK_STRIDE + 1,
+                   CHUNK_W + 7 * CHUNK_STRIDE, 553]:
+        n = n_chunks_of(length)
+        starts = [i * CHUNK_STRIDE for i in range(n)]
+        # coverage: the last window reaches the end of the doc
+        assert starts[-1] + CHUNK_W >= length, length
+        # minimality: the second-to-last window does NOT reach the end
+        if n > 1:
+            assert starts[-2] + CHUNK_W < length, length
+        # no empty chunk: every start is strictly inside the doc
+        assert starts[-1] < length, length
+
+
+def test_text_chunks_reconstruct(ray_session):
+    """Concatenating each doc's chunks (dropping the overlap) reproduces
+    the document exactly, and chunk_ids are dense 0..n-1."""
+    from sharesci_ray.pipelines.ops_text import CHUNK_STRIDE, CHUNK_W, text_chunks
+    from sharesci_ray.sources.corpus import read_table
+
+    SF = "/root/testdata/sf0.001"
+    chunks = text_chunks(SF).to_pandas()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in read_table(SF, "documents", columns=["doc_id", "text"]).take_all()
+    }
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        assert g["chunk_id"].tolist() == list(range(len(g)))
+        rebuilt = "".join(
+            c if i == 0 else c[CHUNK_W - CHUNK_STRIDE:]
+            for i, c in enumerate(g["chunk"])
+        )
+        assert rebuilt == texts[doc_id], doc_id
+        assert (g["n_chunk_chars"] == g["chunk"].str.len()).all()
