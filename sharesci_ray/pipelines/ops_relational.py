@@ -657,3 +657,152 @@ def order_priority_counts(sf_dir: str):
         joined.groupby("o_orderpriority").count(), {"count()": "n_orders"},
         int64_cols=("n_orders",),
     )
+
+
+# ---------------------------------------------------------------------------
+# latest_event_per_user — keep-latest-record dedup (argmax per key)
+# ---------------------------------------------------------------------------
+
+@op(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(sf_dir: str):
+    """Keep-latest-record per key (the "newest crawl of each URL" dedup a
+    training-data pipeline runs constantly): each user's most recent event,
+    ties on ts broken by highest event_id.
+
+    Scale shape: per-batch partial argmax (one lexsort, keeps ONE row per
+    key per batch) so the shuffle carries n_keys × n_blocks rows, not the
+    event stream; final argmax per group over those partials."""
+    ev = read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("event_id", pa.int64()),
+         ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+         ("value_cents", pa.int64())]
+    )
+
+    def argmax_rows(t: pa.Table, per_batch: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        if per_batch:
+            # lexsort: user asc, ts desc, event_id desc → first row per user
+            order = np.lexsort((-eid, -ts, uid))
+            su = uid[order]
+            keep = order[np.r_[True, su[1:] != su[:-1]]]
+        else:
+            order = np.lexsort((-eid, -ts))
+            keep = order[:1]
+        keep = pa.array(np.sort(keep))
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"].take(keep), pa.int64()),
+                "event_id": pc.cast(t["event_id"].take(keep), pa.int64()),
+                "ts": t["ts"].take(keep),
+                "event_type": t["event_type"].take(keep),
+                "value_cents": (
+                    _cents(t["value"].take(keep))
+                    if "value" in t.column_names
+                    else t["value_cents"].take(keep)
+                ),
+            },
+            schema=out_schema,
+        )
+
+    partials = ev.map_batches(
+        lambda t: argmax_rows(t, per_batch=True),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return partials.groupby("user_id").map_groups(
+        lambda g: argmax_rows(g, per_batch=False), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup_event_counts — multi-level aggregate (GROUP BY ROLLUP shape)
+# ---------------------------------------------------------------------------
+
+@op(
+    "rollup_event_counts",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(hour, -1) AS hour,
+           count(*)::BIGINT AS n
+    FROM (SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour
+          FROM events)
+    GROUP BY ROLLUP(event_type, hour)
+    """,
+)
+def rollup_event_counts(sf_dir: str):
+    """GROUP BY ROLLUP shape: counts at (type, hour), (type) and grand-total
+    levels, NULL markers encoded as 'ALL'/-1 sentinels (hash-stable — no
+    NaN-vs-NULL comparison hazard).
+
+    Scale shape: events are scanned ONCE for the finest level (per-batch
+    partial counts folded to integer type×24+hour keys → one small groupby
+    over ≤ types×24 keys); the two coarser levels are derived from that
+    BOUNDED fine-level aggregate (≤ types×24 rows reach the driver — never
+    the event stream) — rollup as partial reuse, not a second scan."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def fine_partial(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("event_type", pa.string()), ("hour", pa.int64()), ("n", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        hour = pc.cast(pc.hour(t["ts"]), pa.int64()).to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        types, tcodes = np.unique(et, return_inverse=True)
+        folded = tcodes.astype(np.int64) * 24 + hour  # int key: type×24+hour
+        keys, codes = np.unique(folded, return_inverse=True)
+        cnt = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(cnt, codes, 1)
+        return pa.table(
+            {
+                "event_type": pa.array(types[keys // 24], pa.string()),
+                "hour": pa.array(keys % 24, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    fine = _rename(
+        ev.map_batches(fine_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .sum("n"),
+        {"sum(n)": "n"}, int64_cols=("n",),
+    )
+    rows = fine.take_all()  # bounded: ≤ n_event_types × 24
+    et = [r["event_type"] for r in rows]
+    hour = [int(r["hour"]) for r in rows]
+    n = [int(r["n"]) for r in rows]
+    by_type: dict[str, int] = {}
+    for e, c in zip(et, n):
+        by_type[e] = by_type.get(e, 0) + c
+    for e in sorted(by_type):
+        et.append(e); hour.append(-1); n.append(by_type[e])
+    et.append("ALL"); hour.append(-1); n.append(sum(by_type.values()))
+    return pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "hour": pa.array(hour, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        }
+    )

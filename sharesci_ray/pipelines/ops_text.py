@@ -633,46 +633,173 @@ def text_chunks(sf_dir: str):
     standard pre-tokenization split for long documents in a training-data
     pipeline; overlap preserves cross-boundary context).
 
-    Vectorized batch-level flat_map: chunk counts from utf8 lengths, then
-    ONE vectorized slice pass per chunk ordinal (pyarrow's slice kernel
-    takes scalar offsets, so rows are grouped by ordinal — the loop is
-    over max-chunks-per-doc, bounded by maxlen/stride, never over rows).
-    Character (codepoint) semantics match DuckDB substr/length exactly.
-    No shuffle; output streams."""
+    Vectorized batch-level flat_map (chunk_explode): no shuffle; output
+    streams."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(chunk_explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def chunk_explode(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) rows → overlapping CHUNK_W windows at CHUNK_STRIDE.
+
+    Chunk counts from utf8 lengths, then ONE vectorized slice pass per
+    chunk ordinal (pyarrow's slice kernel takes scalar offsets, so rows
+    are grouped by ordinal — the loop is over max-chunks-per-doc, bounded
+    by maxlen/stride, never over rows).  Character (codepoint) semantics
+    match DuckDB substr/length exactly.  Module-level: shared by
+    text_chunks and the clean_chunks composition."""
+    lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+    if lens.size == 0:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+             ("chunk", pa.string()), ("n_chunk_chars", pa.int64())]
+        ).empty_table()
+    n_chunks = np.where(
+        lens <= CHUNK_W,
+        1,
+        np.ceil((lens - CHUNK_W) / float(CHUNK_STRIDE)).astype(np.int64) + 1,
+    ).astype(np.int64)
+    parts = []
+    for j in range(int(n_chunks.max())):
+        sel = np.flatnonzero(n_chunks > j)
+        rows = batch.take(pa.array(sel))
+        start = j * CHUNK_STRIDE
+        chunk = pc.utf8_slice_codeunits(
+            rows["text"], start=start, stop=start + CHUNK_W
+        )
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pc.cast(rows["doc_id"], pa.int64()),
+                    "chunk_id": pa.array(
+                        np.full(sel.size, j, dtype=np.int64), pa.int64()
+                    ),
+                    "chunk": chunk,
+                    "n_chunk_chars": pc.cast(pc.utf8_length(chunk), pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+# ===========================================================================
+# clean_chunks — the composed training-data prep pipeline
+# ===========================================================================
+
+_CLEAN_MIN_TOKENS = 20   # quality gate: at least this many code-aware tokens
+_CLEAN_DIGIT_NUM = 3     # ... and 10·n_digit_chars ≤ 3·n_chars (int-exact)
+
+
+@op(
+    "clean_chunks",
+    f"""
+    WITH q AS (
+      SELECT doc_id, text FROM documents
+      WHERE len({_TOKS}) >= {_CLEAN_MIN_TOKENS}
+        AND 10 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+              <= {_CLEAN_DIGIT_NUM} * length(text)
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    surv AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+    spans AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0,
+               CASE WHEN length(text) <= {CHUNK_W} THEN 0
+                    ELSE CAST(ceil((length(text) - {CHUNK_W}) / {CHUNK_STRIDE}.0)
+                              AS BIGINT)
+               END
+             )) AS chunk_id
+      FROM surv
+    )
+    SELECT doc_id, chunk_id,
+           substr(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_W}) AS chunk,
+           length(substr(text, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_W}))::BIGINT
+             AS n_chunk_chars
+    FROM spans
+    """,
+)
+def clean_chunks(sf_dir: str):
+    """The composed training-data prep pipeline — quality filter → exact
+    dedup (keep first) → overlapping chunking — as ONE streaming dataflow,
+    demonstrating that the registry's ops chain (the task brief's actual
+    100 TB use-case, not isolated operators).
+
+    Stage shapes: the quality gate is integer-exact vectorized predicates
+    (token count ≥ {min_tokens}, 10·digit_chars ≤ {digit_num}·chars) fused
+    with md5 fingerprinting into one map pass; keep-first dedup shuffles
+    only (hash → min doc_id) partials (same shape as dedup_exact); the
+    survivor set returns via a native hash join (distinct keys → semi
+    join, no fanout); chunking reuses chunk_explode.  Content crosses the
+    wire once — the join carries doc ids, and the text column rides the
+    filtered dataset, never the shuffle."""
+    from ray.data.aggregate import Min
+
+    from .util import drop_empty_blocks, join_partitions
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
-        if lens.size == 0:
-            return pa.schema(
-                [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
-                 ("chunk", pa.string()), ("n_chunk_chars", pa.int64())]
-            ).empty_table()
-        n_chunks = np.where(
-            lens <= CHUNK_W,
-            1,
-            np.ceil((lens - CHUNK_W) / float(CHUNK_STRIDE)).astype(np.int64) + 1,
-        ).astype(np.int64)
-        parts = []
-        for j in range(int(n_chunks.max())):
-            sel = np.flatnonzero(n_chunks > j)
-            rows = batch.take(pa.array(sel))
-            start = j * CHUNK_STRIDE
-            chunk = pc.utf8_slice_codeunits(
-                rows["text"], start=start, stop=start + CHUNK_W
-            )
-            parts.append(
-                pa.table(
-                    {
-                        "doc_id": pc.cast(rows["doc_id"], pa.int64()),
-                        "chunk_id": pa.array(
-                            np.full(sel.size, j, dtype=np.int64), pa.int64()
-                        ),
-                        "chunk": chunk,
-                        "n_chunk_chars": pc.cast(pc.utf8_length(chunk), pa.int64()),
-                    }
-                )
-            )
-        return pa.concat_tables(parts)
+    def gate_and_hash(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
 
-    return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        _, parent = flat_tokens(batch["text"])
+        toks_per_row = pa.array(
+            np.bincount(parent, minlength=batch.num_rows).astype(np.int64),
+            pa.int64(),
+        )
+        n_chars = pc.utf8_length(batch["text"])
+        n_digits = pc.count_substring_regex(batch["text"], "[0-9]")
+        keep = pc.and_(
+            pc.greater_equal(toks_per_row, _CLEAN_MIN_TOKENS),
+            pc.less_equal(
+                pc.multiply(pc.cast(n_digits, pa.int64()), 10),
+                pc.multiply(pc.cast(n_chars, pa.int64()), _CLEAN_DIGIT_NUM),
+            ),
+        )
+        t = batch.filter(keep)
+        h = pa.array(
+            [_h.md5((s or "").encode()).hexdigest() for s in t["text"].to_pylist()]
+        )
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text": t["text"], "h": h}
+        )
+
+    gated = docs.map_batches(gate_and_hash, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"h": t["h"], "doc_id": t["doc_id"]})
+            .group_by("h")
+            .aggregate([("doc_id", "min")])
+        )
+        return g.rename_columns(["h", "doc_id"])
+
+    keepers = (
+        gated.map_batches(min_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("doc_id"))
+    )
+
+    def keeper_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("keep_id", pa.int64())]).empty_table()
+        return pa.table({"keep_id": pc.cast(t["min(doc_id)"], pa.int64())})
+
+    keepers = keepers.map_batches(keeper_ids, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    surv = drop_empty_blocks(
+        gated.select_columns(["doc_id", "text"]).join(
+            keepers, join_type="inner",
+            num_partitions=join_partitions(gated, keepers),
+            on=("doc_id",), right_on=("keep_id",),
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("keep_id", pa.int64())]
+        ),
+    )
+    return surv.map_batches(chunk_explode, batch_format="pyarrow",
+                            zero_copy_batch=True)

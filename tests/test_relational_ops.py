@@ -227,3 +227,41 @@ def test_order_priority_counts_semi_join(ray_session):
         """
     ).fetchone()[0]
     assert int(got["n_orders"].sum()) == int(n_qual)
+
+
+def test_latest_event_per_user_partial_invariant(ray_session):
+    """Keep-latest dedup: one row per user, and it IS the (ts, event_id)
+    argmax — checked against DuckDB at sf0.001 plus the per-user
+    uniqueness invariant."""
+    from sharesci_ray.pipelines.ops_relational import latest_event_per_user
+
+    got = latest_event_per_user(SF).to_pandas()
+    assert got["user_id"].is_unique
+    exp = duckdb.sql(
+        f"""
+        SELECT user_id, event_id FROM (
+          SELECT user_id, event_id, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM read_parquet('{SF}/events.parquet')
+        ) WHERE rn = 1
+        """
+    ).df()
+    g = got.sort_values("user_id").reset_index(drop=True)
+    x = exp.sort_values("user_id").reset_index(drop=True)
+    assert g["event_id"].tolist() == x["event_id"].tolist()
+
+
+def test_rollup_levels_consistent(ray_session):
+    """ROLLUP invariants: fine level sums to each type level, type levels
+    sum to the grand total, sentinels are 'ALL'/-1."""
+    from sharesci_ray.pipelines.ops_relational import rollup_event_counts
+
+    t = rollup_event_counts(SF).to_pandas()
+    fine = t[(t.event_type != "ALL") & (t.hour != -1)]
+    types = t[(t.event_type != "ALL") & (t.hour == -1)]
+    total = t[t.event_type == "ALL"]
+    assert len(total) == 1 and total.iloc[0]["hour"] == -1
+    assert int(total.iloc[0]["n"]) == int(fine["n"].sum()) == int(types["n"].sum())
+    per_type = fine.groupby("event_type")["n"].sum()
+    for _, r in types.iterrows():
+        assert int(r["n"]) == int(per_type[r["event_type"]])

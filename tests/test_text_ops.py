@@ -126,3 +126,41 @@ def test_text_chunks_reconstruct(ray_session):
         )
         assert rebuilt == texts[doc_id], doc_id
         assert (g["n_chunk_chars"] == g["chunk"].str.len()).all()
+
+
+def test_clean_chunks_composition(ray_session):
+    """clean_chunks ≡ filter→dedup→chunk done stepwise: every surviving
+    doc passes the quality gate, is the min doc_id of its md5 group among
+    survivors, and its chunks equal chunk_explode on its text."""
+    import hashlib
+
+    from sharesci_ray.functions.text import tokenize
+    from sharesci_ray.pipelines.ops_text import (
+        _CLEAN_DIGIT_NUM,
+        _CLEAN_MIN_TOKENS,
+        clean_chunks,
+        n_chunks_of,
+    )
+    from sharesci_ray.sources.corpus import read_table
+
+    SF = "/root/testdata/sf0.001"
+    chunks = clean_chunks(SF).to_pandas()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_table(SF, "documents", columns=["doc_id", "text"]).take_all()
+    }
+    # brute-force reference
+    gate = {}
+    for did, text in docs.items():
+        n_digits = sum(c.isdigit() for c in text)
+        if len(tokenize(text)) >= _CLEAN_MIN_TOKENS and 10 * n_digits <= _CLEAN_DIGIT_NUM * len(text):
+            gate[did] = text
+    first_of = {}
+    for did in sorted(gate):
+        h = hashlib.md5(gate[did].encode()).hexdigest()
+        first_of.setdefault(h, did)
+    survivors = set(first_of.values())
+    assert set(chunks["doc_id"]) == survivors
+    per_doc = chunks.groupby("doc_id").size()
+    for did in survivors:
+        assert per_doc[did] == n_chunks_of(len(gate[did])), did
