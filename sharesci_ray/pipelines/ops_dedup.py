@@ -1390,3 +1390,89 @@ def ann_ivf_topk(sf_dir: str, verify: bool = False):
             ),
         }
     )
+
+
+# ===========================================================================
+# Benchmark contamination check (shared-shingle overlap vs a held-out set)
+# ===========================================================================
+
+_CONTAM_BENCH_DOCS = 5  # benchmark set = doc_id < this (stand-in for an
+                        # eval-set table; swap the filter for a real one)
+
+
+@op(
+    "benchmark_contamination",
+    f"""
+    WITH {_SQL_SHINGLE_CTES},
+    bench AS (
+      SELECT DISTINCT h31 FROM hs WHERE doc_id < {_CONTAM_BENCH_DOCS}
+    )
+    SELECT hs.doc_id, count(*)::BIGINT AS n_shared
+    FROM hs JOIN bench USING (h31)
+    WHERE hs.doc_id >= {_CONTAM_BENCH_DOCS}
+    GROUP BY hs.doc_id
+    """,
+)
+def benchmark_contamination(sf_dir: str):
+    """Decontamination scan (the "did eval data leak into training data"
+    check every LLM pipeline runs): for each corpus document, how many of
+    its distinct 3-token shingles also occur in a benchmark set (here:
+    doc_id < {bench}); only overlapping documents are emitted.
+
+    Scale shape: the benchmark's shingle-hash set is the ONLY broadcast
+    (bounded by the benchmark size, never the corpus); the corpus-side
+    scan is one stateless map pass — per-batch distinct (doc, shingle)
+    pairs via a fused int64 key, membership via np.isin against the
+    sorted benchmark array, per-doc counts via np.add.at.  No shuffle at
+    all: each document's shingles live in its own row."""
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_shared", pa.int64())])
+
+    def doc_shingle_h31(batch: pa.Table):
+        """Per-doc DISTINCT shingle h31s: (doc_row_idx, h31) both np.int64.
+        Distinctness is per batch row == per document (a doc never spans
+        rows), via one np.unique over the fused (row << 31 | h31) key."""
+        sh, parent = dd.token_shingles(batch["text"])
+        if len(sh) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        h31 = dd.hash_strings(sh) % dd.P31
+        fused = np.unique((parent.astype(np.int64) << 31) | h31)
+        return fused >> 31, fused & ((1 << 31) - 1)
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["doc_id"], _CONTAM_BENCH_DOCS))
+        if t.num_rows == 0:
+            return pa.schema([("h31", pa.int64())]).empty_table()
+        _, h31 = doc_shingle_h31(t)
+        return pa.table({"h31": pa.array(np.unique(h31), pa.int64())})
+
+    bench_rows = docs.map_batches(
+        bench_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded by the benchmark set's shingle vocabulary
+    bench_set = np.unique(np.array([r["h31"] for r in bench_rows], dtype=np.int64))
+    ref = ray.put(bench_set)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        t = batch.filter(pc.greater_equal(batch["doc_id"], _CONTAM_BENCH_DOCS))
+        if t.num_rows == 0 or bs.size == 0:
+            return out_schema.empty_table()
+        rows, h31 = doc_shingle_h31(t)
+        if rows.size == 0:
+            return out_schema.empty_table()
+        hit = np.isin(h31, bs)  # bs sorted → binary-search path
+        cnt = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(cnt, rows[hit], 1)
+        keep = np.flatnonzero(cnt > 0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"].take(pa.array(keep)), pa.int64()),
+                "n_shared": pa.array(cnt[keep], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

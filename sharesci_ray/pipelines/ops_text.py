@@ -803,3 +803,40 @@ def clean_chunks(sf_dir: str):
     )
     return surv.map_batches(chunk_explode, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ===========================================================================
+# Deterministic hash-based sampling (reproducible train/heldout splits)
+# ===========================================================================
+
+_HASH_SAMPLE_PCT = 10  # keep doc iff md5-int60(doc_id) % 100 < this
+
+
+@op(
+    "hash_sample",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 100 < {_HASH_SAMPLE_PCT}
+    """,
+)
+def hash_sample(sf_dir: str):
+    """Deterministic hash-based sampling: keep a document iff
+    md5(doc_id) % 100 < pct — the reproducible split rule training-data
+    pipelines use so membership is stable across runs, machines and
+    shard layouts (unlike seeded random_sample, which depends on block
+    boundaries).  Keyed on the stable id, so re-crawls of a document land
+    in the same split.
+
+    Stateless vectorized map (one md5 per UNIQUE id via hash_strings);
+    no shuffle."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = pc.cast(batch["doc_id"], pa.string())
+        h = dd.hash_strings(ids) % 100
+        return batch.filter(pa.array(h < _HASH_SAMPLE_PCT))
+
+    return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

@@ -348,3 +348,49 @@ def test_ivf_recall_gate(ray_session):
         per_q.setdefault(int(q), set()).add(float(r))
     assert all(len(v) == 1 for v in per_q.values())
     assert float(np.mean([v.pop() for v in per_q.values()])) >= _IVF_MIN_RECALL
+
+
+def test_benchmark_contamination_planted(ray_session):
+    """A corpus doc sharing a 3-token shingle with a benchmark doc is
+    flagged with the exact distinct-shingle overlap count; disjoint docs
+    are absent; benchmark docs themselves never appear."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.pipelines.ops_dedup import (
+        _CONTAM_BENCH_DOCS,
+        benchmark_contamination,
+    )
+
+    bench_text = "alpha bravo charlie delta echo foxtrot"
+    rows = pa.table(
+        {
+            "doc_id": pa.array(
+                list(range(_CONTAM_BENCH_DOCS)) + [100, 101, 102], pa.int64()
+            ),
+            "text": pa.array(
+                [bench_text] * _CONTAM_BENCH_DOCS
+                + [
+                    # shares shingles: 'bravo charlie delta', 'charlie delta echo'
+                    "zulu bravo charlie delta echo yankee",
+                    # no 3-token shingle in common (different order)
+                    "echo delta charlie bravo alpha foxtrot",
+                    # exact copy of the benchmark doc → every shingle shared
+                    bench_text,
+                ]
+            ),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="contam_")
+    pq.write_table(rows, os.path.join(d, "documents.parquet"))
+    got = (
+        benchmark_contamination(d)
+        .to_pandas()
+        .set_index("doc_id")["n_shared"]
+        .to_dict()
+    )
+    assert set(got) == {100, 102}
+    assert got[100] == 2
+    assert got[102] == 4  # 6 tokens → 4 shingles, all shared

@@ -164,3 +164,26 @@ def test_clean_chunks_composition(ray_session):
     per_doc = chunks.groupby("doc_id").size()
     for did in survivors:
         assert per_doc[did] == n_chunks_of(len(gate[did])), did
+
+
+def test_hash_sample_deterministic(ray_session):
+    """Membership is a pure function of doc_id: repeated runs identical,
+    and each kept id satisfies the md5 rule exactly (checked vs hashlib)."""
+    import hashlib
+
+    from sharesci_ray.pipelines.ops_text import _HASH_SAMPLE_PCT, hash_sample
+    from sharesci_ray.sources.corpus import read_table
+
+    SF = "/root/testdata/sf0.001"
+    a = sorted(hash_sample(SF).to_pandas()["doc_id"])
+    b = sorted(hash_sample(SF).to_pandas()["doc_id"])
+    assert a == b and len(a) > 0
+    all_ids = [
+        r["doc_id"] for r in read_table(SF, "documents", columns=["doc_id"]).take_all()
+    ]
+    expected = [
+        i for i in all_ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        < _HASH_SAMPLE_PCT
+    ]
+    assert a == sorted(expected)
