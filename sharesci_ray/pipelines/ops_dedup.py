@@ -1443,13 +1443,18 @@ def benchmark_contamination(sf_dir: str):
         return fused >> 31, fused & ((1 << 31) - 1)
 
     def bench_partial(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.less(batch["doc_id"], _CONTAM_BENCH_DOCS))
-        if t.num_rows == 0:
+        if batch.num_rows == 0:
             return pa.schema([("h31", pa.int64())]).empty_table()
-        _, h31 = doc_shingle_h31(t)
+        _, h31 = doc_shingle_h31(batch)
         return pa.table({"h31": pa.array(np.unique(h31), pa.int64())})
 
-    bench_rows = docs.map_batches(
+    # benchmark extraction prunes at the READ (parquet predicate pushdown):
+    # only the benchmark rows' row groups leave storage — the corpus is not
+    # scanned twice just to find 5 documents
+    bench_rows = read_table(
+        sf_dir, "documents", columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < _CONTAM_BENCH_DOCS,
+    ).map_batches(
         bench_partial, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()  # bounded by the benchmark set's shingle vocabulary
     bench_set = np.unique(np.array([r["h31"] for r in bench_rows], dtype=np.int64))

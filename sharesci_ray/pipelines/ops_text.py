@@ -767,6 +767,14 @@ def clean_chunks(sf_dir: str):
 
     gated = docs.map_batches(gate_and_hash, batch_format="pyarrow",
                              zero_copy_batch=True)
+    # Two consumers read `gated` (the keeper aggregate and the join's left
+    # side); without a checkpoint Ray would re-execute the gate — and its
+    # tokenize pass, the pipeline's dominant cost — once per consumer.
+    # Materialize the slim (doc_id, text, h) projection into the object
+    # store (spillable) instead: the same pass-once pattern as the build's
+    # docvec checkpoint, which uses parquet for durability where this
+    # transient pipeline doesn't need it.
+    gated = gated.materialize()
 
     def min_partial(t: pa.Table) -> pa.Table:
         g = (
