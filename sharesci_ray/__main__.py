@@ -108,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"build_dir": args.build_dir,
                           "stats": state.read_sidecar("stats.json")}))
     else:  # query
+        from .pipelines.build import _parquet_rows
+
         if (args.text is None) == (args.queries is None):
             ap.error("query: provide exactly one of --text / --queries")
         if args.text is not None:
@@ -139,8 +141,12 @@ def main(argv: list[str] | None = None) -> int:
                 batch_format="pyarrow",
             )
             if args.output:
+                # row count from the written files' metadata: a second
+                # res.count() would re-execute the whole actor pipeline
                 res.write_parquet(args.output)
-                print(json.dumps({"output": args.output, "rows": res.count()}))
+                print(json.dumps(
+                    {"output": args.output, "rows": _parquet_rows(args.output)}
+                ))
             else:
                 for row in res.sort(["phrase", "rank"]).iter_rows():
                     print(json.dumps(row))
@@ -148,7 +154,9 @@ def main(argv: list[str] | None = None) -> int:
         res = run_queries(args.build_dir, qds, k=args.k, scorer=args.scorer)
         if args.output:
             res.write_parquet(args.output)
-            print(json.dumps({"output": args.output, "rows": res.count()}))
+            print(json.dumps(
+                {"output": args.output, "rows": _parquet_rows(args.output)}
+            ))
         else:
             for row in res.sort(["query_id", "rank"]).iter_rows():
                 print(json.dumps(row))

@@ -114,6 +114,83 @@ def _write_tombstones(build_dir: str, ids: np.ndarray) -> None:
     os.replace(tmp, p)
 
 
+_PENDING_FILE = "pending_reencode.json"
+
+
+def _read_reencode_debt(build_dir: str) -> set[int] | None:
+    """Unpaid re-encode debt left by a previously crashed maintenance
+    window: the term buckets whose on-disk segment partitions may not
+    reflect tombstones/stats (``None`` = every bucket, unknown scope;
+    empty set = no debt).  A missing debt file with a missing segments
+    manifest means a crash predating the debt record (or a crashed
+    original build) — full debt."""
+    import json
+
+    p = os.path.join(build_dir, _PENDING_FILE)
+    if os.path.exists(p):
+        with open(p) as f:
+            b = json.load(f)["buckets"]
+        return None if b is None else {int(x) for x in b}
+    if not os.path.exists(os.path.join(build_dir, "manifests", "segments.json")):
+        return None
+    return set()
+
+
+def _write_reencode_debt(build_dir: str, buckets: set[int] | None) -> None:
+    """Atomically record the re-encode scope BEFORE the window's first
+    destructive write, so a crash followed by a DIFFERENT maintenance op
+    still re-encodes every bucket this op may leave half-updated."""
+    import json
+
+    p = os.path.join(build_dir, _PENDING_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"buckets": sorted(int(b) for b in buckets) if buckets is not None else None},
+            f,
+        )
+    os.replace(tmp, p)
+
+
+def _clear_reencode_debt(build_dir: str) -> None:
+    p = os.path.join(build_dir, _PENDING_FILE)
+    if os.path.exists(p):
+        os.remove(p)
+
+
+def _absorb_orphan_deltas(state: BuildState, cfg: BuildConfig, build_dir: str) -> None:
+    """Remove uncommitted ``update-k`` delta subdirs (a crashed update_index
+    run: its manifest never committed, and the next update would reuse its
+    id range) and fold their term buckets into the persistent re-encode
+    debt — their postings may already sit in half-swapped segment
+    partitions, and no later op's own affected set would cover them.
+    Semantics: an update that never committed never happened."""
+    docvec_dir = state.stage_dir("docvec")
+    if not os.path.isdir(docvec_dir):
+        return
+    debt = _read_reencode_debt(build_dir)
+    changed = False
+    for d in sorted(os.listdir(docvec_dir)):
+        full = os.path.join(docvec_dir, d)
+        if not (d.startswith("update-") and os.path.isdir(full)):
+            continue
+        if state.read_manifest(d) is not None:
+            continue
+        has_rows = any(f.endswith(".parquet") for f in os.listdir(full))
+        if has_rows and debt is not None:
+            # bounded by the orphan delta's size
+            parts = ray.data.read_parquet(full, columns=["terms"]).map_batches(
+                lambda t, _n=cfg.n_buckets: _terms_to_buckets(t, _n),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            debt |= {int(b) for b in parts.unique("bucket")}
+        shutil.rmtree(full)
+        changed = changed or has_rows
+    if changed:
+        _write_reencode_debt(build_dir, debt)
+
+
 def _drop_dead_fn(dead: np.ndarray):
     """map_batches filter excluding tombstoned doc ids (broadcast once)."""
     dead_ref = ray.put(pa.array(dead, pa.int64()))
@@ -354,17 +431,27 @@ def _partial_reencode_segments(
     avgdl — valid upper bounds via the scorer's bm_avgdl_lo slack (the
     update caller enforces _BM_SLACK_LIMIT and falls back to a full
     re-encode beyond it).  Crash-safe: the segments manifest is already
-    deleted; a rerun recomputes the same affected set and the decode
-    filter (ids ≥ delta_base dropped, then re-added from the delta dir)
-    makes re-processing half-swapped buckets idempotent."""
+    deleted AND the caller persisted ``affected`` in the debt file
+    (pending_reencode.json) before any destructive write — a rerun of the
+    SAME op recomputes the same scope, and a DIFFERENT follow-up op unions
+    the recorded debt into its own scope, so half-swapped buckets are
+    always re-covered; the decode filter (ids ≥ delta_base dropped, then
+    re-added from the delta dir) makes re-processing them idempotent."""
     stats = state.read_sidecar("stats.json")
     seg_dir = state.stage_dir("segments")
     srcs = []
-    existing = [
-        os.path.join(seg_dir, f"term_bucket={b}")
-        for b in sorted(affected)
-        if os.path.isdir(os.path.join(seg_dir, f"term_bucket={b}"))
-    ]
+    # expand bucket dirs to their parquet FILES: ray 2.49's read_parquet
+    # treats a multi-element path list as files, so a 2+-bucket directory
+    # list raises "Cannot open for reading: ... is a directory"
+    existing = []
+    for b in sorted(affected):
+        bd = os.path.join(seg_dir, f"term_bucket={b}")
+        if os.path.isdir(bd):
+            existing += [
+                os.path.join(bd, f)
+                for f in sorted(os.listdir(bd))
+                if f.endswith(".parquet")
+            ]
     seg_cols = ["term", "docids", "tfs", "dls"]
     delta_cols = ["doc_id", "doc_len", "terms", "tfs"]
     if cfg.positions:
@@ -713,6 +800,8 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
             "re-encode would re-ingest an empty corpus; rebuild instead"
         )
 
+    _absorb_orphan_deltas(state, cfg, build_dir)
+
     k = 0
     while state.read_manifest(f"delete-{k}") is not None:
         k += 1
@@ -738,11 +827,10 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     prior = _read_tombstones(build_dir)
     dead = np.union1d(prior, np.array([r["doc_id"] for r in dead_rows], dtype=np.int64))
 
-    seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
-    if os.path.exists(seg_manifest):
-        os.remove(seg_manifest)
-    _write_tombstones(build_dir, dead)
-
+    # ---- decide the re-encode scope BEFORE the window opens ----------------
+    # (pure reads: new stats values, avgdl-drift check, affected buckets —
+    # so the debt record written below names every bucket this op may leave
+    # half-updated if it crashes)
     dv = ray.data.read_parquet(docvec_dir, columns=["doc_id", "doc_len"])
     if dead.size:
         dv = dv.map_batches(
@@ -753,16 +841,7 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     if n_docs == 0:
         raise ValueError("delete_docs would empty the index; rebuild instead")
     stats = state.read_sidecar("stats.json")
-    stats["n_docs"] = n_docs
-    stats["total_tokens"] = total
-    stats["avgdl"] = float(total) / n_docs
-    stats["id_space"] = _parquet_rows(docvec_dir)
-    state.write_sidecar("stats.json", stats)
-
-    # ---- re-encode: bucket-scoped when the deletion allows (see
-    # update_index — same drift/doc-shard fallbacks; affected buckets come
-    # from the deleted docs' terms only)
-    new_avgdl = float(stats["avgdl"])
+    new_avgdl = float(total) / n_docs
     lo = float(stats.get("bm_avgdl_lo") or new_avgdl)
     hi = float(stats.get("bm_avgdl_hi") or new_avgdl)
     lo2, hi2 = min(lo, new_avgdl), max(hi, new_avgdl)
@@ -770,14 +849,36 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     affected: set[int] | None = None
     if not cfg.doc_shards and hi2 <= lo2 * _BM_SLACK_LIMIT:
         affected = _affected_buckets(docvec_dir, cfg.n_buckets, newly_dead, None)
-    if affected is not None and len(affected) < cfg.n_buckets:
+    debt = _read_reencode_debt(build_dir)
+    scope = None if (affected is None or debt is None) else (affected | debt)
+
+    # ---- open the window: record debt FIRST, then invalidate segments ------
+    _write_reencode_debt(build_dir, scope)
+    seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
+    if os.path.exists(seg_manifest):
+        os.remove(seg_manifest)
+    _write_tombstones(build_dir, dead)
+
+    id_space = _parquet_rows(docvec_dir)
+    stats["n_docs"] = n_docs
+    stats["total_tokens"] = total
+    stats["avgdl"] = new_avgdl
+    stats["id_space"] = id_space
+    state.write_sidecar("stats.json", stats)
+
+    # ---- re-encode: bucket-scoped when the deletion allows (see
+    # update_index — same drift/doc-shard fallbacks; scope = this delete's
+    # affected buckets ∪ any unpaid debt from a crashed prior op)
+    if scope is not None and len(scope) < cfg.n_buckets:
         _set_encode_avgdl(state, lo2, hi2)
         sm = state.begin(
             "segments", inputs=[docvec_dir], upstream=["docvec", "stats"],
             cfg_hash=state.cfg_hash,
         )
+        # delta_base = id_space: decoded postings with ids past the live id
+        # space are ghosts from a crashed, since-absorbed delta — dropped
         _partial_reencode_segments(
-            state, cfg, affected, dead, None, 1 << 62, sm.metrics
+            state, cfg, scope, dead, None, id_space, sm.metrics
         )
         sm.rows_out = _parquet_rows(state.stage_dir("segments"))
         state.commit(sm)
@@ -791,6 +892,7 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
         )
         state.write_sidecar("config.json", cfg_snapshot)
         reencode_mode = "full"
+    _clear_reencode_debt(build_dir)  # window closed: segments consistent
 
     m.rows_out = len(dead_rows)
     m.metrics = {
@@ -834,6 +936,8 @@ def update_index(
             f"tokenizer mismatch: index was built with {stored_tok!r}, "
             f"update called with {_tokenizer_id(tokenizer)!r}"
         )
+
+    _absorb_orphan_deltas(state, cfg, build_dir)
 
     k = 0
     while state.read_manifest(f"update-{k}") is not None:
@@ -898,21 +1002,10 @@ def update_index(
     newly_dead = np.array([r["doc_id"] for r in newly_dead_rows], dtype=np.int64)
     dead = np.union1d(prior_dead, newly_dead)
 
-    # ---- invalidate segments BEFORE touching stats/tombstones -------------
-    # Ordering is load-bearing (crash safety): if stats.json/tombstones were
-    # updated first and we crashed before deleting the segments manifest,
-    # every manifest would read complete while the segments lack the delta
-    # docs and their block-max bounds were baked under the old avgdl —
-    # WAND/BMW could silently mis-prune.  Deleting the segments manifest
-    # first means any crash below leaves an index that resume correctly
-    # treats as segments-incomplete (and rebuilds from checkpoint + stats).
-    seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
-    if os.path.exists(seg_manifest):
-        os.remove(seg_manifest)
-    if dead.size or prior_dead.size:
-        _write_tombstones(build_dir, dead)
-
-    # ---- exact stats recompute over the whole checkpoint ------------------
+    # ---- decide the re-encode scope BEFORE the window opens ----------------
+    # (pure reads: new stats values over checkpoint∪delta, avgdl-drift
+    # check, affected buckets — so the debt record below names every bucket
+    # this op may leave half-updated if it crashes)
     dv = ray.data.read_parquet(docvec_dir, columns=["doc_id", "doc_len"])
     if dead.size:
         dv = dv.map_batches(
@@ -922,20 +1015,7 @@ def update_index(
     n_docs, total = int(agg["count()"]), int(agg["sum(doc_len)"] or 0)
     stats = state.read_sidecar("stats.json")
     old_total = int(stats["total_tokens"])
-    stats["n_docs"] = n_docs
-    stats["total_tokens"] = total
-    stats["avgdl"] = float(total) / n_docs if n_docs else 0.0
-    stats["id_space"] = _parquet_rows(docvec_dir)
-    state.write_sidecar("stats.json", stats)
-
-    # ---- re-encode segments: bucket-scoped when the delta allows ----------
-    # O(delta) path: only term buckets touched by the delta's terms or the
-    # superseded docs' terms change; everything else keeps byte-identical
-    # posting lists.  Falls back to the full re-encode when (a) the index
-    # is doc-sharded (id_space growth shifts every posting's doc-range
-    # shard), (b) avgdl has drifted past the block-max slack bound, or
-    # (c) the delta touches every bucket anyway.
-    new_avgdl = float(stats["avgdl"])
+    new_avgdl = float(total) / n_docs if n_docs else 0.0
     lo = float(stats.get("bm_avgdl_lo") or new_avgdl)
     hi = float(stats.get("bm_avgdl_hi") or new_avgdl)
     lo2, hi2 = min(lo, new_avgdl), max(hi, new_avgdl)
@@ -944,19 +1024,51 @@ def update_index(
         affected = _affected_buckets(
             docvec_dir, cfg.n_buckets, newly_dead, delta_dir
         )
-    if affected is not None and len(affected) < cfg.n_buckets:
+    debt = _read_reencode_debt(build_dir)
+    scope = None if (affected is None or debt is None) else (affected | debt)
+
+    # ---- open the window: record debt, then invalidate segments -----------
+    # Ordering is load-bearing (crash safety): the debt file is written
+    # FIRST so a crash followed by a DIFFERENT maintenance op still
+    # re-encodes this op's buckets; the segments manifest is deleted before
+    # stats/tombstones so a crash leaves an index that resume treats as
+    # segments-incomplete (ScorerActor refuses to serve it) rather than one
+    # whose block-max bounds were baked under the old avgdl — WAND/BMW
+    # could silently mis-prune.
+    _write_reencode_debt(build_dir, scope)
+    seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
+    if os.path.exists(seg_manifest):
+        os.remove(seg_manifest)
+    if dead.size or prior_dead.size:
+        _write_tombstones(build_dir, dead)
+
+    stats["n_docs"] = n_docs
+    stats["total_tokens"] = total
+    stats["avgdl"] = new_avgdl
+    stats["id_space"] = _parquet_rows(docvec_dir)
+    state.write_sidecar("stats.json", stats)
+
+    # ---- re-encode segments: bucket-scoped when the delta allows ----------
+    # O(delta) path: only term buckets touched by the delta's terms or the
+    # superseded docs' terms change (∪ any unpaid debt from a crashed prior
+    # op); everything else keeps byte-identical posting lists.  Falls back
+    # to the full re-encode when (a) the index is doc-sharded (id_space
+    # growth shifts every posting's doc-range shard), (b) avgdl has drifted
+    # past the block-max slack bound, or (c) the scope covers every bucket
+    # anyway.
+    if scope is not None and len(scope) < cfg.n_buckets:
         _set_encode_avgdl(state, lo2, hi2)
         sm = state.begin(
             "segments", inputs=[docvec_dir], upstream=["docvec", "stats"],
             cfg_hash=state.cfg_hash,
         )
         _partial_reencode_segments(
-            state, cfg, affected, dead, delta_dir, base, sm.metrics
+            state, cfg, scope, dead, delta_dir, base, sm.metrics
         )
         sm.rows_out = _parquet_rows(state.stage_dir("segments"))
         state.commit(sm)
         m.metrics["reencode_mode"] = "partial"
-        m.metrics["affected_buckets"] = len(affected)
+        m.metrics["affected_buckets"] = len(scope)
     else:
         build_index(
             ray.data.from_items([]),  # docvec complete → corpus never touched
@@ -966,6 +1078,7 @@ def update_index(
             tokenizer=tokenizer,
         )
         m.metrics["reencode_mode"] = "full"
+    _clear_reencode_debt(build_dir)  # window closed: segments consistent
 
     m.rows_out = delta_rows
     m.metrics = {
@@ -1024,6 +1137,10 @@ def compact_index(build_dir: str) -> BuildState:
     # shadow build) is garbage — sweep it on every call, including no-ops
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    # crashed-update deltas never committed: drop them before the survivor
+    # scan below reads the checkpoint (their buckets land in the debt file,
+    # which the swap discards along with the fully re-encoded segments)
+    _absorb_orphan_deltas(state, cfg, build_dir)
 
     dead = _read_tombstones(build_dir)
     if dead.size == 0:

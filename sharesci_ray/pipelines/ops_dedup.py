@@ -72,13 +72,9 @@ def _fold_count() -> int:
     stays a small slice of the key space.  At extreme scale size this
     ~(pair-stage rows / 10^6) instead so per-bucket tables stay in one
     worker's heap."""
-    import ray as _ray
+    from .util import cluster_cpus
 
-    try:
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:  # pragma: no cover
-        cpus = 8
-    return max(256, 16 * cpus)
+    return max(256, 16 * cluster_cpus())
 
 
 def _key_runs(group: pa.Table, key_cols: list[str], id_col: str):

@@ -9,6 +9,17 @@ import pyarrow as pa
 import ray.data
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count, ``default`` when Ray is uninitialised — the one
+    probe every parallelism heuristic shares."""
+    import ray as _ray
+
+    try:
+        return int(_ray.cluster_resources().get("CPU", default))
+    except Exception:  # pragma: no cover - uninitialised Ray
+        return default
+
+
 def join_partitions(
     *datasets: ray.data.Dataset,
     bytes_per_partition: int = 64 << 20,
@@ -26,12 +37,7 @@ def join_partitions(
     enough that no reducer sees more than ~2 cores' worth of data, small
     enough not to drown sf0.01 joins in scheduling.
     """
-    import ray as _ray
-
-    try:
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:  # pragma: no cover - uninitialised Ray
-        cpus = 8
+    cpus = cluster_cpus()
     size = 0
     for ds in datasets:
         try:

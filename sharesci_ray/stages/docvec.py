@@ -206,7 +206,19 @@ def to_term_vectors(
     np.add.at(doc_len, parent, 1)
     if positions:
         # position of each token within its doc's filtered stream: tokens
-        # arrive in document order, so pos = global index − doc start
+        # arrive in document order, so pos = global index − doc start.
+        # That is an extra requirement on the §2.11 tokenizer hook (the
+        # shared tokenizers satisfy it): tokens grouped by row, in-row in
+        # document order.  Validate the checkable half — an out-of-order
+        # hook would otherwise yield negative positions that wrap to huge
+        # varbyte deltas and decode to garbage phrase matches.
+        if parent.size and (np.diff(parent) < 0).any():
+            raise ValueError(
+                "positional indexing requires the tokenizer hook to emit "
+                "tokens grouped by row in document order (non-decreasing "
+                "parent indices); this tokenizer violates that — build "
+                "without positions=True or fix the hook"
+            )
         doc_start = np.concatenate([[0], np.cumsum(doc_len)])[:-1]
         pos = np.arange(parent.size, dtype=np.int64) - doc_start[parent]
         trip = pa.table(

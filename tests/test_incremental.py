@@ -541,3 +541,132 @@ def test_compact_crash_between_renames_recovers(ray_session, tmp_path_factory):
     state = compact_index(d)  # recovery branch restores, then compacts
     assert _read_tombstones(d).size == 0
     assert state.read_sidecar("stats.json")["n_docs"] == 39
+
+
+def _rank_equal(d_a: str, d_b: str, n_queries: int = 15, seed: int = 4) -> None:
+    """Assert two indexes score identically through (repo, path) identity."""
+    pa_map, pb_map = _path_map(d_a), _path_map(d_b)
+    sa = ScorerActor(d_a, k=10, scorer="daat")
+    sb = ScorerActor(d_b, k=10, scorer="daat")
+    for q in make_queries(n_queries, seed=seed)["text"].to_pylist():
+        ia, va = sa.score_query(q)
+        ib, vb = sb.score_query(q)
+        assert va.size == vb.size, q
+        assert (np.sort(va)[::-1] == np.sort(vb)[::-1]).all(), q
+        assert sorted(pa_map[x] for x in ia) == sorted(pb_map[x] for x in ib), q
+
+
+def test_crash_then_different_op_pays_reencode_debt(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """A crash INSIDE the partial re-encode window followed by a DIFFERENT
+    maintenance op must still heal the crashed op's state: the debt file
+    unions into the follow-up's scope and the orphan delta is dropped
+    (an update that never committed never happened).
+
+    Scenario: update A (new tiny-vocab doc → partial path) crashes
+    mid-window with zero buckets swapped → delete_docs of an unrelated key
+    runs next → the index must score exactly like a fresh build over
+    (original − deleted), with A absent."""
+    import os
+
+    from sharesci_ray.pipelines import build as B
+    from sharesci_ray.pipelines.build import delete_docs
+
+    base = make_corpus(60, seed=808)
+    d = str(tmp_path_factory.mktemp("debt"))
+    d_ref = str(tmp_path_factory.mktemp("debt_ref"))
+    cfg = BuildConfig(n_buckets=16)
+    build_index(corpus_from_table(base), d, cfg, resume=False)
+
+    delta_a = pa.Table.from_pydict(
+        {
+            "repo": ["zzz/crash"], "path": ["a.py"], "commit": ["c0"],
+            "lang": ["py"], "content": ["zzcrasha zzcrasha zzcrasha"],
+        },
+        schema=base.schema,
+    )
+
+    real = B._partial_reencode_segments
+
+    def crash_before_swap(*a, **k):
+        raise RuntimeError("injected crash before any bucket swap")
+
+    monkeypatch.setattr(B, "_partial_reencode_segments", crash_before_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(d, corpus_from_table(delta_a, parallelism=1))
+    monkeypatch.setattr(B, "_partial_reencode_segments", real)
+
+    # mid-window state: debt recorded, segments manifest gone
+    assert os.path.exists(os.path.join(d, "pending_reencode.json"))
+    assert not os.path.exists(os.path.join(d, "manifests", "segments.json"))
+
+    # DIFFERENT op: delete doc 7
+    key7 = [(base["repo"][7].as_py(), base["path"][7].as_py())]
+    delete_docs(d, key7)
+    assert not os.path.exists(os.path.join(d, "pending_reencode.json"))
+    assert os.path.exists(os.path.join(d, "manifests", "segments.json"))
+    # A's orphan delta dir was absorbed (removed)
+    assert not os.path.isdir(os.path.join(d, "stage=docvec", "update-0"))
+
+    # reference: fresh build over original − doc 7 (A never committed)
+    survivors = base.take([i for i in range(60) if i != 7])
+    build_index(corpus_from_table(survivors), d_ref, cfg, resume=False)
+    _rank_equal(d, d_ref)
+    s = ScorerActor(d, k=10, scorer="daat")
+    assert s.score_query("zzcrasha")[0].size == 0  # A truly absent
+
+
+def test_crash_then_different_delta_no_id_collision(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """Crash mid-window on update A AFTER its buckets were swapped (A's
+    postings are in the segment parquet), then update B with a DIFFERENT
+    delta: B reuses A's id range once the orphan is absorbed, so A's
+    swapped postings MUST be dropped — final index ≡ fresh build over
+    original ∪ B, and A's distinctive term resolves to nothing."""
+    from sharesci_ray.pipelines import build as B
+
+    base = make_corpus(60, seed=909)
+    d = str(tmp_path_factory.mktemp("idcol"))
+    d_ref = str(tmp_path_factory.mktemp("idcol_ref"))
+    cfg = BuildConfig(n_buckets=16)
+    build_index(corpus_from_table(base), d, cfg, resume=False)
+
+    delta_a = pa.Table.from_pydict(
+        {
+            "repo": ["zzz/a"], "path": ["a.py"], "commit": ["c1"],
+            "lang": ["py"], "content": ["xqueryalpha xqueryalpha"],
+        },
+        schema=base.schema,
+    )
+    delta_b = pa.Table.from_pydict(
+        {
+            "repo": ["zzz/b"], "path": ["b.py"], "commit": ["c2"],
+            "lang": ["py"], "content": ["xquerybeta xquerybeta"],
+        },
+        schema=base.schema,
+    )
+
+    real = B._partial_reencode_segments
+
+    def crash_after_swap(*a, **k):
+        real(*a, **k)  # complete the swap, then die before the commit
+        raise RuntimeError("injected crash after swap")
+
+    monkeypatch.setattr(B, "_partial_reencode_segments", crash_after_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(d, corpus_from_table(delta_a, parallelism=1))
+    monkeypatch.setattr(B, "_partial_reencode_segments", real)
+
+    update_index(d, corpus_from_table(delta_b, parallelism=1))
+
+    # reference: original ∪ B; A never committed
+    build_index(
+        corpus_from_table(pa.concat_tables([base, delta_b])), d_ref, cfg,
+        resume=False,
+    )
+    _rank_equal(d, d_ref)
+    s = ScorerActor(d, k=10, scorer="daat")
+    assert s.score_query("xqueryalpha")[0].size == 0  # A's postings purged
+    assert s.score_query("xquerybeta")[0].size == 1
