@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -108,7 +109,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"build_dir": args.build_dir,
                           "stats": state.read_sidecar("stats.json")}))
     else:  # query
-        from .pipelines.build import _parquet_rows
+        def _write_and_count(res, out_dir: str) -> int:
+            """write_parquet + row count of ONLY the files this write
+            produced (footer metadata): res.count() would re-execute the
+            whole pipeline, and counting every file under out_dir would
+            include earlier runs' output."""
+            import pyarrow.parquet as _pq
+
+            before = set()
+            if os.path.isdir(out_dir):
+                for root, _d, files in os.walk(out_dir):
+                    before |= {os.path.join(root, f) for f in files}
+            res.write_parquet(out_dir)
+            n = 0
+            for root, _d, files in os.walk(out_dir):
+                for f in files:
+                    full = os.path.join(root, f)
+                    if full not in before and f.endswith(".parquet"):
+                        n += _pq.ParquetFile(full).metadata.num_rows
+            return n
 
         if (args.text is None) == (args.queries is None):
             ap.error("query: provide exactly one of --text / --queries")
@@ -141,11 +160,8 @@ def main(argv: list[str] | None = None) -> int:
                 batch_format="pyarrow",
             )
             if args.output:
-                # row count from the written files' metadata: a second
-                # res.count() would re-execute the whole actor pipeline
-                res.write_parquet(args.output)
                 print(json.dumps(
-                    {"output": args.output, "rows": _parquet_rows(args.output)}
+                    {"output": args.output, "rows": _write_and_count(res, args.output)}
                 ))
             else:
                 for row in res.sort(["phrase", "rank"]).iter_rows():
@@ -153,9 +169,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         res = run_queries(args.build_dir, qds, k=args.k, scorer=args.scorer)
         if args.output:
-            res.write_parquet(args.output)
             print(json.dumps(
-                {"output": args.output, "rows": _parquet_rows(args.output)}
+                {"output": args.output, "rows": _write_and_count(res, args.output)}
             ))
         else:
             for row in res.sort(["query_id", "rank"]).iter_rows():

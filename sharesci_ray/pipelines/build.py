@@ -136,20 +136,48 @@ def _read_reencode_debt(build_dir: str) -> set[int] | None:
     return set()
 
 
-def _write_reencode_debt(build_dir: str, buckets: set[int] | None) -> None:
+def _write_reencode_debt(
+    build_dir: str,
+    buckets: set[int] | None,
+    window_dead: np.ndarray | None = None,
+) -> None:
     """Atomically record the re-encode scope BEFORE the window's first
     destructive write, so a crash followed by a DIFFERENT maintenance op
-    still re-encodes every bucket this op may leave half-updated."""
+    still re-encodes every bucket this op may leave half-updated.
+
+    ``window_dead`` (update windows only): the doc ids THIS window newly
+    tombstones — if the window's orphan delta is later absorbed (the
+    update never happened), these tombstones are resurrected so the
+    superseded originals aren't silently lost along with their
+    replacements.  Deletions never set it: a crashed delete's tombstones
+    legitimately persist (the deletion is idempotent and user-intended)."""
     import json
 
     p = os.path.join(build_dir, _PENDING_FILE)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
-            {"buckets": sorted(int(b) for b in buckets) if buckets is not None else None},
+            {
+                "buckets": sorted(int(b) for b in buckets)
+                if buckets is not None
+                else None,
+                "window_dead": [int(x) for x in window_dead]
+                if window_dead is not None
+                else [],
+            },
             f,
         )
     os.replace(tmp, p)
+
+
+def _read_window_dead(build_dir: str) -> np.ndarray:
+    import json
+
+    p = os.path.join(build_dir, _PENDING_FILE)
+    if not os.path.exists(p):
+        return np.empty(0, dtype=np.int64)
+    with open(p) as f:
+        return np.array(json.load(f).get("window_dead", []), dtype=np.int64)
 
 
 def _clear_reencode_debt(build_dir: str) -> None:
@@ -161,34 +189,37 @@ def _clear_reencode_debt(build_dir: str) -> None:
 def _absorb_orphan_deltas(state: BuildState, cfg: BuildConfig, build_dir: str) -> None:
     """Remove uncommitted ``update-k`` delta subdirs (a crashed update_index
     run: its manifest never committed, and the next update would reuse its
-    id range) and fold their term buckets into the persistent re-encode
-    debt — their postings may already sit in half-swapped segment
-    partitions, and no later op's own affected set would cover them.
-    Semantics: an update that never committed never happened."""
+    id range) and resurrect the tombstones that window wrote — an update
+    that never committed never happened, so the superseded ORIGINALS must
+    survive when their replacements are dropped.
+
+    The orphan is never read: if its window opened, its buckets are
+    already in its own debt record (scope ⊇ the delta's buckets, written
+    before the first destructive write), and if it crashed pre-window the
+    segments were never touched — so rmtree alone is safe, and a delta
+    parquet torn mid-write can't brick later maintenance ops."""
     docvec_dir = state.stage_dir("docvec")
     if not os.path.isdir(docvec_dir):
         return
-    debt = _read_reencode_debt(build_dir)
-    changed = False
+    removed = False
     for d in sorted(os.listdir(docvec_dir)):
         full = os.path.join(docvec_dir, d)
         if not (d.startswith("update-") and os.path.isdir(full)):
             continue
         if state.read_manifest(d) is not None:
             continue
-        has_rows = any(f.endswith(".parquet") for f in os.listdir(full))
-        if has_rows and debt is not None:
-            # bounded by the orphan delta's size
-            parts = ray.data.read_parquet(full, columns=["terms"]).map_batches(
-                lambda t, _n=cfg.n_buckets: _terms_to_buckets(t, _n),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            debt |= {int(b) for b in parts.unique("bucket")}
         shutil.rmtree(full)
-        changed = changed or has_rows
-    if changed:
-        _write_reencode_debt(build_dir, debt)
+        removed = True
+    if not removed:
+        return
+    window_dead = _read_window_dead(build_dir)
+    if window_dead.size:
+        tomb = _read_tombstones(build_dir)
+        kept = np.setdiff1d(tomb, window_dead)
+        if kept.size != tomb.size:
+            _write_tombstones(build_dir, kept)
+        # debt buckets stay owed; the resurrection is recorded as done
+        _write_reencode_debt(build_dir, _read_reencode_debt(build_dir), None)
 
 
 def _drop_dead_fn(dead: np.ndarray):
@@ -846,10 +877,10 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     hi = float(stats.get("bm_avgdl_hi") or new_avgdl)
     lo2, hi2 = min(lo, new_avgdl), max(hi, new_avgdl)
     newly_dead = np.array([r["doc_id"] for r in dead_rows], dtype=np.int64)
-    affected: set[int] | None = None
-    if not cfg.doc_shards and hi2 <= lo2 * _BM_SLACK_LIMIT:
-        affected = _affected_buckets(docvec_dir, cfg.n_buckets, newly_dead, None)
     debt = _read_reencode_debt(build_dir)
+    affected: set[int] | None = None
+    if debt is not None and not cfg.doc_shards and hi2 <= lo2 * _BM_SLACK_LIMIT:
+        affected = _affected_buckets(docvec_dir, cfg.n_buckets, newly_dead, None)
     scope = None if (affected is None or debt is None) else (affected | debt)
 
     # ---- open the window: record debt FIRST, then invalidate segments ------
@@ -886,6 +917,7 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     else:
         # snapshot config.json: the inner build_index rewrites it, and this
         # flow must preserve the ORIGINAL tokenizer identity
+        shutil.rmtree(state.stage_dir("segments") + ".partial", ignore_errors=True)
         cfg_snapshot = state.read_sidecar("config.json")
         build_index(
             ray.data.from_items([]), build_dir, cfg, resume=True, _tok_id=stored_tok
@@ -1019,12 +1051,14 @@ def update_index(
     lo = float(stats.get("bm_avgdl_lo") or new_avgdl)
     hi = float(stats.get("bm_avgdl_hi") or new_avgdl)
     lo2, hi2 = min(lo, new_avgdl), max(hi, new_avgdl)
+    debt = _read_reencode_debt(build_dir)
     affected: set[int] | None = None
-    if not cfg.doc_shards and hi2 <= lo2 * _BM_SLACK_LIMIT:
+    if debt is not None and not cfg.doc_shards and hi2 <= lo2 * _BM_SLACK_LIMIT:
+        # skip the affected-bucket scan entirely when debt already forces a
+        # full re-encode (debt None = unknown scope)
         affected = _affected_buckets(
             docvec_dir, cfg.n_buckets, newly_dead, delta_dir
         )
-    debt = _read_reencode_debt(build_dir)
     scope = None if (affected is None or debt is None) else (affected | debt)
 
     # ---- open the window: record debt, then invalidate segments -----------
@@ -1035,7 +1069,7 @@ def update_index(
     # segments-incomplete (ScorerActor refuses to serve it) rather than one
     # whose block-max bounds were baked under the old avgdl — WAND/BMW
     # could silently mis-prune.
-    _write_reencode_debt(build_dir, scope)
+    _write_reencode_debt(build_dir, scope, window_dead=newly_dead)
     seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
     if os.path.exists(seg_manifest):
         os.remove(seg_manifest)
@@ -1070,6 +1104,9 @@ def update_index(
         m.metrics["reencode_mode"] = "partial"
         m.metrics["affected_buckets"] = len(scope)
     else:
+        # sweep a crashed partial run's tmp dir: the full encode cleans only
+        # stage=segments, and a stale .partial would otherwise persist
+        shutil.rmtree(state.stage_dir("segments") + ".partial", ignore_errors=True)
         build_index(
             ray.data.from_items([]),  # docvec complete → corpus never touched
             build_dir,
@@ -1143,7 +1180,15 @@ def compact_index(build_dir: str) -> BuildState:
     _absorb_orphan_deltas(state, cfg, build_dir)
 
     dead = _read_tombstones(build_dir)
-    if dead.size == 0:
+    # no-op ONLY when the index is healthy: with the segments manifest
+    # missing or debt unpaid (a crashed maintenance window), compaction
+    # must proceed — its full shadow re-encode + swap is the heal — else
+    # "compact to recover" would return success and leave the index
+    # unservable (ScorerActor refuses a manifest-less index)
+    healthy = os.path.exists(
+        os.path.join(build_dir, "manifests", "segments.json")
+    ) and not os.path.exists(os.path.join(build_dir, _PENDING_FILE))
+    if dead.size == 0 and healthy:
         return state  # nothing tombstoned — the index is already compact
 
     # ---- survivor term vectors, ids reassigned densely --------------------

@@ -212,7 +212,7 @@ def to_term_vectors(
         # document order.  Validate the checkable half — an out-of-order
         # hook would otherwise yield negative positions that wrap to huge
         # varbyte deltas and decode to garbage phrase matches.
-        if parent.size and (np.diff(parent) < 0).any():
+        if parent.size and (parent[1:] < parent[:-1]).any():
             raise ValueError(
                 "positional indexing requires the tokenizer hook to emit "
                 "tokens grouped by row in document order (non-decreasing "

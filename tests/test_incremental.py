@@ -670,3 +670,85 @@ def test_crash_then_different_delta_no_id_collision(
     s = ScorerActor(d, k=10, scorer="daat")
     assert s.score_query("xqueryalpha")[0].size == 0  # A's postings purged
     assert s.score_query("xquerybeta")[0].size == 1
+
+
+def test_crashed_overwrite_resurrects_superseded_doc(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """A crashed OVERWRITE update tombstoned the original doc inside its
+    window; absorbing the orphan must resurrect that tombstone — otherwise
+    neither the original nor the replacement survives (silent doc loss)."""
+    from sharesci_ray.pipelines import build as B
+    from sharesci_ray.pipelines.build import _read_tombstones, delete_docs
+
+    base = make_corpus(60, seed=717)
+    d = str(tmp_path_factory.mktemp("resurrect"))
+    d_ref = str(tmp_path_factory.mktemp("resurrect_ref"))
+    cfg = BuildConfig(n_buckets=64)
+    build_index(corpus_from_table(base), d, cfg, resume=False)
+
+    # delta A overwrites doc 3 → window tombstones doc 3
+    row = base.slice(3, 1).to_pydict()
+    row["content"] = ["replacement body that never commits"]
+    delta_a = pa.Table.from_pydict(row, schema=base.schema)
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(B, "_partial_reencode_segments", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(d, corpus_from_table(delta_a, parallelism=1))
+    monkeypatch.undo()
+    assert _read_tombstones(d).size == 1  # doc 3 tombstoned mid-window
+
+    # DIFFERENT op absorbs the orphan → doc 3's tombstone is resurrected
+    key7 = [(base["repo"][7].as_py(), base["path"][7].as_py())]
+    delete_docs(d, key7)
+    # only doc 7's tombstone remains
+    assert _read_tombstones(d).size == 1
+
+    survivors = base.take([i for i in range(60) if i != 7])  # doc 3 SURVIVES
+    build_index(corpus_from_table(survivors), d_ref, cfg, resume=False)
+    _rank_equal(d, d_ref)
+
+
+def test_compact_heals_crashed_window(ray_session, tmp_path_factory, monkeypatch):
+    """compact_index as the recovery tool: after a crashed update window
+    with NO tombstones it must not no-op — the shadow rebuild + swap is
+    the heal, restoring a servable index equal to the original."""
+    import os
+
+    from sharesci_ray.pipelines import build as B
+    from sharesci_ray.pipelines.build import compact_index
+
+    base = make_corpus(50, seed=818)
+    d = str(tmp_path_factory.mktemp("compact_heal"))
+    d_ref = str(tmp_path_factory.mktemp("compact_heal_ref"))
+    cfg = BuildConfig(n_buckets=16)
+    build_index(corpus_from_table(base), d, cfg, resume=False)
+
+    delta = pa.Table.from_pydict(
+        {
+            "repo": ["zz/new"], "path": ["n.py"], "commit": ["c9"],
+            "lang": ["py"], "content": ["zzhealme zzhealme"],
+        },
+        schema=base.schema,
+    )
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(B, "_partial_reencode_segments", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(d, corpus_from_table(delta, parallelism=1))
+    monkeypatch.undo()
+    assert not os.path.exists(os.path.join(d, "manifests", "segments.json"))
+
+    compact_index(d)  # must heal, not early-return
+
+    assert os.path.exists(os.path.join(d, "manifests", "segments.json"))
+    assert not os.path.exists(os.path.join(d, "pending_reencode.json"))
+    build_index(corpus_from_table(base), d_ref, cfg, resume=False)
+    _rank_equal(d, d_ref)
+    s = ScorerActor(d, k=10, scorer="daat")
+    assert s.score_query("zzhealme")[0].size == 0
