@@ -806,3 +806,207 @@ def rollup_event_counts(sf_dir: str):
             "n": pa.array(n, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# above_avg_orders — correlated-subquery shape (TPC-H Q17 flavor)
+# ---------------------------------------------------------------------------
+
+@op(
+    "above_avg_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    JOIN (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+             count(*) AS n
+      FROM orders GROUP BY o_custkey
+    ) a ON o.o_custkey = a.o_custkey
+    WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * a.n > a.sum_cents
+    """,
+)
+def above_avg_orders(sf_dir: str):
+    """Correlated-subquery shape (TPC-H Q17 flavor): orders priced above
+    their own customer's average order value.  The float-hazard comparison
+    ``price > avg`` is algebraically lifted to exact integers:
+    ``price_cents · n > sum_cents`` — bit-identical on both sides.
+
+    Scale shape: per-customer (sum, count) via per-batch partials + one
+    small groupby; the correlated probe is a native hash join back against
+    orders (both sides scale-proportional) + a vectorized integer filter."""
+    from .util import drop_empty_blocks, join_partitions
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    oc = orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    oc = oc.materialize()  # two consumers (aggregate + probe): pin the slim
+    # projection once instead of re-reading/re-projecting orders per branch
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"k": t["o_custkey"], "s": t["price_cents"]})
+            .group_by("k")
+            .aggregate([("s", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "cust": g["k"],
+                "sum_cents": pc.cast(g["s_sum"], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    per_cust = (
+        oc.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cust")
+        .sum(["sum_cents", "n"])
+    )
+    per_cust = _rename(
+        per_cust, {"sum(sum_cents)": "sum_cents", "sum(n)": "n"},
+        int64_cols=("sum_cents", "n"),
+    )
+
+    joined = drop_empty_blocks(
+        oc.join(per_cust, join_type="inner",
+                num_partitions=join_partitions(oc, per_cust),
+                on=("o_custkey",), right_on=("cust",)),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("price_cents", pa.int64()), ("cust", pa.int64()),
+             ("sum_cents", pa.int64()), ("n", pa.int64())]
+        ),
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("price_cents", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keep = pc.greater(
+            pc.multiply(t["price_cents"], t["n"]), t["sum_cents"]
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": t["price_cents"],
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# rich_inactive_customers — global-scalar broadcast + anti join (Q22 flavor)
+# ---------------------------------------------------------------------------
+
+@op(
+    "rich_inactive_customers",
+    """
+    SELECT c.c_custkey,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+            * (SELECT count(*) FROM customer)
+          > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def rich_inactive_customers(sf_dir: str):
+    """TPC-H Q22 flavor: customers with above-average account balance and
+    no URGENT orders — a GLOBAL scalar aggregate broadcast into a filter,
+    plus an anti join.  ``bal > avg`` lifted to exact integers
+    (``bal_cents · N > total_cents``).
+
+    Scale shape: the global (count, sum) reduce to two driver scalars
+    (bounded); the order-holder key set is reduced to distinct custkeys
+    BEFORE leaving the orders scan, then applied as a vectorized anti
+    filter via a native join-free broadcast when small — here the distinct
+    keyset is scale-proportional, so it ships as a Dataset and the anti
+    join is a left join + null filter."""
+    from .util import drop_empty_blocks, join_partitions
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def cust_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "acctbal_cents": _cents(t["c_acctbal"]),
+            }
+        )
+
+    cc = cust.map_batches(cust_cents, batch_format="pyarrow", zero_copy_batch=True)
+    cc = cc.materialize()  # consumed by the scalar aggregate AND the probe
+    from ray.data.aggregate import Count, Sum
+
+    agg = cc.aggregate(Count(), Sum("acctbal_cents"))
+    n_cust = int(agg["count()"])
+    total_cents = int(agg["sum(acctbal_cents)"] or 0)
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        keys = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(keys, pa.int64())})
+
+    holders = (
+        orders.map_batches(distinct_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .count()
+    )
+
+    rich = cc.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["acctbal_cents"], pa.scalar(n_cust, pa.int64())),
+                pa.scalar(total_cents, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # left_outer join coalesces the right key into the left key column, so
+    # right-side presence is read off the (nullable) count() payload
+    joined = drop_empty_blocks(
+        rich.join(holders, join_type="left_outer",
+                  num_partitions=join_partitions(rich, holders),
+                  on=("c_custkey",), right_on=("o_custkey",)),
+        pa.schema(
+            [("c_custkey", pa.int64()), ("acctbal_cents", pa.int64()),
+             ("count()", pa.int64())]
+        ),
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("c_custkey", pa.int64()), ("acctbal_cents", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.filter(pc.is_null(t["count()"]))
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "acctbal_cents": t["acctbal_cents"]},
+            schema=out_schema,
+        )
+
+    return joined.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)

@@ -265,3 +265,45 @@ def test_rollup_levels_consistent(ray_session):
     per_type = fine.groupby("event_type")["n"].sum()
     for _, r in types.iterrows():
         assert int(r["n"]) == int(per_type[r["event_type"]])
+
+
+def test_above_avg_orders_invariants(ray_session):
+    """Every emitted order is strictly above its customer's mean in exact
+    integer arithmetic; customers with a single order never appear (their
+    only order equals the mean)."""
+    from sharesci_ray.pipelines.ops_relational import above_avg_orders
+
+    got = above_avg_orders(SF).to_pandas()
+    orders = duckdb.sql(
+        f"""SELECT o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS c
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).df()
+    sums = orders.groupby("o_custkey")["c"].agg(["sum", "count"])
+    for _, r in got.iterrows():
+        s, n = sums.loc[r["o_custkey"]]
+        assert int(r["price_cents"]) * int(n) > int(s)
+    singles = set(sums[sums["count"] == 1].index)
+    assert not (set(got["o_custkey"]) & singles)
+
+
+def test_rich_inactive_customers_anti(ray_session):
+    """Emitted customers have above-average balances AND no urgent orders;
+    engine ≡ brute-force at sf0.001."""
+    from sharesci_ray.pipelines.ops_relational import rich_inactive_customers
+
+    got = set(rich_inactive_customers(SF).to_pandas()["c_custkey"])
+    exp = set(
+        duckdb.sql(
+            f"""
+        SELECT c_custkey FROM read_parquet('{SF}/customer.parquet') c
+        WHERE CAST(round(c_acctbal*100) AS BIGINT)
+                * (SELECT count(*) FROM read_parquet('{SF}/customer.parquet'))
+              > (SELECT sum(CAST(round(c_acctbal*100) AS BIGINT))
+                 FROM read_parquet('{SF}/customer.parquet'))
+          AND NOT EXISTS (SELECT 1 FROM read_parquet('{SF}/orders.parquet') o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """
+        ).df()["c_custkey"]
+    )
+    assert got == exp
