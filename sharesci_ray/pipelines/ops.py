@@ -425,6 +425,103 @@ def bm25_topk(sf_dir: str):
     return _bm25_run(sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# bm25_topk_snippets — result snippets (the search-UI context window)
+# ---------------------------------------------------------------------------
+
+_SNIP_BEFORE = 30   # chars of context before the first matched term
+_SNIP_LEN = 80      # snippet window length (chars)
+
+
+def _bm25_snippet_sql() -> str:
+    """Twin of the engine's snippet rule over the bm25_topk result set:
+    pos = min 1-based strpos of any query term in lower(text) (every BM25
+    match contains at least one term as a substring — the tokenizer only
+    lowercases and splits); snippet = substr(text, max(1, pos−before), len)."""
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH res AS ({_bm25_sql()}),
+    qt(query_id, term) AS (VALUES {values}),
+    pos AS (
+      SELECT res.query_id, res.rank, res.doc_id,
+             min(CASE WHEN strpos(lower(d.text), qt.term) > 0
+                      THEN strpos(lower(d.text), qt.term) END) AS p,
+             max(d.text) AS text
+      FROM res
+      JOIN documents d ON d.doc_id = res.doc_id
+      JOIN qt ON qt.query_id = res.query_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, rank, doc_id,
+           substr(text, greatest(1, coalesce(p, 1) - {_SNIP_BEFORE}),
+                  {_SNIP_LEN}) AS snippet
+    FROM pos
+    """
+
+
+@op("bm25_topk_snippets", _bm25_snippet_sql())
+def bm25_topk_snippets(sf_dir: str):
+    """Search results WITH contextual snippets (what a search UI renders):
+    each top-10 hit carries an {snip_len}-char window starting
+    {snip_before} chars before the first occurrence of any query term in
+    the document.
+
+    Scale shape: the ranked result set is bounded (|queries|·k rows), so
+    collecting it and broadcasting its doc-id set is safe at any corpus
+    size; snippet extraction is ONE pruned pass over documents filtered to
+    the matched ids (at real scale: predicate-pushdown read of just those
+    row groups), never a join against the full text column."""
+    res_rows = _bm25_run(sf_dir).take_all()  # bounded: |queries| × k
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in res_rows:
+        by_doc.setdefault(int(r["doc_id"]), []).append(
+            (int(r["query_id"]), int(r["rank"]))
+        )
+    terms_by_qid = [sorted(set(tokenize(t))) for t in DOC_QUERIES]
+    keys = pa.array(sorted(by_doc), pa.int64())
+
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("doc_id", pa.int64()), ("snippet", pa.string())]
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["doc_id"], value_set=keys))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        qids, ranks, dids, snips = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hay = text.lower()
+            for qid, rank in by_doc[int(did)]:
+                found = [
+                    hay.find(term) + 1
+                    for term in terms_by_qid[qid]
+                    if hay.find(term) >= 0
+                ]
+                p = min(found) if found else 1
+                start = max(1, p - _SNIP_BEFORE)  # 1-based, same as substr
+                qids.append(qid)
+                ranks.append(rank)
+                dids.append(int(did))
+                snips.append(text[start - 1 : start - 1 + _SNIP_LEN])
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "snippet": pa.array(snips, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ===========================================================================
 # B. Relational generic ops (J/G/K/M8/U) over the TPC-H-ish tables
 # ===========================================================================

@@ -208,3 +208,26 @@ def test_scorer_refuses_mid_maintenance_index(ray_session, tmp_path_factory):
     shutil.move(bak, man)
     ids, _ = ScorerActor(d, k=5).score_query("table scan")
     assert ids.size >= 0  # restored index serves again
+
+
+def test_snippets_contain_a_query_term(ray_session):
+    """Every snippet row corresponds to a bm25_topk row, and its window
+    contains at least one query term as a substring of the lowered text
+    (the rule both the engine and the SQL twin implement)."""
+    from sharesci_ray.functions.text import tokenize
+    from sharesci_ray.pipelines.ops import DOC_QUERIES, bm25_topk, bm25_topk_snippets
+
+    SF = "/root/testdata/sf0.001"
+    snips = bm25_topk_snippets(SF).to_pandas()
+    base = bm25_topk(SF).to_pandas()
+    key = ["query_id", "rank", "doc_id"]
+    assert sorted(map(tuple, snips[key].values.tolist())) == sorted(
+        map(tuple, base[key].values.tolist())
+    )
+    for _, r in snips.iterrows():
+        terms = set(tokenize(DOC_QUERIES[int(r["query_id"])]))
+        low = r["snippet"].lower()
+        # context window starts ≤30 chars before the first hit, so the hit
+        # itself is inside the 80-char window unless truncated mid-term —
+        # accept a prefix match at the window edge too
+        assert any(t[:4] in low for t in terms), r["snippet"]
