@@ -119,3 +119,52 @@ def test_asof_merge_matches_bruteforce(rows):
         )
     }
     assert got_map == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+            min_size=0,
+            max_size=700,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_chunk_explode_matches_python_slicing(texts):
+    """chunk_explode's codepoint semantics on arbitrary unicode: chunk j of
+    doc t == t[j·stride : j·stride + W] by PYTHON (codepoint) slicing, with
+    exactly n_chunks_of(len) chunks per doc — the ASCII testdata can't
+    exercise multi-byte codepoints, so this pins the kernel directly."""
+    import pyarrow as pa
+
+    from sharesci_ray.pipelines.ops_text import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        chunk_explode,
+        n_chunks_of,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = chunk_explode(batch)
+    got: dict[int, dict[int, str]] = {}
+    for did, cid, chunk, n in zip(
+        out["doc_id"].to_pylist(),
+        out["chunk_id"].to_pylist(),
+        out["chunk"].to_pylist(),
+        out["n_chunk_chars"].to_pylist(),
+    ):
+        got.setdefault(did, {})[cid] = chunk
+        assert n == len(chunk)
+    for i, t in enumerate(texts):
+        n = n_chunks_of(len(t))
+        assert sorted(got[i]) == list(range(n)), (i, len(t))
+        for j in range(n):
+            assert got[i][j] == t[j * CHUNK_STRIDE : j * CHUNK_STRIDE + CHUNK_W]
