@@ -113,9 +113,15 @@ def main(argv: list[str] | None = None) -> int:
             """write_parquet + row count of ONLY the files this write
             produced (footer metadata): res.count() would re-execute the
             whole pipeline, and counting every file under out_dir would
-            include earlier runs' output."""
+            include earlier runs' output.  Non-local URIs (s3:// etc.)
+            can't be walked — there, pay the re-execution for a true
+            count rather than report 0."""
             import pyarrow.parquet as _pq
 
+            if "://" in out_dir:
+                res = res.materialize()
+                res.write_parquet(out_dir)
+                return res.count()
             before = set()
             if os.path.isdir(out_dir):
                 for root, _d, files in os.walk(out_dir):

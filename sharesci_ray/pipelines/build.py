@@ -186,40 +186,48 @@ def _clear_reencode_debt(build_dir: str) -> None:
         os.remove(p)
 
 
-def _absorb_orphan_deltas(state: BuildState, cfg: BuildConfig, build_dir: str) -> None:
-    """Remove uncommitted ``update-k`` delta subdirs (a crashed update_index
-    run: its manifest never committed, and the next update would reuse its
-    id range) and resurrect the tombstones that window wrote — an update
-    that never committed never happened, so the superseded ORIGINALS must
-    survive when their replacements are dropped.
+def _absorb_orphan_deltas(state: BuildState, build_dir: str) -> None:
+    """Undo a crashed update_index window at the next maintenance op:
+    resurrect the tombstones that window wrote, then remove its
+    uncommitted ``update-k`` delta subdirs (their id range is reused) —
+    an update that never committed never happened, so the superseded
+    ORIGINALS must survive when their replacements are dropped.
+
+    Ordering and idempotency: resurrection runs FIRST, keyed on the debt
+    file's ``window_dead`` (NOT on whether an orphan dir is still present
+    — a crash between a previous absorb's rmtree and its tombstone write
+    must not lose the resurrection), and ``window_dead`` is cleared from
+    the debt file only at the end; a crash anywhere here re-applies the
+    same (idempotent) steps next time.  When resurrection actually
+    revives ids, the debt is widened to ALL buckets: the crashed window
+    may already have swapped the revived docs' postings out of their
+    segment partitions, and only a full re-encode from the docvec
+    checkpoint can restore them (a partial pass decodes segments only).
 
     The orphan is never read: if its window opened, its buckets are
-    already in its own debt record (scope ⊇ the delta's buckets, written
-    before the first destructive write), and if it crashed pre-window the
+    already in its own debt record, and if it crashed pre-window the
     segments were never touched — so rmtree alone is safe, and a delta
     parquet torn mid-write can't brick later maintenance ops."""
     docvec_dir = state.stage_dir("docvec")
-    if not os.path.isdir(docvec_dir):
-        return
-    removed = False
-    for d in sorted(os.listdir(docvec_dir)):
-        full = os.path.join(docvec_dir, d)
-        if not (d.startswith("update-") and os.path.isdir(full)):
-            continue
-        if state.read_manifest(d) is not None:
-            continue
-        shutil.rmtree(full)
-        removed = True
-    if not removed:
-        return
     window_dead = _read_window_dead(build_dir)
+    resurrected = False
     if window_dead.size:
         tomb = _read_tombstones(build_dir)
         kept = np.setdiff1d(tomb, window_dead)
         if kept.size != tomb.size:
             _write_tombstones(build_dir, kept)
-        # debt buckets stay owed; the resurrection is recorded as done
-        _write_reencode_debt(build_dir, _read_reencode_debt(build_dir), None)
+            resurrected = True
+    if os.path.isdir(docvec_dir):
+        for d in sorted(os.listdir(docvec_dir)):
+            full = os.path.join(docvec_dir, d)
+            if not (d.startswith("update-") and os.path.isdir(full)):
+                continue
+            if state.read_manifest(d) is not None:
+                continue
+            shutil.rmtree(full)
+    if window_dead.size:
+        debt = None if resurrected else _read_reencode_debt(build_dir)
+        _write_reencode_debt(build_dir, debt, None)
 
 
 def _drop_dead_fn(dead: np.ndarray):
@@ -473,10 +481,17 @@ def _partial_reencode_segments(
     srcs = []
     # expand bucket dirs to their parquet FILES: ray 2.49's read_parquet
     # treats a multi-element path list as files, so a 2+-bucket directory
-    # list raises "Cannot open for reading: ... is a directory"
+    # list raises "Cannot open for reading: ... is a directory".
+    # A missing bucket dir falls back to its ``.old`` twin: the swap below
+    # parks the previous content there before installing the new, so a
+    # crash between its two renames still leaves the pre-window postings
+    # decodable (when BOTH exist, the main dir wins — it already holds the
+    # new content, over which the decode filter is idempotent).
     existing = []
     for b in sorted(affected):
         bd = os.path.join(seg_dir, f"term_bucket={b}")
+        if not os.path.isdir(bd):
+            bd = bd + ".old"
         if os.path.isdir(bd):
             existing += [
                 os.path.join(bd, f)
@@ -515,10 +530,16 @@ def _partial_reencode_segments(
     for b in sorted(affected):
         dst = os.path.join(seg_dir, f"term_bucket={b}")
         src = os.path.join(tmp_dir, f"term_bucket={b}")
+        trash = dst + ".old"
+        # park-then-install (never rmtree the only copy): a crash between
+        # the renames leaves the old content in .old, which the decode
+        # fallback above recovers on the rerun
+        shutil.rmtree(trash, ignore_errors=True)  # stale from a prior crash
         if os.path.isdir(dst):
-            shutil.rmtree(dst)
+            os.rename(dst, trash)
         if os.path.isdir(src):
             shutil.move(src, dst)
+        shutil.rmtree(trash, ignore_errors=True)
     _clean_dir(tmp_dir)
     metrics["affected_buckets"] = sorted(affected)
     metrics["reencode_mode"] = "partial"
@@ -831,7 +852,7 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
             "re-encode would re-ingest an empty corpus; rebuild instead"
         )
 
-    _absorb_orphan_deltas(state, cfg, build_dir)
+    _absorb_orphan_deltas(state, build_dir)
 
     k = 0
     while state.read_manifest(f"delete-{k}") is not None:
@@ -881,7 +902,7 @@ def delete_docs(build_dir: str, keys: list[tuple[str, str]]) -> BuildState:
     affected: set[int] | None = None
     if debt is not None and not cfg.doc_shards and hi2 <= lo2 * _BM_SLACK_LIMIT:
         affected = _affected_buckets(docvec_dir, cfg.n_buckets, newly_dead, None)
-    scope = None if (affected is None or debt is None) else (affected | debt)
+    scope = None if affected is None else (affected | debt)  # affected≠None ⇒ debt≠None
 
     # ---- open the window: record debt FIRST, then invalidate segments ------
     _write_reencode_debt(build_dir, scope)
@@ -969,7 +990,7 @@ def update_index(
             f"update called with {_tokenizer_id(tokenizer)!r}"
         )
 
-    _absorb_orphan_deltas(state, cfg, build_dir)
+    _absorb_orphan_deltas(state, build_dir)
 
     k = 0
     while state.read_manifest(f"update-{k}") is not None:
@@ -1059,7 +1080,7 @@ def update_index(
         affected = _affected_buckets(
             docvec_dir, cfg.n_buckets, newly_dead, delta_dir
         )
-    scope = None if (affected is None or debt is None) else (affected | debt)
+    scope = None if affected is None else (affected | debt)  # affected≠None ⇒ debt≠None
 
     # ---- open the window: record debt, then invalidate segments -----------
     # Ordering is load-bearing (crash safety): the debt file is written
@@ -1069,7 +1090,11 @@ def update_index(
     # segments-incomplete (ScorerActor refuses to serve it) rather than one
     # whose block-max bounds were baked under the old avgdl — WAND/BMW
     # could silently mis-prune.
-    _write_reencode_debt(build_dir, scope, window_dead=newly_dead)
+    # window_dead = only the ids THIS window newly tombstones: ids already
+    # dead from committed ops must never be resurrected by absorption
+    _write_reencode_debt(
+        build_dir, scope, window_dead=np.setdiff1d(newly_dead, prior_dead)
+    )
     seg_manifest = os.path.join(build_dir, "manifests", "segments.json")
     if os.path.exists(seg_manifest):
         os.remove(seg_manifest)
@@ -1079,7 +1104,7 @@ def update_index(
     stats["n_docs"] = n_docs
     stats["total_tokens"] = total
     stats["avgdl"] = new_avgdl
-    stats["id_space"] = _parquet_rows(docvec_dir)
+    stats["id_space"] = base + delta_rows  # == _parquet_rows(docvec_dir)
     state.write_sidecar("stats.json", stats)
 
     # ---- re-encode segments: bucket-scoped when the delta allows ----------
@@ -1177,7 +1202,7 @@ def compact_index(build_dir: str) -> BuildState:
     # crashed-update deltas never committed: drop them before the survivor
     # scan below reads the checkpoint (their buckets land in the debt file,
     # which the swap discards along with the fully re-encoded segments)
-    _absorb_orphan_deltas(state, cfg, build_dir)
+    _absorb_orphan_deltas(state, build_dir)
 
     dead = _read_tombstones(build_dir)
     # no-op ONLY when the index is healthy: with the segments manifest

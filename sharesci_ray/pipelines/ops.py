@@ -497,11 +497,8 @@ def bm25_topk_snippets(sf_dir: str):
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             hay = text.lower()
             for qid, rank in by_doc[int(did)]:
-                found = [
-                    hay.find(term) + 1
-                    for term in terms_by_qid[qid]
-                    if hay.find(term) >= 0
-                ]
+                positions = (hay.find(term) for term in terms_by_qid[qid])
+                found = [p0 + 1 for p0 in positions if p0 >= 0]
                 p = min(found) if found else 1
                 start = max(1, p - _SNIP_BEFORE)  # 1-based, same as substr
                 qids.append(qid)

@@ -752,3 +752,89 @@ def test_compact_heals_crashed_window(ray_session, tmp_path_factory, monkeypatch
     _rank_equal(d, d_ref)
     s = ScorerActor(d, k=10, scorer="daat")
     assert s.score_query("zzhealme")[0].size == 0
+
+
+def test_crashed_overwrite_after_swap_restores_postings(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """The hardest crash: an overwrite update tombstones doc X AND swaps
+    X's buckets (postings removed from segments) before dying.  Absorption
+    resurrects X's tombstone and must widen the debt to ALL buckets so the
+    follow-up op's full re-encode restores X's postings from the
+    checkpoint — a partial pass could not (segments no longer hold them)."""
+    from sharesci_ray.pipelines import build as B
+    from sharesci_ray.pipelines.build import delete_docs
+
+    base = make_corpus(60, seed=611)
+    d = str(tmp_path_factory.mktemp("swapres"))
+    d_ref = str(tmp_path_factory.mktemp("swapres_ref"))
+    cfg = BuildConfig(n_buckets=64)
+    build_index(corpus_from_table(base), d, cfg, resume=False)
+
+    row = base.slice(3, 1).to_pydict()
+    row["content"] = ["ephemeral replacement xyzzyqq"]
+    delta_a = pa.Table.from_pydict(row, schema=base.schema)
+
+    real = B._partial_reencode_segments
+
+    def crash_after_swap(*a, **k):
+        real(*a, **k)
+        raise RuntimeError("injected crash after swap")
+
+    monkeypatch.setattr(B, "_partial_reencode_segments", crash_after_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(d, corpus_from_table(delta_a, parallelism=1))
+    monkeypatch.undo()
+
+    key7 = [(base["repo"][7].as_py(), base["path"][7].as_py())]
+    st = delete_docs(d, key7)
+    # resurrection forced the full path (debt widened to all buckets)
+    assert st.read_manifest("delete-0")["metrics"]["reencode_mode"] == "full"
+
+    survivors = base.take([i for i in range(60) if i != 7])  # doc 3 restored
+    build_index(corpus_from_table(survivors), d_ref, cfg, resume=False)
+    _rank_equal(d, d_ref)
+    s = ScorerActor(d, k=10, scorer="daat")
+    assert s.score_query("xyzzyqq")[0].size == 0  # replacement truly gone
+
+
+def test_mid_swap_crash_bucket_recovered_from_old_twin(
+    ray_session, tmp_path_factory
+):
+    """Simulate a crash between the swap's two renames: a bucket dir parked
+    at .old with the main dir missing must still be decodable by the next
+    partial re-encode (the collection falls back to the .old twin)."""
+    import glob
+    import json
+    import os
+
+    base = make_corpus(80, seed=622)
+    d = str(tmp_path_factory.mktemp("midswap"))
+    d_ref = str(tmp_path_factory.mktemp("midswap_ref"))
+    cfg = BuildConfig(n_buckets=16)
+    build_index(corpus_from_table(base), d, cfg, resume=False)
+
+    buckets = sorted(glob.glob(os.path.join(d, "stage=segments", "term_bucket=*")))
+    victim = buckets[0]
+    b = int(victim.rsplit("=", 1)[1])
+    os.rename(victim, victim + ".old")  # park: main dir gone, .old holds data
+    os.remove(os.path.join(d, "manifests", "segments.json"))
+    with open(os.path.join(d, "pending_reencode.json"), "w") as f:
+        json.dump({"buckets": [b], "window_dead": []}, f)
+
+    delta = pa.Table.from_pydict(
+        {
+            "repo": ["zz/new"], "path": ["m.py"], "commit": ["c3"],
+            "lang": ["py"], "content": ["zzmidswap zzmidswap"],
+        },
+        schema=base.schema,
+    )
+    st = update_index(d, corpus_from_table(delta, parallelism=1))
+    assert st.read_manifest("update-0")["metrics"]["reencode_mode"] == "partial"
+    assert not os.path.isdir(victim + ".old")  # trash swept after install
+
+    build_index(
+        corpus_from_table(pa.concat_tables([base, delta])), d_ref, cfg,
+        resume=False,
+    )
+    _rank_equal(d, d_ref)
