@@ -22,6 +22,63 @@ import os
 import sys
 
 
+def _status(build_dir: str) -> dict:
+    """Index health report from sidecars/manifests only (no Ray session):
+    the operational "is this index consistent and servable" check."""
+    import glob
+
+    from .pipelines.build import _read_tombstones
+    from .state.manifest import BuildState
+
+    if not os.path.exists(os.path.join(build_dir, "config.json")):
+        return {"build_dir": build_dir, "servable": False,
+                "reason": "not an index (missing config.json)"}
+    state = BuildState(build_dir, {})
+    stats = (
+        state.read_sidecar("stats.json")
+        if os.path.exists(os.path.join(build_dir, "stats.json"))
+        else None
+    )
+    manifests = sorted(
+        os.path.basename(p)[:-5]
+        for p in glob.glob(os.path.join(build_dir, "manifests", "*.json"))
+    )
+    debt_path = os.path.join(build_dir, "pending_reencode.json")
+    debt = None
+    if os.path.exists(debt_path):
+        with open(debt_path) as f:
+            debt = json.load(f)
+    maintenance = sorted(
+        m for m in manifests
+        if m.startswith(("update-", "delete-", "compact-"))
+    )
+    orphans = sorted(
+        d for d in (
+            os.listdir(os.path.join(build_dir, "stage=docvec"))
+            if os.path.isdir(os.path.join(build_dir, "stage=docvec"))
+            else []
+        )
+        if d.startswith("update-") and d not in manifests
+    )
+    servable = "segments" in manifests and debt is None
+    n_buckets = len(
+        glob.glob(os.path.join(build_dir, "stage=segments", "term_bucket=*"))
+    )
+    return {
+        "build_dir": build_dir,
+        "servable": servable,
+        "stats": stats,
+        "stages_complete": [
+            m for m in ("docvec", "stats", "segments") if m in manifests
+        ],
+        "maintenance_history": maintenance,
+        "n_tombstones": int(_read_tombstones(build_dir).size),
+        "n_segment_buckets": n_buckets,
+        "unpaid_reencode_debt": debt,
+        "orphan_deltas": orphans,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sharesci_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -50,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--build-dir", required=True)
 
+    st = sub.add_parser(
+        "status",
+        help="index health: stats, manifests, tombstones, maintenance "
+             "history, unpaid re-encode debt — no Ray work",
+    )
+    st.add_argument("--build-dir", required=True)
+
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--build-dir", required=True)
     q.add_argument("--text", default=None, help="single query string")
@@ -62,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--output", default=None, help="write results parquet here (else print)")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "status":
+        print(json.dumps(_status(args.build_dir)))
+        return 0
 
     import ray
 

@@ -78,3 +78,34 @@ def test_cli_positional_phrase(ray_session, tmp_path, capsys):
     except Exception:
         raised = True
     assert raised
+
+
+def test_cli_status(ray_session, tmp_path_factory, capsys):
+    """status reports a healthy index as servable and a mid-maintenance one
+    (segments manifest missing / debt unpaid) as not servable."""
+    import json
+    import os
+
+    from sharesci_ray.__main__ import _status
+    from sharesci_ray.pipelines.build import BuildConfig, build_index
+    from sharesci_ray.sources.corpus import corpus_from_table
+    from sharesci_ray.sources.synth import make_corpus
+
+    d = str(tmp_path_factory.mktemp("status_idx"))
+    build_index(corpus_from_table(make_corpus(30, seed=5)), d,
+                BuildConfig(n_buckets=8), resume=False)
+    rep = _status(d)
+    assert rep["servable"] is True
+    assert rep["stages_complete"] == ["docvec", "stats", "segments"]
+    assert rep["n_tombstones"] == 0 and rep["orphan_deltas"] == []
+    assert rep["n_segment_buckets"] > 0
+
+    # simulate a crashed window
+    os.remove(os.path.join(d, "manifests", "segments.json"))
+    with open(os.path.join(d, "pending_reencode.json"), "w") as f:
+        json.dump({"buckets": [1, 2], "window_dead": []}, f)
+    rep2 = _status(d)
+    assert rep2["servable"] is False
+    assert rep2["unpaid_reencode_debt"] == {"buckets": [1, 2], "window_dead": []}
+
+    assert _status(str(tmp_path_factory.mktemp("empty")))["servable"] is False
