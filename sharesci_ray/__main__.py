@@ -23,11 +23,18 @@ import sys
 
 
 def _status(build_dir: str) -> dict:
-    """Index health report from sidecars/manifests only (no Ray session):
-    the operational "is this index consistent and servable" check."""
+    """Index health report from sidecars/manifests only (no Ray session,
+    no data pages read): the operational "is this index consistent and
+    servable" check.
+
+    ``reencode_debt`` semantics mirror _read_reencode_debt: ``null`` = no
+    debt, ``"all"`` = every bucket owes a re-encode (explicit record or a
+    crash predating the debt file — a missing segments manifest with no
+    record), else the owing bucket list."""
     import glob
 
-    from .pipelines.build import _read_tombstones
+    import pyarrow.parquet as pq
+
     from .state.manifest import BuildState
 
     if not os.path.exists(os.path.join(build_dir, "config.json")):
@@ -44,37 +51,49 @@ def _status(build_dir: str) -> dict:
         for p in glob.glob(os.path.join(build_dir, "manifests", "*.json"))
     )
     debt_path = os.path.join(build_dir, "pending_reencode.json")
-    debt = None
+    window_dead: list[int] = []
     if os.path.exists(debt_path):
         with open(debt_path) as f:
-            debt = json.load(f)
+            rec = json.load(f)
+        debt = "all" if rec["buckets"] is None else sorted(rec["buckets"])
+        window_dead = rec.get("window_dead", [])
+    elif "segments" not in manifests:
+        debt = "all"  # crash predating the debt record / crashed build
+    else:
+        debt = None
     maintenance = sorted(
         m for m in manifests
         if m.startswith(("update-", "delete-", "compact-"))
     )
+    docvec_dir = os.path.join(build_dir, "stage=docvec")
     orphans = sorted(
-        d for d in (
-            os.listdir(os.path.join(build_dir, "stage=docvec"))
-            if os.path.isdir(os.path.join(build_dir, "stage=docvec"))
-            else []
-        )
-        if d.startswith("update-") and d not in manifests
+        d for d in (os.listdir(docvec_dir) if os.path.isdir(docvec_dir) else [])
+        if d.startswith("update-")
+        and os.path.isdir(os.path.join(docvec_dir, d))  # same rule as absorb
+        and d not in manifests
     )
-    servable = "segments" in manifests and debt is None
-    n_buckets = len(
-        glob.glob(os.path.join(build_dir, "stage=segments", "term_bucket=*"))
-    )
+    tomb_path = os.path.join(build_dir, "tombstones.parquet")
+    n_tomb = (
+        pq.ParquetFile(tomb_path).metadata.num_rows
+        if os.path.exists(tomb_path)
+        else 0
+    )  # footer-only count
+    bucket_dirs = [
+        b for b in glob.glob(os.path.join(build_dir, "stage=segments", "term_bucket=*"))
+        if not b.endswith(".old")  # parked crash-recovery twins aren't buckets
+    ]
     return {
         "build_dir": build_dir,
-        "servable": servable,
+        "servable": "segments" in manifests and debt is None,
         "stats": stats,
         "stages_complete": [
             m for m in ("docvec", "stats", "segments") if m in manifests
         ],
         "maintenance_history": maintenance,
-        "n_tombstones": int(_read_tombstones(build_dir).size),
-        "n_segment_buckets": n_buckets,
-        "unpaid_reencode_debt": debt,
+        "n_tombstones": int(n_tomb),
+        "n_segment_buckets": len(bucket_dirs),
+        "reencode_debt": debt,
+        "window_dead": window_dead,
         "orphan_deltas": orphans,
     }
 

@@ -106,6 +106,11 @@ def test_cli_status(ray_session, tmp_path_factory, capsys):
         json.dump({"buckets": [1, 2], "window_dead": []}, f)
     rep2 = _status(d)
     assert rep2["servable"] is False
-    assert rep2["unpaid_reencode_debt"] == {"buckets": [1, 2], "window_dead": []}
+    assert rep2["reencode_debt"] == [1, 2]
+
+    # crash predating the debt record: missing manifest + no debt file
+    os.remove(os.path.join(d, "pending_reencode.json"))
+    rep3 = _status(d)
+    assert rep3["servable"] is False and rep3["reencode_debt"] == "all"
 
     assert _status(str(tmp_path_factory.mktemp("empty")))["servable"] is False
