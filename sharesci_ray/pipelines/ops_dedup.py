@@ -1477,3 +1477,40 @@ def benchmark_contamination(sf_dir: str):
         )
 
     return docs.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Near-dup survivors (the composed dedup deliverable)
+# ===========================================================================
+
+
+def _survivors_sql() -> str:
+    return f"""
+    SELECT cluster_id AS doc_id, count(*)::BIGINT AS cluster_size
+    FROM ( {_cluster_sql()} ) GROUP BY 1
+    """
+
+
+@op("near_dup_survivors", _survivors_sql())
+def near_dup_survivors(sf_dir: str):
+    """The corpus-dedup deliverable: one representative document per
+    near-dup cluster (the MIN doc id — dedup_cluster's label), with the
+    number of documents it stands for.  Keep-set = these doc_ids; a
+    training pipeline joins it back as a semi-join filter.
+
+    Composition of already-scaled parts: dedup_cluster's distributed
+    label propagation → one groupby(count) over (doc, cluster) rows —
+    no new shuffle shape, and the output is |survivors| rows.
+    """
+    clusters = dedup_cluster(sf_dir)
+    agg = clusters.groupby("cluster_id").count()
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["cluster_id"], pa.int64()),
+                "cluster_size": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)

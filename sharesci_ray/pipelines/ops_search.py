@@ -1,0 +1,397 @@
+"""Index-backed search ops beyond ranked BM25, plus training-data
+repetition statistics and the composed near-dup survivor set.
+
+- boolean_and_counts: conjunctive (AND) retrieval answered from the
+  inverted index — only the queried term rows leave the segment files.
+- term_prefix_counts: dictionary prefix search (wildcard ``pre*``) over
+  the segment term dictionary — an index READ, not a corpus scan.
+- repetition_stats: Gopher-style repetition quality signals (duplicate
+  line fraction, top-bigram fraction) — the standard repetition filters
+  of an LLM training-data pipeline.
+- near_dup_survivors: the deliverable of the dedup pipeline — one
+  representative per near-dup cluster with its cluster size.
+
+Reference: n/a (SURVEY.md §0 — empty checkout); oracle parity against
+DuckDB is the check, same as every other registry op.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import dedup as dd
+from ..functions.codecs import decode_docids
+from ..functions.text import tokenize
+from ..sources.corpus import read_table
+from .ops import _TOKS, DOC_QUERIES, _index_for, _rename, op
+
+# ===========================================================================
+# Boolean AND retrieval (conjunctive queries off the inverted index)
+# ===========================================================================
+
+
+def _bool_sql() -> str:
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    q(query_id, term) AS (VALUES {values}),
+    qsz AS (SELECT query_id, count(*) AS nt FROM q GROUP BY 1),
+    hit AS (
+      SELECT q.query_id, t.doc_id, count(*) AS nhit
+      FROM q JOIN toks t ON t.term = q.term GROUP BY 1, 2
+    ),
+    conj AS (
+      SELECT h.query_id, count(*) AS n_match
+      FROM hit h JOIN qsz ON qsz.query_id = h.query_id AND h.nhit = qsz.nt
+      GROUP BY 1
+    )
+    SELECT qs.query_id, COALESCE(c.n_match, 0)::BIGINT AS n_match
+    FROM qsz qs LEFT JOIN conj c ON c.query_id = qs.query_id
+    """
+
+
+@op("boolean_and_counts", _bool_sql())
+def boolean_and_counts(sf_dir: str):
+    """Conjunctive boolean retrieval: for each fixture query, how many
+    documents contain ALL of its terms.
+
+    Scale shape: this is an INDEX READ — ``read_parquet`` over the
+    segments with an ``is_in`` filter on the term dictionary (row-group
+    pruning; segment rows are term-sorted), so only the ≤|query vocab|
+    matching posting rows are ever decoded.  Hits explode to
+    (query_id, doc_id) rows, a groupby counts per-doc term coverage, and
+    docs covering every query term are counted per query.  The corpus
+    itself is never re-scanned, and nothing corpus-sized reaches the
+    driver (the result is one row per query).
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    build_dir = _index_for(sf_dir)
+
+    term_to_qids: dict[str, list[int]] = {}
+    qsize = np.zeros(len(DOC_QUERIES), dtype=np.int64)
+    for qid, text in enumerate(DOC_QUERIES):
+        ts = sorted(set(tokenize(text)))
+        qsize[qid] = len(ts)
+        for t in ts:
+            term_to_qids.setdefault(t, []).append(qid)
+
+    segs = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=segments"),
+        columns=["term", "docids"],
+        filter=pc.field("term").isin(sorted(term_to_qids)),
+    )
+
+    _HITS = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
+
+    def hits(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _HITS.empty_table()
+        qids_out, docs_out = [], []
+        for term, buf in zip(
+            batch["term"].to_pylist(), batch["docids"].to_pylist()
+        ):
+            d = decode_docids(buf).astype(np.int64)
+            for qid in term_to_qids.get(term, ()):
+                qids_out.append(np.full(len(d), qid, dtype=np.int64))
+                docs_out.append(d)
+        if not qids_out:
+            return _HITS.empty_table()
+        return pa.table(
+            {
+                "query_id": np.concatenate(qids_out),
+                "doc_id": np.concatenate(docs_out),
+            },
+            schema=_HITS,
+        )
+
+    per_doc = (
+        segs.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["query_id", "doc_id"])
+        .count()
+    )
+
+    _ONE = pa.schema([("query_id", pa.int64()), ("one", pa.int64())])
+
+    def full_match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _ONE.empty_table()
+        q = pc.cast(t["query_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t["count()"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = n == qsize[q]
+        return pa.table(
+            {
+                "query_id": q[keep],
+                "one": np.ones(int(keep.sum()), dtype=np.int64),
+            },
+            schema=_ONE,
+        )
+
+    matched = per_doc.map_batches(
+        full_match, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # seed every query with 0 so zero-match queries still emit a row
+    seeds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": np.arange(len(DOC_QUERIES), dtype=np.int64),
+                "one": np.zeros(len(DOC_QUERIES), dtype=np.int64),
+            },
+            schema=_ONE,
+        )
+    )
+    agg = matched.union(seeds).groupby("query_id").aggregate(Sum("one"))
+    return _rename(agg, {"sum(one)": "n_match"}, int64_cols=("n_match",))
+
+
+# ===========================================================================
+# Dictionary prefix search (wildcard ``pre*``) over the segment dictionary
+# ===========================================================================
+
+_PREFIXES = ["con", "in", "pa", "re", "se", "zz"]  # zz: empty-result case
+
+
+def _prefix_sql() -> str:
+    values = ", ".join(f"('{p}')" for p in _PREFIXES)
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    df AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+    p(prefix) AS (VALUES {values}),
+    m AS (
+      SELECT p.prefix, count(*) AS n_terms, sum(df.df) AS sum_df
+      FROM p JOIN df ON df.term LIKE p.prefix || '%'
+      GROUP BY 1
+    )
+    SELECT p.prefix,
+           COALESCE(m.n_terms, 0)::BIGINT AS n_terms,
+           COALESCE(m.sum_df, 0)::BIGINT AS sum_df
+    FROM p LEFT JOIN m ON m.prefix = p.prefix
+    """
+
+
+@op("term_prefix_counts", _prefix_sql())
+def term_prefix_counts(sf_dir: str):
+    """Wildcard/prefix dictionary search: for each fixed prefix, the number
+    of distinct indexed terms starting with it and their summed document
+    frequency.
+
+    Scale shape: reads ONLY the (term, df) dictionary columns of the
+    segment parquet (no postings bytes, no corpus scan); one vectorized
+    ``starts_with`` mask per prefix per batch produces per-batch partial
+    (n_terms, sum_df) pairs, and the final groupby moves ≤ |prefixes| ×
+    |blocks| tiny rows.  Terms are unique across segment rows (bucketed by
+    hash, merged per term), so count-of-rows == count-of-distinct-terms.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    build_dir = _index_for(sf_dir)
+    segs = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=segments"), columns=["term", "df"]
+    )
+
+    _PART = pa.schema(
+        [("prefix", pa.string()), ("n_terms", pa.int64()), ("sum_df", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PART.empty_table()
+        df = pc.cast(batch["df"], pa.int64()).to_numpy(zero_copy_only=False)
+        rows_p, rows_n, rows_s = [], [], []
+        for p in _PREFIXES:
+            mask = pc.starts_with(batch["term"], p).to_numpy(
+                zero_copy_only=False
+            )
+            rows_p.append(p)
+            rows_n.append(int(mask.sum()))
+            rows_s.append(int(df[mask].sum()))
+        return pa.table(
+            {
+                "prefix": pa.array(rows_p, pa.string()),
+                "n_terms": pa.array(rows_n, pa.int64()),
+                "sum_df": pa.array(rows_s, pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    partials = segs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # seed rows keep empty prefixes present even if every batch missed them
+    seeds = ray.data.from_arrow(
+        pa.table(
+            {
+                "prefix": pa.array(_PREFIXES, pa.string()),
+                "n_terms": pa.array([0] * len(_PREFIXES), pa.int64()),
+                "sum_df": pa.array([0] * len(_PREFIXES), pa.int64()),
+            },
+            schema=_PART,
+        )
+    )
+    agg = (
+        partials.union(seeds)
+        .groupby("prefix")
+        .aggregate(Sum("n_terms"), Sum("sum_df"))
+    )
+    return _rename(
+        agg,
+        {"sum(n_terms)": "n_terms", "sum(sum_df)": "sum_df"},
+        int64_cols=("n_terms", "sum_df"),
+    )
+
+
+# ===========================================================================
+# Repetition statistics (Gopher repetition rules — Rae et al. 2021)
+# ===========================================================================
+
+
+def _repetition_sql() -> str:
+    bigrams = dd.sql_shingles("ts", k=2)
+    return f"""
+    WITH lines AS (
+      SELECT doc_id, str_split(text, chr(10)) AS ls FROM documents
+    ),
+    lstats AS (
+      SELECT doc_id, len(ls)::BIGINT AS n_lines,
+             len(list_distinct(ls))::BIGINT AS n_distinct
+      FROM lines
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    bg AS (SELECT doc_id, unnest({bigrams}) AS b FROM toks),
+    bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    bmax AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1)
+    SELECT d.doc_id,
+           l.n_lines,
+           (l.n_lines - l.n_distinct) AS n_dup_lines,
+           (l.n_lines - l.n_distinct) * 1.0 / l.n_lines AS dup_line_frac,
+           COALESCE(b.mx, 0)::BIGINT AS top_bigram_n,
+           COALESCE(b.tot, 0)::BIGINT AS n_bigrams,
+           CASE WHEN COALESCE(b.tot, 0) = 0 THEN 0.0
+                ELSE b.mx * 1.0 / b.tot END AS top_bigram_frac
+    FROM documents d
+    JOIN lstats l ON l.doc_id = d.doc_id
+    LEFT JOIN bmax b ON b.doc_id = d.doc_id
+    """
+
+
+@op("repetition_stats", _repetition_sql())
+def repetition_stats(sf_dir: str):
+    """Per-document repetition quality signals (the Gopher repetition
+    filters an LLM data pipeline applies before training): duplicate-line
+    fraction and most-frequent-bigram fraction.
+
+    Fully vectorized per batch: lines/bigrams explode to flat arrays with
+    parent row indices, Arrow ``group_by`` computes per-(row, value)
+    counts, numpy scatter-max folds them back per row.  Each ratio is one
+    int/int → float64 division — bit-identical to the SQL twin.  Purely
+    per-row (no shuffle at all): at 100 TB this is one streamed pass.
+    """
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _OUT = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("n_dup_lines", pa.int64()),
+            ("dup_line_frac", pa.float64()),
+            ("top_bigram_n", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("top_bigram_frac", pa.float64()),
+        ]
+    )
+
+    def _per_row_max_count(
+        parent: np.ndarray, values: pa.Array, n_rows: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(parent idx, value) stream → per-row (max value count, total)."""
+        total = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(total, parent, 1)
+        mx = np.zeros(n_rows, dtype=np.int64)
+        if len(parent):
+            g = (
+                pa.table({"p": parent, "v": values})
+                .group_by(["p", "v"])
+                .aggregate([([], "count_all")])
+            )
+            gp = g["p"].to_numpy(zero_copy_only=False)
+            gc = g["count_all"].to_numpy(zero_copy_only=False)
+            np.maximum.at(mx, gp, gc)
+        return mx, total
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.text import flat_tokens
+
+        n = batch.num_rows
+        text = batch["text"]
+        # --- duplicate lines -------------------------------------------
+        line_lists = pc.split_pattern(text, "\n")
+        flat_lines = pc.list_flatten(line_lists)
+        line_parent = pc.list_parent_indices(line_lists).to_numpy(
+            zero_copy_only=False
+        )
+        n_lines = pc.list_value_length(line_lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if isinstance(flat_lines, pa.ChunkedArray):
+            flat_lines = flat_lines.combine_chunks()
+        n_distinct = np.zeros(n, dtype=np.int64)
+        if len(line_parent):
+            g = (
+                pa.table({"p": line_parent, "v": flat_lines})
+                .group_by(["p", "v"])
+                .aggregate([([], "count_all")])
+            )
+            gp = g["p"].to_numpy(zero_copy_only=False)
+            np.add.at(n_distinct, gp, 1)
+        n_dup = n_lines - n_distinct
+        dup_frac = n_dup / np.maximum(n_lines, 1)  # n_lines >= 1 always
+        # --- top bigram -------------------------------------------------
+        flat, parent = flat_tokens(text)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(parent) > 1:
+            same = parent[:-1] == parent[1:]
+            same_pa = pa.array(same)
+            lefts = pc.filter(flat.slice(0, len(flat) - 1), same_pa)
+            rights = pc.filter(flat.slice(1), same_pa)
+            bg_vals = pc.binary_join_element_wise(lefts, rights, " ")
+            bg_parent = parent[:-1][same]
+        else:
+            bg_parent = np.empty(0, dtype=np.int64)
+            bg_vals = pa.array([], pa.string())
+        mx, tot = _per_row_max_count(bg_parent, bg_vals, n)
+        bg_frac = np.where(tot == 0, 0.0, mx / np.maximum(tot, 1))
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_lines": n_lines,
+                "n_dup_lines": n_dup,
+                "dup_line_frac": dup_frac,
+                "top_bigram_n": mx,
+                "n_bigrams": tot,
+                "top_bigram_frac": bg_frac,
+            },
+            schema=_OUT,
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# near_dup_survivors (the composed dedup deliverable) lives in ops_dedup.py
+# next to dedup_cluster — its oracle SQL wraps _cluster_sql, which must be
+# fully defined before the @op decorator runs (a cross-module reference here
+# would trip the worker-side re-entrant import of ops_dedup).

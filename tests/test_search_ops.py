@@ -1,0 +1,136 @@
+"""Index-backed search ops (boolean AND, prefix dictionary) and the
+repetition-stats quality signals: hand-pinned values on adversarial docs
+plus second-scale (sf0.001) DuckDB parity — the driver's own sweep checks
+sf0.01, so these catch anything scale-dependent."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sf: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    return con
+
+
+def test_repetition_stats_hand_values(ray_session, tmp_path):
+    """Adversarial corpus: empty text, all-duplicate lines, repeated
+    bigrams, blank-line runs — every output column hand-computed."""
+    from sharesci_ray.pipelines.ops_search import repetition_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "",  # 1 empty line, no tokens
+                    "aa\naa\naa",  # 3 identical lines; tokens aa aa aa
+                    "foo bar foo bar foo",  # bigrams: foo-bar x2, bar-foo x2
+                    "xx\n\n\nyy",  # lines [xx,'','',yy] -> 1 dup
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([0, 8, 19, 8], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    got = (
+        repetition_stats(str(d))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: one empty line, nothing else
+    assert got.loc[0].tolist() == [1, 0, 0.0, 0, 0, 0.0]
+    # doc 1: 3 lines, 1 distinct -> 2 dups; bigram 'aa aa' x2 of 2 total
+    assert got.loc[1, "n_lines"] == 3
+    assert got.loc[1, "n_dup_lines"] == 2
+    assert got.loc[1, "dup_line_frac"] == pytest.approx(2 / 3)
+    assert got.loc[1, "top_bigram_n"] == 2
+    assert got.loc[1, "n_bigrams"] == 2
+    assert got.loc[1, "top_bigram_frac"] == 1.0
+    # doc 2: 1 line; 4 bigrams, max 2
+    assert got.loc[2].tolist() == [1, 0, 0.0, 2, 4, 0.5]
+    # doc 3: 4 lines, distinct {xx,'',yy}=3 -> 1 dup
+    assert got.loc[3, "n_lines"] == 4
+    assert got.loc[3, "n_dup_lines"] == 1
+    assert got.loc[3, "n_bigrams"] == 1  # xx-yy? no: tokens xx,yy adjacent
+    assert got.loc[3, "top_bigram_n"] == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "boolean_and_counts",
+        "term_prefix_counts",
+        "repetition_stats",
+        "near_dup_survivors",
+    ],
+)
+def test_second_scale_parity(ray_session, name):
+    """Same comparison the driver runs, at sf0.001 instead of sf0.01."""
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    got = e.queries()[name](SF).to_pandas()
+    exp = con.execute(e.oracle_sql()[name]).fetchdf()
+    assert len(got) == len(exp)
+    gc, xc = sorted(got.columns), sorted(exp.columns)
+    assert gc == xc
+    g = got[gc].sort_values(gc).reset_index(drop=True)
+    x = exp[xc].sort_values(xc).reset_index(drop=True)
+    for c in gc:
+        if g[c].dtype.kind == "f":
+            assert np.allclose(g[c].to_numpy(), x[c].to_numpy(), rtol=0, atol=0), c
+        else:
+            assert (g[c].to_numpy() == x[c].to_numpy()).all(), c
+
+
+def test_boolean_and_subset_of_any(ray_session):
+    """Docs matching ALL terms of a query can never exceed docs matching
+    its rarest single term (df from the index dictionary)."""
+    import ray.data
+
+    from sharesci_ray.functions.text import tokenize
+    from sharesci_ray.pipelines.ops import DOC_QUERIES, _index_for
+    from sharesci_ray.pipelines.ops_search import boolean_and_counts
+
+    got = boolean_and_counts(SF).to_pandas().set_index("query_id")["n_match"]
+    segs = ray.data.read_parquet(
+        os.path.join(_index_for(SF), "stage=segments"), columns=["term", "df"]
+    ).to_pandas().set_index("term")["df"]
+    for qid, text in enumerate(DOC_QUERIES):
+        terms = sorted(set(tokenize(text)))
+        dfs = [int(segs.get(t, 0)) for t in terms]
+        assert got[qid] <= min(dfs), (qid, terms, dfs)
+
+
+def test_prefix_counts_empty_prefix_row(ray_session):
+    """The sentinel 'zz' prefix matches nothing but must still emit a row
+    (the LEFT JOIN semantics of the SQL twin)."""
+    from sharesci_ray.pipelines.ops_search import term_prefix_counts
+
+    got = term_prefix_counts(SF).to_pandas().set_index("prefix")
+    assert got.loc["zz", "n_terms"] == 0
+    assert got.loc["zz", "sum_df"] == 0
+    assert (got.drop(index="zz")["n_terms"] > 0).any()
