@@ -1010,3 +1010,270 @@ def rich_inactive_customers(sf_dir: str):
         )
 
     return joined.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# top_unshipped_orders — TPC-H Q3 shape (segment filter + 3-table join + topk)
+# ---------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1998-06-01"
+
+
+@op(
+    "top_unshipped_orders",
+    f"""
+    SELECT l.l_orderkey,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+             AS rev_e4,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+    GROUP BY 1, 3
+    ORDER BY rev_e4 DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 shape: the 10 highest-value orders from one market segment
+    that were placed before the cutoff but still have lineitems shipping
+    after it.  Revenue in exact integer e4 units (cents × (100 − disc%)).
+
+    Scale shape: each table is filtered AT ITS SCAN (segment mask,
+    order-date mask, ship-date mask) before anything wide happens;
+    lineitem — the big table — is pre-aggregated per batch to one row per
+    orderkey before its only shuffle; both joins are native hash joins
+    with scale-adaptive partitions (the customer side is 1/5 of customers
+    — scale-proportional, NOT broadcastable); the final top-10 sorts the
+    already-small per-order revenue table."""
+    import datetime as _dt
+
+    from .util import drop_empty_blocks, join_partitions
+
+    cutoff = _dt.datetime.fromisoformat(_Q3_CUTOFF)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    bld = cust.filter(
+        lambda r: r["c_mktsegment"] == _Q3_SEGMENT
+    ).select_columns(["c_custkey"])
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def before_cutoff(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+
+    orders = orders.map_batches(
+        before_cutoff, batch_format="pyarrow", zero_copy_batch=True
+    )
+    qual = drop_empty_blocks(
+        orders.join(
+            bld,
+            join_type="inner",
+            num_partitions=join_partitions(orders, bld),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us")), ("c_custkey", pa.int64())]
+        ),
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        if t.num_rows == 0:
+            return pa.schema(
+                [("l_orderkey", pa.int64()), ("rev", pa.int64())]
+            ).empty_table()
+        price_cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_pct = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = price_cents * (100 - disc_pct)
+        g = (
+            pa.table(
+                {"l_orderkey": t["l_orderkey"], "rev": pa.array(rev, pa.int64())}
+            )
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    per_order = _rename(
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("rev"),
+        {"sum(rev)": "rev_e4"},
+        int64_cols=("rev_e4",),
+    )
+
+    res = drop_empty_blocks(
+        per_order.join(
+            qual,
+            join_type="inner",
+            num_partitions=join_partitions(per_order, qual),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("rev_e4", pa.int64()),
+             ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+    ).select_columns(["l_orderkey", "rev_e4", "o_orderdate"])
+    return res.sort(["rev_e4", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# returned_items_report — TPC-H Q10 shape (returned revenue per customer)
+# ---------------------------------------------------------------------------
+
+_Q10_LO = "1997-01-01"
+_Q10_HI = "1997-07-01"
+
+
+@op(
+    "returned_items_report",
+    f"""
+    SELECT r.c_custkey, c.c_name, n.n_name, r.rev_e4
+    FROM (
+      SELECT o.o_custkey AS c_custkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+               AS rev_e4
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+        AND o.o_orderdate <  TIMESTAMP '{_Q10_HI}'
+      GROUP BY 1
+      ORDER BY rev_e4 DESC, c_custkey LIMIT 20
+    ) r
+    JOIN customer c ON c.c_custkey = r.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def returned_items_report(sf_dir: str):
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue in
+    one order-date window, reported with name and nation.
+
+    Scale shape: lineitem is masked to returnflag='R' and pre-summed per
+    orderkey per batch before its only shuffle; the window-filtered orders
+    join is a native hash join; the per-customer aggregate is partial+
+    final; the top-20 sort runs over the small per-customer table; and
+    name/nation are attached to just the 20 winners — customer via a
+    bounded is_in scan, nation via a 25-row broadcast lookup — never a
+    full-table join after the ranking."""
+    import datetime as _dt
+
+    import ray
+
+    from .util import drop_empty_blocks, join_partitions
+
+    lo = _dt.datetime.fromisoformat(_Q10_LO)
+    hi = _dt.datetime.fromisoformat(_Q10_HI)
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        if t.num_rows == 0:
+            return pa.schema(
+                [("l_orderkey", pa.int64()), ("rev", pa.int64())]
+            ).empty_table()
+        price_cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_pct = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = price_cents * (100 - disc_pct)
+        g = (
+            pa.table(
+                {"l_orderkey": t["l_orderkey"], "rev": pa.array(rev, pa.int64())}
+            )
+            .group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    per_order = _rename(
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("rev"),
+        {"sum(rev)": "rev"},
+        int64_cols=("rev",),
+    )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def in_window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(
+        in_window, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = drop_empty_blocks(
+        per_order.join(
+            orders,
+            join_type="inner",
+            num_partitions=join_partitions(per_order, orders),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("rev", pa.int64()),
+             ("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    )
+    per_cust = _rename(
+        joined.groupby("o_custkey").sum("rev"), {"sum(rev)": "rev_e4"},
+        int64_cols=("rev_e4",),
+    )
+    top = per_cust.sort(["rev_e4", "o_custkey"], descending=[True, False]).limit(20)
+    winners = top.take_all()  # exactly 20 rows
+    keys = pa.array([r["o_custkey"] for r in winners], pa.int64())
+    revs = {int(r["o_custkey"]): int(r["rev_e4"]) for r in winners}
+
+    cust = (
+        read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+        )
+        .map_batches(
+            lambda t, _k=keys: t.filter(pc.is_in(t["c_custkey"], value_set=_k)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )  # bounded: 20 rows
+    nations = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        .take_all()  # 25-row dimension table
+    }
+    return pa.table(
+        {
+            "c_custkey": pa.array([r["c_custkey"] for r in cust], pa.int64()),
+            "c_name": pa.array([r["c_name"] for r in cust], pa.string()),
+            "n_name": pa.array(
+                [nations[int(r["c_nationkey"])] for r in cust], pa.string()
+            ),
+            "rev_e4": pa.array(
+                [revs[int(r["c_custkey"])] for r in cust], pa.int64()
+            ),
+        }
+    )

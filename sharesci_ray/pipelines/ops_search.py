@@ -395,3 +395,205 @@ def repetition_stats(sf_dir: str):
 # next to dedup_cluster — its oracle SQL wraps _cluster_sql, which must be
 # fully defined before the @op decorator runs (a cross-module reference here
 # would trip the worker-side re-entrant import of ops_dedup).
+
+
+# ===========================================================================
+# Spell suggestion (SymSpell deletion-neighborhood over the dictionary)
+# ===========================================================================
+
+_MISSPELLED = ["jion", "partion", "quer", "tabel", "windw", "zzzzq"]
+_SUGGEST_K = 5
+
+
+def dl_distance_le1(a: str, b: str) -> int | None:
+    """Exact Damerau-Levenshtein distance when it is ≤ 1, else None.
+
+    Cases: equal (0); same length with one substitution or one adjacent
+    transposition (1); length off by one with one insertion/deletion (1).
+    """
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == lb:
+        diff = [i for i in range(la) if a[i] != b[i]]
+        if len(diff) == 1:
+            return 1
+        if (
+            len(diff) == 2
+            and diff[1] == diff[0] + 1
+            and a[diff[0]] == b[diff[1]]
+            and a[diff[1]] == b[diff[0]]
+        ):
+            return 1
+        return None
+    if abs(la - lb) != 1:
+        return None
+    s, t = (a, b) if la < lb else (b, a)  # s shorter
+    i = 0
+    while i < len(s) and s[i] == t[i]:
+        i += 1
+    return 1 if s[i:] == t[i + 1 :] else None
+
+
+def _deletions(word: str) -> list[str]:
+    return [word[:i] + word[i + 1 :] for i in range(len(word))]
+
+
+def _suggest_sql() -> str:
+    values = ", ".join(f"('{w}')" for w in _MISSPELLED)
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    df AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+    q(input_term) AS (VALUES {values}),
+    cand AS (
+      SELECT q.input_term, df.term, df.df,
+             damerau_levenshtein(q.input_term, df.term) AS dist
+      FROM q JOIN df ON damerau_levenshtein(q.input_term, df.term) <= 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY input_term ORDER BY df DESC, term
+             ) AS rn
+      FROM cand
+    )
+    SELECT input_term, term, df::BIGINT AS df, dist::BIGINT AS dist
+    FROM ranked WHERE rn <= {_SUGGEST_K}
+    """
+
+
+@op("spell_suggest", _suggest_sql())
+def spell_suggest(sf_dir: str):
+    """Did-you-mean spelling suggestions from the index dictionary: for
+    each misspelled input, the top-{k} dictionary terms within
+    Damerau-Levenshtein distance 1, ranked by document frequency.
+
+    Scale shape (SymSpell, Garbe 2012): candidate generation is a
+    deletion-neighborhood intersection — a term can be within distance 1
+    of a query only if {{term}} ∪ deletions(term) intersects {{query}} ∪
+    deletions(query).  The query-side neighborhood (Σ|q|+1 strings) is
+    the only broadcast; the dictionary side prunes to terms within ±1 of
+    the query length band, generates variants position-by-position with
+    Arrow slice kernels (O(max_len) vectorized passes, no per-term
+    Python), and is_in-filters each pass immediately, so only true
+    candidates leave a batch.  The exact distance check then runs on the
+    tiny surviving candidate set.  The corpus is never touched — this is
+    a dictionary-only read of the segment (term, df) columns.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    build_dir = _index_for(sf_dir)
+
+    var_to_inputs: dict[str, list[str]] = {}
+    for w in _MISSPELLED:
+        for v in [w, *_deletions(w)]:
+            var_to_inputs.setdefault(v, []).append(w)
+    qlens = [len(w) for w in _MISSPELLED]
+    lo_len, hi_len = min(qlens) - 1, max(qlens) + 1
+    var_set = pa.array(sorted(var_to_inputs))
+
+    segs = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=segments"), columns=["term", "df"]
+    )
+
+    _CAND = pa.schema(
+        [
+            ("input_term", pa.string()),
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CAND.empty_table()
+        ln = pc.utf8_length(batch["term"])
+        band = pc.and_(
+            pc.greater_equal(ln, lo_len), pc.less_equal(ln, hi_len)
+        )
+        t = batch.filter(band)
+        if t.num_rows == 0:
+            return _CAND.empty_table()
+        terms = t["term"]
+        n = t.num_rows
+        hit_rows: list[np.ndarray] = []
+        hit_vars: list[pa.Array] = []
+        # pass 0: the term itself
+        m = pc.is_in(terms, value_set=var_set).to_numpy(zero_copy_only=False)
+        if m.any():
+            idx = np.flatnonzero(m)
+            hit_rows.append(idx)
+            hit_vars.append(terms.take(pa.array(idx)).combine_chunks())
+        # passes 1..max_len: delete position i (Arrow slice kernels)
+        max_len = int(pc.max(pc.utf8_length(terms)).as_py() or 0)
+        for i in range(max_len):
+            has = pc.greater(pc.utf8_length(terms), i).to_numpy(
+                zero_copy_only=False
+            )
+            rows = np.flatnonzero(has)
+            if rows.size == 0:
+                continue
+            sub = terms.take(pa.array(rows))
+            head = pc.utf8_slice_codeunits(sub, 0, i)
+            tail = pc.utf8_slice_codeunits(sub, i + 1, 2**30)
+            variant = pc.binary_join_element_wise(head, tail, "")
+            vm = pc.is_in(variant, value_set=var_set).to_numpy(
+                zero_copy_only=False
+            )
+            if vm.any():
+                keep = np.flatnonzero(vm)
+                hit_rows.append(rows[keep])
+                hit_vars.append(variant.take(pa.array(keep)).combine_chunks())
+        if not hit_rows:
+            return _CAND.empty_table()
+        rows_all = np.concatenate(hit_rows)
+        vars_all = pa.concat_arrays(
+            [v if isinstance(v, pa.Array) else v.combine_chunks() for v in hit_vars]
+        )
+        term_np = terms.to_numpy(zero_copy_only=False)
+        df_np = pc.cast(t["df"], pa.int64()).to_numpy(zero_copy_only=False)
+        out_i, out_t, out_d, out_dist = [], [], [], []
+        seen: set[tuple[str, str]] = set()
+        for r, v in zip(rows_all, vars_all.to_pylist()):
+            term = term_np[r]
+            for inp in var_to_inputs[v]:
+                key = (inp, term)
+                if key in seen:
+                    continue
+                seen.add(key)
+                d = dl_distance_le1(inp, term)
+                if d is None:  # neighborhood over-generates (e.g. dist-2)
+                    continue
+                out_i.append(inp)
+                out_t.append(term)
+                out_d.append(int(df_np[r]))
+                out_dist.append(d)
+        return pa.table(
+            {
+                "input_term": pa.array(out_i, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_d, pa.int64()),
+                "dist": pa.array(out_dist, pa.int64()),
+            },
+            schema=_CAND,
+        )
+
+    cand = segs.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # a (input, term) pair can surface from several batches only if the term
+    # did — terms are unique across segment rows, so pairs are unique; the
+    # groupby below is a per-input top-k merge, not a dedup
+    def final(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _CAND.empty_table()
+        df_np = group["df"].to_numpy(zero_copy_only=False)
+        term_np = group["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term_np, -df_np))[:_SUGGEST_K]
+        keep = pa.array(order)
+        return group.select(["input_term", "term", "df", "dist"]).take(keep)
+
+    return cand.groupby("input_term").map_groups(final, batch_format="pyarrow")

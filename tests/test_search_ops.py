@@ -106,6 +106,57 @@ def test_second_scale_parity(ray_session, name):
             assert (g[c].to_numpy() == x[c].to_numpy()).all(), c
 
 
+def test_dl_distance_le1_vs_duckdb():
+    """Property: the engine's ≤1 Damerau-Levenshtein kernel agrees with
+    DuckDB's damerau_levenshtein on random short strings (the oracle uses
+    the DuckDB function; the engine must match it exactly)."""
+    from sharesci_ray.pipelines.ops_search import dl_distance_le1
+
+    rng = np.random.default_rng(7)
+    alpha = "abc"
+    con = duckdb.connect()
+    for _ in range(500):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 6)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 6)))
+        exp = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        got = dl_distance_le1(a, b)
+        if exp <= 1:
+            assert got == exp, (a, b, got, exp)
+        else:
+            assert got is None, (a, b, got, exp)
+
+
+@pytest.mark.parametrize(
+    "name", ["spell_suggest", "top_unshipped_orders", "returned_items_report"]
+)
+def test_second_scale_parity_relational(ray_session, name):
+    """sf0.001 parity for the ops whose oracles touch the TPC-H tables."""
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("documents", "customer", "orders", "lineitem", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    got = e.queries()[name](SF)
+    if not hasattr(got, "to_pandas"):
+        import pandas as pd
+
+        got = pd.DataFrame(got)
+    else:
+        got = got.to_pandas()
+    exp = con.execute(e.oracle_sql()[name]).fetchdf()
+    assert len(got) == len(exp)
+    gc = sorted(got.columns)
+    assert gc == sorted(exp.columns)
+    g = got[gc].sort_values(gc).reset_index(drop=True)
+    x = exp[gc].sort_values(gc).reset_index(drop=True)
+    for c in gc:
+        assert (g[c].to_numpy() == x[c].to_numpy()).all(), c
+
+
 def test_boolean_and_subset_of_any(ray_session):
     """Docs matching ALL terms of a query can never exceed docs matching
     its rarest single term (df from the index dictionary)."""
