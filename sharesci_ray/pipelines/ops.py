@@ -380,6 +380,18 @@ def _bm25_run(sf_dir: str, facet_lang: str | None = None, scorer: str = "bmw"):
         scorer=scorer,
         facet=("lang", facet_lang) if facet_lang else None,
     )
+    return _remap_to_docids(res, build_dir)
+
+
+def _remap_to_docids(res, build_dir: str):
+    """Map engine result ids back to documents.doc_id (carried in the
+    adapter's zero-padded ``path``): a Dataset.join of the bounded
+    (k·|queries|)-row result against the docvec checkpoint — nothing
+    corpus-sized reaches the driver."""
+    import ray.data
+
+    from .util import drop_empty_blocks
+
     res = drop_empty_blocks(
         res,
         pa.schema(

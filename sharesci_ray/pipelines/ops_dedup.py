@@ -1514,3 +1514,188 @@ def near_dup_survivors(sf_dir: str):
         )
 
     return agg.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# clean_corpus — the full dedup+quality decision per document
+# ===========================================================================
+
+_CC_MIN_TOKENS = 20  # same integer-exact gate as clean_chunks
+_CC_DIGIT_NUM = 3
+
+
+def _clean_corpus_sql() -> str:
+    toks = _TOKS
+    return f"""
+    WITH
+    ex AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+      FROM documents
+    ),
+    cl AS ( {_cluster_sql()} ),
+    q AS (
+      SELECT doc_id,
+             (len({toks}) >= {_CC_MIN_TOKENS}
+              AND 10 * (length(text)
+                        - length(regexp_replace(text, '[0-9]', '', 'g')))
+                    <= {_CC_DIGIT_NUM} * length(text)) AS ok
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CASE WHEN ex.first_id <> d.doc_id THEN 'exact_dup'
+                WHEN cl.cluster_id <> d.doc_id THEN 'near_dup'
+                WHEN NOT q.ok THEN 'low_quality'
+                ELSE 'kept' END AS reason,
+           CASE WHEN ex.first_id = d.doc_id AND cl.cluster_id = d.doc_id
+                     AND q.ok THEN 1 ELSE 0 END::BIGINT AS keep
+    FROM documents d
+    JOIN ex ON ex.doc_id = d.doc_id
+    JOIN cl ON cl.doc_id = d.doc_id
+    JOIN q ON q.doc_id = d.doc_id
+    """
+
+
+@op("clean_corpus", _clean_corpus_sql())
+def clean_corpus(sf_dir: str):
+    """The corpus-hygiene decision table a training pipeline materializes
+    before tokenizing anything: every document labeled keep/drop with a
+    reason, precedence exact_dup > near_dup > low_quality > kept.
+
+    Composition of already-scaled parts, all decisions co-joined on
+    doc_id: exact firsts are (md5 → min id) partial aggregates joined
+    back on the hash (the dedup_exact shape); near-dup representatives
+    come from dedup_cluster's distributed label propagation; the quality
+    gate is clean_chunks' integer-exact vectorized predicates fused into
+    the same pass that hashes.  Two native hash joins with scale-adaptive
+    partitions; nothing corpus-sized reaches the driver.
+    """
+    from ray.data.aggregate import Min
+
+    from ..functions.text import flat_tokens
+    from .util import drop_empty_blocks, join_partitions
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _GATED = pa.schema(
+        [("doc_id", pa.int64()), ("h", pa.string()), ("ok", pa.int64())]
+    )
+
+    def hash_and_gate(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        if batch.num_rows == 0:
+            return _GATED.empty_table()
+        _, parent = flat_tokens(batch["text"])
+        toks_per_row = np.bincount(parent, minlength=batch.num_rows).astype(
+            np.int64
+        )
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        n_digits = pc.cast(
+            pc.count_substring_regex(batch["text"], "[0-9]"), pa.int64()
+        )
+        ok = pc.and_(
+            pc.greater_equal(pa.array(toks_per_row), _CC_MIN_TOKENS),
+            pc.less_equal(
+                pc.multiply(n_digits, 10), pc.multiply(n_chars, _CC_DIGIT_NUM)
+            ),
+        )
+        h = pa.array(
+            [
+                _h.md5((s or "").encode()).hexdigest()
+                for s in batch["text"].to_pylist()
+            ]
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "h": h,
+                "ok": pc.cast(ok, pa.int64()),
+            },
+            schema=_GATED,
+        )
+
+    gated = docs.map_batches(
+        hash_and_gate, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers below — hash/tokenize once
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("h", pa.string()), ("doc_id", pa.int64())]
+            ).empty_table()
+        g = (
+            pa.table({"h": t["h"], "doc_id": t["doc_id"]})
+            .group_by("h")
+            .aggregate([("doc_id", "min")])
+        )
+        return g.rename_columns(["h", "doc_id"])
+
+    firsts = (
+        gated.map_batches(min_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("doc_id"))
+    )
+    firsts = drop_empty_blocks(
+        firsts, pa.schema([("h", pa.string()), ("min(doc_id)", pa.int64())])
+    ).map_batches(
+        lambda t: t.rename_columns(["h2", "first_id"]), batch_format="pyarrow"
+    )
+
+    with_first = drop_empty_blocks(
+        gated.join(
+            firsts,
+            join_type="inner",
+            num_partitions=join_partitions(gated, firsts),
+            on=("h",),
+            right_on=("h2",),
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("h", pa.string()), ("ok", pa.int64()),
+             ("h2", pa.string()), ("first_id", pa.int64())]
+        ),
+    ).select_columns(["doc_id", "ok", "first_id"])
+
+    labels = dedup_cluster(sf_dir).map_batches(
+        lambda t: t.rename_columns(["doc_id2", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+    full = drop_empty_blocks(
+        with_first.join(
+            labels,
+            join_type="inner",
+            num_partitions=join_partitions(with_first, labels),
+            on=("doc_id",),
+            right_on=("doc_id2",),
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("ok", pa.int64()), ("first_id", pa.int64()),
+             ("doc_id2", pa.int64()), ("cluster_id", pa.int64())]
+        ),
+    )
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("reason", pa.string()), ("keep", pa.int64())]
+    )
+
+    def decide(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        first = t["first_id"].to_numpy(zero_copy_only=False)
+        clus = t["cluster_id"].to_numpy(zero_copy_only=False)
+        ok = t["ok"].to_numpy(zero_copy_only=False).astype(bool)
+        reason = np.full(did.size, "kept", dtype=object)
+        reason[~ok] = "low_quality"
+        reason[clus != did] = "near_dup"
+        reason[first != did] = "exact_dup"
+        keep = (first == did) & (clus == did) & ok
+        return pa.table(
+            {
+                "doc_id": did,
+                "reason": pa.array(reason, pa.string()),
+                "keep": keep.astype(np.int64),
+            },
+            schema=_OUT,
+        )
+
+    return full.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)

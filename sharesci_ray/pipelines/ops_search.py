@@ -597,3 +597,114 @@ def spell_suggest(sf_dir: str):
         return group.select(["input_term", "term", "df", "dist"]).take(keep)
 
     return cand.groupby("input_term").map_groups(final, batch_format="pyarrow")
+
+
+# ===========================================================================
+# More-like-this (related-document retrieval through the index)
+# ===========================================================================
+
+_MLT_SEEDS = [3, 141, 297]
+_MLT_TERMS = 3
+
+
+def _mlt_sql() -> str:
+    seeds = ", ".join(f"({qid}, {d})" for qid, d in enumerate(_MLT_SEEDS))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    seeds(query_id, seed_doc) AS (VALUES {seeds}),
+    sterm AS (
+      SELECT s.query_id, tf.term,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+      FROM seeds s
+      JOIN tf ON tf.doc_id = s.seed_doc
+      JOIN df ON df.term = tf.term
+    ),
+    q AS (SELECT query_id, term FROM sterm WHERE rn <= {_MLT_TERMS}),
+    sc AS (
+      SELECT q.query_id, tf.doc_id,
+             sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+               AS score
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN df ON df.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN st
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, doc_id FROM (
+      SELECT query_id, sc.doc_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, sc.doc_id
+             ) AS rank
+      FROM sc
+    ) WHERE rank <= 10
+    """
+
+
+@op("more_like_this", _mlt_sql())
+def more_like_this(sf_dir: str):
+    """Related-document retrieval ("more like this"): each seed document's
+    most characteristic terms (tf desc, df asc, term asc — an
+    integer-exact keyword profile, no float idf in the SELECTION so the
+    oracle can rank terms identically) become a BM25 pseudo-query answered
+    from the inverted index; output is the top-10 per seed, rank-identical
+    to the SQL twin (scores excluded — summation-order ulp, same policy as
+    bm25_topk).
+
+    Scale shape: the seed fetch is an is_in-pruned scan returning |seeds|
+    rows; the per-seed term profile and its df lookup (an is_in-filtered
+    dictionary read, ≤ one doc's vocab) are driver-side but bounded by
+    document size, never corpus size; the actual retrieval is the same
+    index-backed scorer-actor path as the flagship, and the id remap is a
+    Dataset join of the (k·|seeds|)-row result against the checkpoint.
+    """
+    import ray.data
+
+    from .ops import _remap_to_docids
+    from .query import run_queries
+
+    build_dir = _index_for(sf_dir)
+
+    seed_set = pa.array([int(x) for x in _MLT_SEEDS], pa.int64())
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    seed_rows = docs.map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=seed_set)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded: |seeds| rows
+    texts = {int(r["doc_id"]): r["text"] for r in seed_rows}
+
+    from collections import Counter
+
+    tf_by_seed = {d: Counter(tokenize(texts[d])) for d in _MLT_SEEDS}
+    all_terms = sorted({t for c in tf_by_seed.values() for t in c})
+    seg = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=segments"),
+        columns=["term", "df"],
+        filter=pc.field("term").isin(all_terms),
+    )
+    dfmap = {r["term"]: int(r["df"]) for r in seg.take_all()}  # ≤ seed vocab
+
+    q_texts = []
+    for d in _MLT_SEEDS:
+        ranked = sorted(
+            tf_by_seed[d].items(), key=lambda kv: (-kv[1], dfmap[kv[0]], kv[0])
+        )[:_MLT_TERMS]
+        q_texts.append(" ".join(t for t, _ in ranked))
+
+    q_tbl = pa.table(
+        {
+            "query_id": pa.array(range(len(_MLT_SEEDS)), pa.int64()),
+            "text": pa.array(q_texts, pa.string()),
+        }
+    )
+    res = run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="bmw")
+    return _remap_to_docids(res, build_dir)

@@ -848,3 +848,84 @@ def hash_sample(sf_dir: str):
         return batch.filter(pa.array(h < _HASH_SAMPLE_PCT))
 
     return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Domain-mix report (the data-mix accounting step of a training pipeline)
+# ===========================================================================
+
+
+@op(
+    "domain_mix_report",
+    f"""
+    WITH t AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len({_TOKS}))::BIGINT AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_tokens) AS tot FROM t)
+    SELECT t.source, t.n_docs, t.n_tokens,
+           t.n_tokens * 1.0 / tot.tot AS token_share
+    FROM t, tot
+    """,
+)
+def domain_mix_report(sf_dir: str):
+    """Per-source corpus accounting: document count, token count and the
+    source's share of all tokens — the data-mix report every training run
+    starts from (and the input to mix re-weighting).
+
+    Scale shape: one streamed tokenize pass emits per-batch partial
+    (source, n_docs, n_tokens) rows, so the groupby moves |sources| ×
+    |blocks| tiny rows; the share division runs over the final
+    |sources|-row table (bounded — domains are a catalog, not a corpus).
+    Each share is one int/int → float64 division — bit-identical to SQL.
+    """
+    from ..functions.text import flat_tokens
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    _PART = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PART.empty_table()
+        _, parent = flat_tokens(batch["text"])
+        per_row = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(per_row, parent, 1)
+        g = (
+            pa.table({"source": batch["source"], "n_tokens": per_row})
+            .group_by("source")
+            .aggregate([("n_tokens", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": pc.cast(g["count_all"], pa.int64()),
+                "n_tokens": pc.cast(g["n_tokens_sum"], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .sum(["n_docs", "n_tokens"])
+    )
+    # the aggregate is |sources| rows — bounded; total + share in one pass
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    )
+    n_docs = pc.cast(pc.round(tbl["sum(n_docs)"]), pa.int64())
+    n_tokens = pc.cast(pc.round(tbl["sum(n_tokens)"]), pa.int64())
+    tot = int(pc.sum(n_tokens).as_py() or 0)
+    share = n_tokens.to_numpy(zero_copy_only=False) / tot
+    return pa.table(
+        {
+            "source": tbl["source"],
+            "n_docs": n_docs,
+            "n_tokens": n_tokens,
+            "token_share": pa.array(share, pa.float64()),
+        }
+    )

@@ -81,6 +81,9 @@ def test_repetition_stats_hand_values(ray_session, tmp_path):
         "term_prefix_counts",
         "repetition_stats",
         "near_dup_survivors",
+        "domain_mix_report",
+        "more_like_this",
+        "clean_corpus",
     ],
 )
 def test_second_scale_parity(ray_session, name):
