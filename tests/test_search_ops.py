@@ -188,3 +188,64 @@ def test_prefix_counts_empty_prefix_row(ray_session):
     assert got.loc["zz", "n_terms"] == 0
     assert got.loc["zz", "sum_df"] == 0
     assert (got.drop(index="zz")["n_terms"] > 0).any()
+
+
+def test_clean_corpus_planted_scenario(ray_session, tmp_path):
+    """Constructed corpus with one of each outcome: an exact duplicate
+    pair, a near-duplicate pair (Jaccard >= 0.8 on 3-shingles, not
+    identical), a too-short document, and a clean keeper.  Reasons and
+    precedence are hand-checked AND the op's own oracle SQL is replayed
+    over the same corpus (DuckDB) and compared row-for-row."""
+    import duckdb as _dd
+    import __ray_entry__ as e
+
+    from sharesci_ray.pipelines.ops_dedup import clean_corpus
+
+    # digit-free tokens: the quality gate rejects digit-heavy text
+    words = [
+        f"{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)}{chr(97 + (i * 3) % 26)}"
+        for i in range(60)
+    ]
+    base = " ".join(words)
+    near = base + " extra tail"  # high shingle overlap, different md5
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    base,          # 0: cluster rep + exact first -> kept
+                    base,          # 1: exact duplicate of 0
+                    near,          # 2: near duplicate of 0
+                    "tiny doc",    # 3: < 20 tokens -> low_quality
+                    " ".join(f"zz{w}" for w in words),  # 4: distinct keeper
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["t"] * 5),
+            "n_chars": pa.array([len(base), len(base), len(near), 8, 10], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    got = clean_corpus(str(d)).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "reason"] == "kept" and got.loc[0, "keep"] == 1
+    assert got.loc[1, "reason"] == "exact_dup" and got.loc[1, "keep"] == 0
+    assert got.loc[2, "reason"] == "near_dup" and got.loc[2, "keep"] == 0
+    assert got.loc[3, "reason"] == "low_quality" and got.loc[3, "keep"] == 0
+    assert got.loc[4, "reason"] == "kept" and got.loc[4, "keep"] == 1
+
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = (
+        con.execute(e.oracle_sql()["clean_corpus"])
+        .fetchdf()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (got["reason"] == exp["reason"]).all()
+    assert (got["keep"] == exp["keep"]).all()
