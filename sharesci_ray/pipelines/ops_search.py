@@ -708,3 +708,176 @@ def more_like_this(sf_dir: str):
     )
     res = run_queries(build_dir, ray.data.from_arrow(q_tbl), k=10, scorer="bmw")
     return _remap_to_docids(res, build_dir)
+
+
+# ===========================================================================
+# Boolean OR retrieval (disjunctive hit counts — the "N results" number)
+# ===========================================================================
+
+
+def _bool_or_sql() -> str:
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    q(query_id, term) AS (VALUES {values}),
+    hit AS (
+      SELECT DISTINCT q.query_id, t.doc_id
+      FROM q JOIN toks t ON t.term = q.term
+    ),
+    ors AS (SELECT query_id, count(*) AS n_match FROM hit GROUP BY 1),
+    qs AS (SELECT DISTINCT query_id FROM q)
+    SELECT qs.query_id, COALESCE(o.n_match, 0)::BIGINT AS n_match
+    FROM qs LEFT JOIN ors o ON o.query_id = qs.query_id
+    """
+
+
+@op("boolean_or_counts", _bool_or_sql())
+def boolean_or_counts(sf_dir: str):
+    """Disjunctive (OR) hit counts — the "N results" total a search UI
+    shows next to the ranked page: how many documents contain ANY term of
+    each fixture query.
+
+    Same index-read shape as boolean_and_counts (is_in-pruned dictionary
+    read → posting decode → (query, doc) hits); the groupby dedupes hits
+    (a doc matching two terms counts once) and a second tiny aggregate
+    counts per query, zero-seeded so empty queries still emit a row.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    build_dir = _index_for(sf_dir)
+
+    term_to_qids: dict[str, list[int]] = {}
+    for qid, text in enumerate(DOC_QUERIES):
+        for t in sorted(set(tokenize(text))):
+            term_to_qids.setdefault(t, []).append(qid)
+
+    segs = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=segments"),
+        columns=["term", "docids"],
+        filter=pc.field("term").isin(sorted(term_to_qids)),
+    )
+
+    _HITS = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
+
+    def hits(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _HITS.empty_table()
+        qids_out, docs_out = [], []
+        for term, buf in zip(
+            batch["term"].to_pylist(), batch["docids"].to_pylist()
+        ):
+            d = decode_docids(buf).astype(np.int64)
+            for qid in term_to_qids.get(term, ()):
+                qids_out.append(np.full(len(d), qid, dtype=np.int64))
+                docs_out.append(d)
+        if not qids_out:
+            return _HITS.empty_table()
+        return pa.table(
+            {
+                "query_id": np.concatenate(qids_out),
+                "doc_id": np.concatenate(docs_out),
+            },
+            schema=_HITS,
+        )
+
+    _ONE = pa.schema([("query_id", pa.int64()), ("one", pa.int64())])
+
+    def ones(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _ONE.empty_table()
+        return pa.table(
+            {
+                "query_id": pc.cast(t["query_id"], pa.int64()),
+                "one": np.ones(t.num_rows, dtype=np.int64),
+            },
+            schema=_ONE,
+        )
+
+    distinct_hits = (
+        segs.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["query_id", "doc_id"])
+        .count()
+        .map_batches(ones, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    seeds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": np.arange(len(DOC_QUERIES), dtype=np.int64),
+                "one": np.zeros(len(DOC_QUERIES), dtype=np.int64),
+            },
+            schema=_ONE,
+        )
+    )
+    agg = distinct_hits.union(seeds).groupby("query_id").aggregate(Sum("one"))
+    return _rename(agg, {"sum(one)": "n_match"}, int64_cols=("n_match",))
+
+
+# ===========================================================================
+# Index dictionary stats (index bookkeeping == corpus truth, as an op)
+# ===========================================================================
+
+
+@op(
+    "index_dictionary_stats",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    d AS (SELECT term, count(*) AS df FROM toks GROUP BY 1)
+    SELECT count(*)::BIGINT AS n_terms,
+           sum(df)::BIGINT AS n_postings,
+           max(df)::BIGINT AS max_df
+    FROM d
+    """,
+)
+def index_dictionary_stats(sf_dir: str):
+    """Index-integrity accounting AS a registry op: distinct term count,
+    total postings and the hottest term's df, read from the segment
+    dictionary — the oracle recomputes the same numbers from the raw
+    corpus, so a drifting index (lost postings, double-counted df after a
+    bad merge) fails the driver's hash check, not just a unit test.
+
+    Scale shape: a (df)-column-only read of the segments; per-batch
+    partial (count, sum, max) triplets; one 3-column global aggregate.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    build_dir = _index_for(sf_dir)
+    segs = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=segments"), columns=["df"]
+    )
+
+    _PART = pa.schema(
+        [("n_terms", pa.int64()), ("n_postings", pa.int64()), ("max_df", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        df = pc.cast(t["df"], pa.int64())
+        return pa.table(
+            {
+                "n_terms": pa.array([t.num_rows], pa.int64()),
+                "n_postings": pa.array([pc.sum(df).as_py() or 0], pa.int64()),
+                "max_df": pa.array([pc.max(df).as_py() or 0], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    parts = segs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.aggregate(Sum("n_terms"), Sum("n_postings"), Max("max_df"))
+    return pa.table(
+        {
+            "n_terms": pa.array([int(agg["sum(n_terms)"])], pa.int64()),
+            "n_postings": pa.array([int(agg["sum(n_postings)"])], pa.int64()),
+            "max_df": pa.array([int(agg["max(max_df)"])], pa.int64()),
+        }
+    )

@@ -84,6 +84,8 @@ def test_repetition_stats_hand_values(ray_session, tmp_path):
         "domain_mix_report",
         "more_like_this",
         "clean_corpus",
+        "boolean_or_counts",
+        "index_dictionary_stats",
     ],
 )
 def test_second_scale_parity(ray_session, name):
@@ -249,3 +251,32 @@ def test_clean_corpus_planted_scenario(ray_session, tmp_path):
     )
     assert (got["reason"] == exp["reason"]).all()
     assert (got["keep"] == exp["keep"]).all()
+
+
+def test_boolean_or_geq_and(ray_session):
+    """OR hits dominate AND hits per query, and equal them for single-term
+    queries; index_dictionary_stats' max_df bounds every per-term df."""
+    import ray.data
+
+    from sharesci_ray.functions.text import tokenize
+    from sharesci_ray.pipelines.ops import DOC_QUERIES, _index_for
+    from sharesci_ray.pipelines.ops_search import (
+        boolean_and_counts,
+        boolean_or_counts,
+        index_dictionary_stats,
+    )
+
+    got_and = boolean_and_counts(SF).to_pandas().set_index("query_id")["n_match"]
+    got_or = boolean_or_counts(SF).to_pandas().set_index("query_id")["n_match"]
+    for qid, text in enumerate(DOC_QUERIES):
+        assert got_or[qid] >= got_and[qid], qid
+        if len(set(tokenize(text))) == 1:
+            assert got_or[qid] == got_and[qid], qid
+
+    stats = index_dictionary_stats(SF).to_pandas().iloc[0]
+    segs = ray.data.read_parquet(
+        os.path.join(_index_for(SF), "stage=segments"), columns=["df"]
+    ).to_pandas()["df"]
+    assert stats["n_terms"] == len(segs)
+    assert stats["n_postings"] == int(segs.sum())
+    assert stats["max_df"] == int(segs.max())
