@@ -280,3 +280,53 @@ def test_boolean_or_geq_and(ray_session):
     assert stats["n_terms"] == len(segs)
     assert stats["n_postings"] == int(segs.sum())
     assert stats["max_df"] == int(segs.max())
+
+
+def test_repetition_stats_random_differential(ray_session, tmp_path):
+    """Differential fuzz: 120 random documents mixing duplicate lines,
+    blank runs, unicode and token repetition — engine output must equal
+    the op's own oracle SQL replayed over the same parquet, bit-exact."""
+    import duckdb as _dd
+    import __ray_entry__ as e
+
+    from sharesci_ray.pipelines.ops_search import repetition_stats
+
+    rng = np.random.default_rng(11)
+    vocab = ["foo", "bar", "baz", "qux", "données", "数据", "x1", "yy", ""]
+    docs = []
+    for _ in range(120):
+        n_lines = int(rng.integers(0, 8))
+        lines = []
+        for _ in range(n_lines):
+            n_tok = int(rng.integers(0, 6))
+            lines.append(" ".join(rng.choice(vocab, n_tok)))
+        # duplicate a random line sometimes
+        if lines and rng.random() < 0.5:
+            lines.append(lines[int(rng.integers(0, len(lines)))])
+        docs.append("\n".join(lines))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = repetition_stats(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = (
+        con.execute(e.oracle_sql()["repetition_stats"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in sorted(got.columns):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
