@@ -9,6 +9,8 @@ The operational surface a user of the reference engine would expect:
   compact --build-dir DIR              (reclaim tombstones, re-densify ids)
   query  --build-dir DIR (--text "..." | --queries FILE.{jsonl,parquet})
          [--k 10] [--scorer auto] [--phrase] [--output out.parquet]
+  suggest --build-dir DIR --term WORD [--term WORD ...] [--k 5]
+         (did-you-mean corrections from the index dictionary)
 
 Owns its Ray session (guarded — a driver that already called ray.init can
 import and call :func:`main` directly).
@@ -133,6 +135,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     st.add_argument("--build-dir", required=True)
 
+    sg = sub.add_parser(
+        "suggest",
+        help="did-you-mean dictionary suggestions (SymSpell deletion "
+             "neighborhood + exact Damerau-Levenshtein <=1)",
+    )
+    sg.add_argument("--build-dir", required=True)
+    sg.add_argument("--term", required=True, action="append",
+                    help="word to correct (repeatable)")
+    sg.add_argument("--k", type=int, default=5)
+
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--build-dir", required=True)
     q.add_argument("--text", default=None, help="single query string")
@@ -195,6 +207,13 @@ def main(argv: list[str] | None = None) -> int:
         state = compact_index(args.build_dir)
         print(json.dumps({"build_dir": args.build_dir,
                           "stats": state.read_sidecar("stats.json")}))
+    elif args.cmd == "suggest":
+        from .pipelines.ops_search import suggest_terms
+
+        res = suggest_terms(args.build_dir, sorted(set(args.term)), k=args.k)
+        for row in res.sort(["input_term", "df", "term"],
+                            descending=[False, True, False]).iter_rows():
+            print(json.dumps(row))
     else:  # query
         def _write_and_count(res, out_dir: str) -> int:
             """write_parquet + row count of ONLY the files this write

@@ -463,15 +463,15 @@ def _suggest_sql() -> str:
     """
 
 
-@op("spell_suggest", _suggest_sql())
-def spell_suggest(sf_dir: str):
-    """Did-you-mean spelling suggestions from the index dictionary: for
-    each misspelled input, the top-{k} dictionary terms within
-    Damerau-Levenshtein distance 1, ranked by document frequency.
+def suggest_terms(build_dir: str, words: list[str], k: int = _SUGGEST_K):
+    """Did-you-mean spelling suggestions from ANY built index's dictionary
+    (the CLI ``suggest`` command and the ``spell_suggest`` registry op both
+    call this): for each input word, the top-k dictionary terms within
+    Damerau-Levenshtein distance 1, ranked (df desc, term asc).
 
     Scale shape (SymSpell, Garbe 2012): candidate generation is a
     deletion-neighborhood intersection — a term can be within distance 1
-    of a query only if {{term}} ∪ deletions(term) intersects {{query}} ∪
+    of a query only if {term} ∪ deletions(term) intersects {query} ∪
     deletions(query).  The query-side neighborhood (Σ|q|+1 strings) is
     the only broadcast; the dictionary side prunes to terms within ±1 of
     the query length band, generates variants position-by-position with
@@ -482,15 +482,12 @@ def spell_suggest(sf_dir: str):
     a dictionary-only read of the segment (term, df) columns.
     """
     import ray.data
-    from ray.data.aggregate import Min
-
-    build_dir = _index_for(sf_dir)
 
     var_to_inputs: dict[str, list[str]] = {}
-    for w in _MISSPELLED:
+    for w in words:
         for v in [w, *_deletions(w)]:
             var_to_inputs.setdefault(v, []).append(w)
-    qlens = [len(w) for w in _MISSPELLED]
+    qlens = [len(w) for w in words]
     lo_len, hi_len = min(qlens) - 1, max(qlens) + 1
     var_set = pa.array(sorted(var_to_inputs))
 
@@ -592,11 +589,18 @@ def spell_suggest(sf_dir: str):
             return _CAND.empty_table()
         df_np = group["df"].to_numpy(zero_copy_only=False)
         term_np = group["term"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((term_np, -df_np))[:_SUGGEST_K]
+        order = np.lexsort((term_np, -df_np))[:k]
         keep = pa.array(order)
         return group.select(["input_term", "term", "df", "dist"]).take(keep)
 
     return cand.groupby("input_term").map_groups(final, batch_format="pyarrow")
+
+
+@op("spell_suggest", _suggest_sql())
+def spell_suggest(sf_dir: str):
+    """Registry wrapper: fixed misspelled fixture terms against the
+    testdata index (see :func:`suggest_terms` for the dataflow)."""
+    return suggest_terms(_index_for(sf_dir), _MISSPELLED, _SUGGEST_K)
 
 
 # ===========================================================================

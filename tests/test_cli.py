@@ -114,3 +114,34 @@ def test_cli_status(ray_session, tmp_path_factory, capsys):
     assert rep3["servable"] is False and rep3["reencode_debt"] == "all"
 
     assert _status(str(tmp_path_factory.mktemp("empty")))["servable"] is False
+
+
+def test_cli_suggest(ray_session, tmp_path, capsys):
+    """suggest returns dictionary corrections within Damerau-Levenshtein 1
+    of the input, ranked by df, straight off a CLI-built index."""
+    corpus = str(tmp_path / "s.parquet")
+    pq.write_table(make_corpus(80, seed=13), corpus)
+    bd = str(tmp_path / "idx_sg")
+    assert main(["build", "--input", corpus, "--build-dir", bd,
+                 "--n-buckets", "4"]) == 0
+    capsys.readouterr()
+
+    # pick a real dictionary term and misspell it by dropping a char
+    import ray.data
+
+    seg = ray.data.read_parquet(f"{bd}/stage=segments", columns=["term", "df"])
+    term, df = max(
+        ((r["term"], r["df"]) for r in seg.iter_rows() if len(r["term"]) >= 4),
+        key=lambda x: (x[1], x[0]),
+    )
+    typo = term[:2] + term[3:]  # one deletion -> distance 1 from `term`
+
+    assert main(["suggest", "--build-dir", bd, "--term", typo]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows, "no suggestions returned"
+    assert all(r["input_term"] == typo and r["dist"] <= 1 for r in rows)
+    assert any(r["term"] == term for r in rows)
+    # df-descending ranking
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
