@@ -1277,3 +1277,97 @@ def returned_items_report(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel — ordered multi-step funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@op(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 'view' AS step, count(*)::BIGINT AS n_users FROM v
+    UNION ALL SELECT 'click', count(*)::BIGINT FROM c
+    UNION ALL SELECT 'purchase', count(*)::BIGINT FROM p
+    """,
+)
+def events_funnel(sf_dir: str):
+    """Ordered conversion funnel: users who viewed, then clicked STRICTLY
+    after their first view, then purchased strictly after that first
+    qualifying click — the product-analytics shape that needs cross-event
+    sequencing per user, not just per-type counts.
+
+    Scale shape: the scan keeps only the three funnel event types and two
+    columns; one shuffle groups each user's (type, ts) stream; the
+    in-group kernel is three numpy min/mask steps; per-user output is ONE
+    row of three flags, and the final aggregate is a 3-integer sum.  Same
+    per-key-history-fits-one-group caveat as the windowed ops (time-bucket
+    hot users at extreme volume)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    typed = ev.filter(lambda r: r["event_type"] in _FUNNEL_STEPS)
+
+    _FLAGS = pa.schema(
+        [("user_id", pa.int64()), ("v", pa.int64()), ("c", pa.int64()),
+         ("p", pa.int64())]
+    )
+
+    def flags(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _FLAGS.empty_table()
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = int(group["user_id"][0].as_py())
+        v = c = p = 0
+        vt = ts[et == "view"]
+        if vt.size:
+            v = 1
+            t0 = vt.min()
+            ct = ts[(et == "click") & (ts > t0)]
+            if ct.size:
+                c = 1
+                t1 = ct.min()
+                pt = ts[(et == "purchase") & (ts > t1)]
+                if pt.size:
+                    p = 1
+        return pa.table(
+            {"user_id": pa.array([uid], pa.int64()),
+             "v": pa.array([v], pa.int64()),
+             "c": pa.array([c], pa.int64()),
+             "p": pa.array([p], pa.int64())},
+            schema=_FLAGS,
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_user = typed.groupby("user_id").map_groups(
+        flags, batch_format="pyarrow"
+    )
+    agg = per_user.aggregate(Sum("v"), Sum("c"), Sum("p"))
+    return pa.table(
+        {
+            "step": pa.array(["view", "click", "purchase"], pa.string()),
+            "n_users": pa.array(
+                [int(agg["sum(v)"] or 0), int(agg["sum(c)"] or 0),
+                 int(agg["sum(p)"] or 0)],
+                pa.int64(),
+            ),
+        }
+    )

@@ -929,3 +929,71 @@ def domain_mix_report(sf_dir: str):
             "token_share": pa.array(share, pa.float64()),
         }
     )
+
+
+# ===========================================================================
+# Language confusion (declared lang vs n-gram prediction)
+# ===========================================================================
+
+
+@op(
+    "lang_confusion",
+    f"""
+    WITH pred AS ( {_lang_sql()} )
+    SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def lang_confusion(sf_dir: str):
+    """Language-metadata QA: the confusion matrix between each document's
+    DECLARED lang column and the stopword-vote prediction — the check a
+    training pipeline runs before trusting crawl-supplied language tags.
+
+    Composition: lang_id's shuffle-free prediction pass re-keyed by the
+    declared lang — one map emits (lang, lang_pred) partial counts per
+    batch, one tiny groupby over ≤ |langs|² keys.  No join needed: the
+    declared lang rides the same batch the prediction is computed from.
+    """
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    langs = sorted(LANG_STOPWORDS)
+    sets = [pa.array(sorted(LANG_STOPWORDS[l])) for l in langs]
+
+    _PART = pa.schema(
+        [("lang", pa.string()), ("lang_pred", pa.string()), ("n", pa.int64())]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PART.empty_table()
+        flat, parent = flat_tokens(batch["text"])
+        n = batch.num_rows
+        hits = np.zeros((n, len(langs)), dtype=np.int64)
+        for j, vs in enumerate(sets):
+            mask = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            np.add.at(hits[:, j], parent, mask)
+        best = np.argmax(hits, axis=1)  # first max -> alphabetical tie-break
+        pred = np.array(langs, dtype=object)[best]
+        pred[hits.max(axis=1) == 0] = "und"
+        g = (
+            pa.table({"lang": batch["lang"], "lang_pred": pa.array(pred, pa.string())})
+            .group_by(["lang", "lang_pred"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "lang_pred": g["lang_pred"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    from .ops import _rename
+
+    agg = (
+        docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "lang_pred"])
+        .sum("n")
+    )
+    return _rename(agg, {"sum(n)": "n"}, int64_cols=("n",))

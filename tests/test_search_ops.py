@@ -86,6 +86,7 @@ def test_repetition_stats_hand_values(ray_session, tmp_path):
         "clean_corpus",
         "boolean_or_counts",
         "index_dictionary_stats",
+        "lang_confusion",
     ],
 )
 def test_second_scale_parity(ray_session, name):
@@ -134,14 +135,17 @@ def test_dl_distance_le1_vs_duckdb():
 
 
 @pytest.mark.parametrize(
-    "name", ["spell_suggest", "top_unshipped_orders", "returned_items_report"]
+    "name",
+    ["spell_suggest", "top_unshipped_orders", "returned_items_report",
+     "events_funnel"],
 )
 def test_second_scale_parity_relational(ray_session, name):
     """sf0.001 parity for the ops whose oracles touch the TPC-H tables."""
     import __ray_entry__ as e
 
     con = duckdb.connect()
-    for t in ("documents", "customer", "orders", "lineitem", "nation"):
+    for t in ("documents", "customer", "orders", "lineitem", "nation",
+              "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
