@@ -1371,3 +1371,85 @@ def events_funnel(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# forecast_revenue_change — TPC-H Q6 shape (pure filter + global sum)
+# ---------------------------------------------------------------------------
+
+_Q6_LO = "1997-01-01"
+_Q6_HI = "1998-01-01"
+
+
+@op(
+    "forecast_revenue_change",
+    f"""
+    SELECT COALESCE(sum(
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)
+           ), 0)::BIGINT AS rev_e4,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+      AND l_shipdate <  TIMESTAMP '{_Q6_HI}'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(sf_dir: str):
+    """TPC-H Q6 shape: revenue delta if mid-range discounts were dropped —
+    a pure filter + global sum with zero shuffle, the simplest possible
+    100 TB op (every batch reduces to two integers).  Revenue in exact e4
+    units: cents × discount%, both exact int64 round-trips.
+    """
+    import datetime as _dt
+
+    lo = _dt.datetime.fromisoformat(_Q6_LO)
+    hi = _dt.datetime.fromisoformat(_Q6_HI)
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    _PART = pa.schema([("rev_e4", pa.int64()), ("n_items", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)), pa.int64())
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc, 5), pc.less_equal(disc, 7)),
+                pc.less(t["l_quantity"], 24),
+            ),
+        )
+        k = t.filter(m)
+        if k.num_rows == 0:
+            return pa.table(
+                {"rev_e4": pa.array([0], pa.int64()),
+                 "n_items": pa.array([0], pa.int64())},
+                schema=_PART,
+            )
+        cents = _cents(k["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        dpct = _cents(k["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rev_e4": pa.array([int((cents * dpct).sum())], pa.int64()),
+                "n_items": pa.array([k.num_rows], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.aggregate(Sum("rev_e4"), Sum("n_items"))
+    return pa.table(
+        {
+            "rev_e4": pa.array([int(agg["sum(rev_e4)"] or 0)], pa.int64()),
+            "n_items": pa.array([int(agg["sum(n_items)"] or 0)], pa.int64()),
+        }
+    )
