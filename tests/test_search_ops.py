@@ -137,7 +137,7 @@ def test_dl_distance_le1_vs_duckdb():
 @pytest.mark.parametrize(
     "name",
     ["spell_suggest", "top_unshipped_orders", "returned_items_report",
-     "events_funnel"],
+     "events_funnel", "forecast_revenue_change"],
 )
 def test_second_scale_parity_relational(ray_session, name):
     """sf0.001 parity for the ops whose oracles touch the TPC-H tables."""
@@ -334,3 +334,28 @@ def test_repetition_stats_random_differential(ray_session, tmp_path):
     )
     for c in sorted(got.columns):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_deletion_neighborhood_complete_for_dl1():
+    """The SymSpell candidate trick is COMPLETE: whenever two strings are
+    within Damerau-Levenshtein distance 1 (DuckDB ground truth), their
+    deletion neighborhoods {s} ∪ deletions(s) intersect — so the op's
+    pruned candidate generation can never miss a true suggestion."""
+    from sharesci_ray.pipelines.ops_search import _deletions
+
+    rng = np.random.default_rng(23)
+    con = duckdb.connect()
+    checked = 0
+    for _ in range(2000):
+        a = "".join(rng.choice(list("abcd"), rng.integers(1, 7)))
+        b = "".join(rng.choice(list("abcd"), rng.integers(1, 7)))
+        d = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        if d > 1:
+            continue
+        checked += 1
+        na = {a, *_deletions(a)}
+        nb = {b, *_deletions(b)}
+        assert na & nb, (a, b, d)
+    assert checked > 100  # the sample actually exercised the property
