@@ -501,6 +501,49 @@ def run_scaling(n_low: int, n_high: int) -> dict:
     }
 
 
+def _burn(_: int) -> float:
+    """Fixed-work arithmetic loop (module-level: Pool workers must be able
+    to pickle it)."""
+    import math
+
+    x = 0.0
+    for i in range(12_000_000):
+        x += math.sqrt(i)
+    return x
+
+
+def run_host_probe() -> dict:
+    """Engine-independent host-health check: fixed-work CPU scaling at
+    8-wide vs 32-wide (multiprocessing, one arithmetic loop per process —
+    no Ray, no memory pressure).  On a healthy 32-core box the 32-wide
+    speedup is ~25-32×; during co-tenant oversubscription windows it drops
+    to well under 24×, and ANY concurrent node-sim / scale-up measurement
+    taken in such a window reads a fraction of its true value (all nodes
+    uniformly depressed, uncontended baselines healthy).  Run this BEFORE
+    trusting --scaling / --scaling-nodes numbers; re-measure when
+    `usable_32wide` is true."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _burn(0)
+    single = time.time() - t0
+    out: dict = {"metric": "host_probe", "unit": "ratio",
+                 "single_task_s": round(single, 3)}
+    for n in (8, 32):
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_burn, range(n))
+        wall = time.time() - t0
+        out[f"speedup_{n}wide"] = round(n * single / wall, 1)
+    out["value"] = round(out["speedup_32wide"] / 32, 4)
+    out["usable_32wide"] = out["speedup_32wide"] >= 24.0
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -516,6 +559,13 @@ def main() -> None:
         "runtime + object store each) — the measurement that maps to the "
         "contract's two-cluster-size criterion",
     )
+    ap.add_argument(
+        "--host-probe",
+        action="store_true",
+        help="engine-independent CPU-width health check; run before "
+        "trusting --scaling/--scaling-nodes numbers (co-tenant "
+        "oversubscription makes concurrent measurements meaningless)",
+    )
     ap.add_argument("--scaling-child", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--node-child", nargs=4, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--cpus-low", type=int, default=8)
@@ -523,7 +573,9 @@ def main() -> None:
     ap.add_argument("--cpus-per-node", type=int, default=8)
     args = ap.parse_args()
 
-    if args.scaling_child is not None:
+    if args.host_probe:
+        out = run_host_probe()
+    elif args.scaling_child is not None:
         out = run_scaling_child(args.scaling_child)
     elif args.node_child is not None:
         cpu_list, lo, hi, ncpu = args.node_child
