@@ -1453,3 +1453,405 @@ def forecast_revenue_change(sf_dir: str):
             "n_items": pa.array([int(agg["sum(n_items)"] or 0)], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# promo_revenue_share — TPC-H Q14 shape (promo revenue fraction, one month)
+# ---------------------------------------------------------------------------
+
+_Q14_LO = "1996-03-01"
+_Q14_HI = "1996-04-01"
+
+
+@op(
+    "promo_revenue_share",
+    f"""
+    SELECT sum(CASE WHEN p.p_type = 'PROMO' THEN r.rev_e4 ELSE 0 END)::BIGINT
+             AS promo_rev_e4,
+           sum(r.rev_e4)::BIGINT AS total_rev_e4,
+           100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN r.rev_e4 ELSE 0 END)
+             / sum(r.rev_e4) AS promo_share_pct
+    FROM (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+               AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q14_LO}'
+        AND l_shipdate <  TIMESTAMP '{_Q14_HI}'
+      GROUP BY 1
+    ) r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    """,
+)
+def promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: what fraction of one month's revenue came from
+    promotional parts.  Revenue in exact integer e4 units (cents ×
+    (100 − disc%)); the share is ONE double division of two exact int
+    sums, so the value hash is bit-deterministic.
+
+    Scale shape: lineitem is filtered at the scan to the month window and
+    pre-aggregated per batch to one row per partkey before its only
+    shuffle; part — scale-proportional, NOT broadcastable — joins with a
+    native hash join at adaptive parallelism; the CASE/total sums are
+    per-batch integer partials that reduce to two scalars."""
+    import datetime as _dt
+
+    from .util import drop_empty_blocks, join_partitions
+
+    lo = _dt.datetime.fromisoformat(_Q14_LO)
+    hi = _dt.datetime.fromisoformat(_Q14_HI)
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        if t.num_rows == 0:
+            return pa.schema(
+                [("l_partkey", pa.int64()), ("rev", pa.int64())]
+            ).empty_table()
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {"l_partkey": t["l_partkey"],
+                 "rev": pa.array(cents * (100 - disc), pa.int64())}
+            )
+            .group_by("l_partkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_partkey", "rev"])
+
+    per_part = _rename(
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .sum("rev"),
+        {"sum(rev)": "rev_e4"},
+        int64_cols=("rev_e4",),
+    )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    joined = drop_empty_blocks(
+        per_part.join(
+            part,
+            join_type="inner",
+            num_partitions=join_partitions(per_part, part),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ),
+        pa.schema(
+            [("l_partkey", pa.int64()), ("rev_e4", pa.int64()),
+             ("p_partkey", pa.int64()), ("p_type", pa.string())]
+        ),
+    )
+
+    _PART = pa.schema([("promo", pa.int64()), ("total", pa.int64())])
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        is_promo = pc.equal(t["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total": pa.array([int(rev.sum())], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = joined.map_batches(
+        share_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("promo"), Sum("total"))
+    promo = int(agg["sum(promo)"] or 0)
+    total = int(agg["sum(total)"] or 0)
+    return pa.table(
+        {
+            "promo_rev_e4": pa.array([promo], pa.int64()),
+            "total_rev_e4": pa.array([total], pa.int64()),
+            "promo_share_pct": pa.array(
+                [100.0 * promo / total if total else None], pa.float64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# large_volume_orders — TPC-H Q18 shape (orders with huge total quantity)
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 190
+
+
+@op(
+    "large_volume_orders",
+    f"""
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           q.sum_qty
+    FROM (
+      SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_QTY}
+    ) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice_cents DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape: the 100 biggest-ticket orders among those whose
+    total line quantity exceeds a threshold (a HAVING over a big-table
+    aggregate, then enrichment joins).  Quantities are whole numbers in
+    this corpus, so ``sum_qty`` is an exact int64; the ORDER BY carries
+    an o_orderkey tiebreak so the top-100 SET is deterministic.
+
+    Scale shape: lineitem pre-aggregates (orderkey, qty) per batch before
+    its only shuffle; the HAVING filter runs on the small aggregate
+    BEFORE the orders join (only qualifying orders — a tiny fraction —
+    enter the join); the customer name attaches to just the top-100
+    winners via a bounded is_in lookup, never a full join."""
+    from .util import drop_empty_blocks, join_partitions
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"l_orderkey": t["l_orderkey"],
+                 "qty": pc.cast(t["l_quantity"], pa.int64())}
+            )
+            .group_by("l_orderkey")
+            .aggregate([("qty", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "qty"])
+
+    per_order = _rename(
+        li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("qty"),
+        {"sum(qty)": "sum_qty"},
+        int64_cols=("sum_qty",),
+    ).filter(lambda r: r["sum_qty"] > _Q18_QTY)
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = drop_empty_blocks(
+        per_order.join(
+            orders,
+            join_type="inner",
+            num_partitions=join_partitions(per_order, orders),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        # Ray's join merges the right key into the left key column, so the
+        # joined schema carries l_orderkey (== o_orderkey) once.
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("sum_qty", pa.int64()),
+             ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us")), ("o_totalprice", pa.float64())]
+        ),
+    )
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "totalprice_cents": _cents(t["o_totalprice"]),
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    top = (
+        joined.map_batches(with_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()  # ≤100 rows — bounded
+    )
+
+    keys = pa.array(top["o_custkey"].tolist(), pa.int64())
+    names = (
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda t, _k=keys: t.filter(pc.is_in(t["c_custkey"], value_set=_k)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )  # bounded: ≤100 rows
+    name_of = {int(r["c_custkey"]): r["c_name"] for r in names}
+    top.insert(0, "c_name", top["o_custkey"].map(name_of))
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# disjunctive_revenue — TPC-H Q19 shape (OR-of-conjunctions filter join)
+# ---------------------------------------------------------------------------
+
+_Q19_CLAUSES = (
+    ("Brand#12", 1, 5, 1, 11),    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+)
+
+
+def _q19_sql() -> str:
+    ors = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_CLAUSES
+    )
+    return f"""
+    SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+             AS rev_e4,
+           count(*)::BIGINT AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {ors}
+    """
+
+
+@op("disjunctive_revenue", _q19_sql())
+def disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue from lineitems matching ANY of three
+    (brand, size-range, quantity-range) conjunctions — the classic
+    OR-of-ANDs predicate that defeats naive pushdown.  Revenue in exact
+    integer e4 units.
+
+    Scale shape: the part side is filtered to rows matching any
+    brand+size clause BEFORE the join (a small fraction, but still
+    scale-proportional → native hash join, not a broadcast); lineitem is
+    pre-filtered at the scan to the qty envelope [min qty_lo, max qty_hi]
+    — the only rows any clause could accept; the residual disjunction
+    (clause-specific brand × qty) is one vectorized mask per joined
+    batch; every batch reduces to two integers."""
+    from .util import drop_empty_blocks, join_partitions
+
+    qty_lo = min(c[3] for c in _Q19_CLAUSES)
+    qty_hi = max(c[4] for c in _Q19_CLAUSES)
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def part_filter(t: pa.Table) -> pa.Table:
+        m = None
+        for b, slo, shi, _, _ in _Q19_CLAUSES:
+            c = pc.and_(
+                pc.equal(t["p_brand"], b),
+                pc.and_(
+                    pc.greater_equal(t["p_size"], slo),
+                    pc.less_equal(t["p_size"], shi),
+                ),
+            )
+            m = c if m is None else pc.or_(m, c)
+        return t.filter(m)
+
+    # Heal before the join: the brand+size filter can empty whole blocks
+    # (schema-less in Ray 2.49), which crashes the join's finalize.
+    cand_parts = drop_empty_blocks(
+        part.map_batches(part_filter, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema(
+            [("p_partkey", pa.int64()), ("p_brand", pa.string()),
+             ("p_size", pa.int64())]
+        ),
+    )
+
+    zero = pa.table(
+        {"rev_e4": pa.array([0], pa.int64()),
+         "n_items": pa.array([0], pa.int64())}
+    )
+    # Short-circuit an empty candidate set (legitimate at tiny scale):
+    # a fully-empty join side is stored schema-less and crashes the join.
+    # count() here reads bundle metadata of the already-healed blocks.
+    if cand_parts.count() == 0:
+        return zero
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_quantity"], float(qty_lo)),
+                pc.less_equal(t["l_quantity"], float(qty_hi)),
+            )
+        )
+
+    li = li.map_batches(li_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = drop_empty_blocks(
+        li.join(
+            cand_parts,
+            join_type="inner",
+            num_partitions=join_partitions(li, cand_parts),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ),
+        pa.schema(
+            [("l_partkey", pa.int64()), ("l_quantity", pa.float64()),
+             ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+             ("p_partkey", pa.int64()), ("p_brand", pa.string()),
+             ("p_size", pa.int64())]
+        ),
+    )
+
+    _PART = pa.schema([("rev_e4", pa.int64()), ("n_items", pa.int64())])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        m = None
+        for b, slo, shi, qlo, qhi in _Q19_CLAUSES:
+            c = pc.and_(
+                pc.and_(
+                    pc.equal(t["p_brand"], b),
+                    pc.and_(
+                        pc.greater_equal(t["p_size"], slo),
+                        pc.less_equal(t["p_size"], shi),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(t["l_quantity"], float(qlo)),
+                    pc.less_equal(t["l_quantity"], float(qhi)),
+                ),
+            )
+            m = c if m is None else pc.or_(m, c)
+        k = t.filter(m)
+        if k.num_rows == 0:
+            return _PART.empty_table()
+        cents = _cents(k["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(k["l_discount"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rev_e4": pa.array([int((cents * (100 - disc)).sum())], pa.int64()),
+                "n_items": pa.array([k.num_rows], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = joined.map_batches(
+        rev_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("rev_e4"), Sum("n_items"))
+    return pa.table(
+        {
+            "rev_e4": pa.array([int(agg["sum(rev_e4)"] or 0)], pa.int64()),
+            "n_items": pa.array([int(agg["sum(n_items)"] or 0)], pa.int64()),
+        }
+    )

@@ -307,3 +307,72 @@ def test_rich_inactive_customers_anti(ray_session):
         ).df()["c_custkey"]
     )
     assert got == exp
+
+
+def test_promo_share_identity(ray_session):
+    """promo ≤ total, and the share is exactly the one-division quotient of
+    the two integer sums (bit-deterministic by construction)."""
+    from sharesci_ray.pipelines.ops_relational import promo_revenue_share
+
+    got = promo_revenue_share(SF).to_pandas()
+    assert len(got) == 1
+    promo, total = int(got["promo_rev_e4"][0]), int(got["total_rev_e4"][0])
+    assert 0 <= promo <= total
+    if total:
+        assert got["promo_share_pct"][0] == 100.0 * promo / total
+
+
+def test_large_volume_orders_threshold(ray_session):
+    """Every emitted order's line-quantity sum really exceeds the threshold,
+    the name lookup attached the right customer, and the top-100 is sorted
+    by (totalprice desc, orderkey asc)."""
+    from sharesci_ray.pipelines.ops_relational import (
+        _Q18_QTY,
+        large_volume_orders,
+    )
+
+    got = large_volume_orders(SF).to_pandas()
+    qty = duckdb.sql(
+        f"""SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS q
+            FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"""
+    ).df().set_index("l_orderkey")["q"]
+    names = duckdb.sql(
+        f"""SELECT c_custkey, c_name
+            FROM read_parquet('{SF}/customer.parquet')"""
+    ).df().set_index("c_custkey")["c_name"]
+    assert len(got) <= 100
+    for _, r in got.iterrows():
+        assert int(r["sum_qty"]) == int(qty.loc[r["o_orderkey"]]) > _Q18_QTY
+        assert r["c_name"] == names.loc[r["o_custkey"]]
+    keys = list(zip(-got["totalprice_cents"], got["o_orderkey"]))
+    assert keys == sorted(keys)
+
+
+def test_disjunctive_revenue_clauses(ray_session):
+    """Engine total equals the sum of the three single-clause runs computed
+    independently in DuckDB (the clauses are brand-disjoint, so no row can
+    satisfy two of them)."""
+    from sharesci_ray.pipelines.ops_relational import (
+        _Q19_CLAUSES,
+        disjunctive_revenue,
+    )
+
+    got = disjunctive_revenue(SF).to_pandas()
+    total_rev = total_n = 0
+    for b, slo, shi, qlo, qhi in _Q19_CLAUSES:
+        row = duckdb.sql(
+            f"""
+            SELECT coalesce(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 0) AS r,
+                   count(*) AS n
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/part.parquet') p
+              ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}
+              AND l.l_quantity BETWEEN {qlo} AND {qhi}
+            """
+        ).fetchall()[0]
+        total_rev += int(row[0])
+        total_n += int(row[1])
+    assert int(got["rev_e4"][0]) == total_rev
+    assert int(got["n_items"][0]) == total_n
