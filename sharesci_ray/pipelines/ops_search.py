@@ -885,3 +885,138 @@ def index_dictionary_stats(sf_dir: str):
             "max_df": pa.array([int(agg["max(max_df)"])], pa.int64()),
         }
     )
+
+
+# ===========================================================================
+# Faceted search counts (per-language match counts off the inverted index)
+# ===========================================================================
+
+
+def _facet_sql() -> str:
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    q(query_id, term) AS (VALUES {values}),
+    qsz AS (SELECT query_id, count(*) AS nt FROM q GROUP BY 1),
+    hit AS (
+      SELECT q.query_id, t.doc_id, count(*) AS nhit
+      FROM q JOIN toks t ON t.term = q.term GROUP BY 1, 2
+    ),
+    conj AS (
+      SELECT h.query_id, h.doc_id
+      FROM hit h JOIN qsz ON qsz.query_id = h.query_id AND h.nhit = qsz.nt
+    )
+    SELECT c.query_id, d.lang, count(*)::BIGINT AS n_match
+    FROM conj c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@op("facet_counts", _facet_sql())
+def facet_counts(sf_dir: str):
+    """Faceted navigation: for each fixture query, the per-language counts
+    of documents matching ALL query terms — the sidebar every search UI
+    renders next to ranked results.
+
+    Scale shape: candidates come from the INDEX (is_in-pruned dictionary
+    read, only queried posting rows decoded — same path as
+    boolean_and_counts); the facet column attaches via ONE native hash
+    join against the docvec checkpoint's (doc_id, lang) projection
+    (scale-proportional, NOT broadcastable) at adaptive parallelism; the
+    result reduces to ≤ |queries| × |langs| rows.  The corpus text is
+    never re-scanned."""
+    import ray.data
+
+    from .util import drop_empty_blocks, join_partitions
+
+    build_dir = _index_for(sf_dir)
+
+    term_to_qids: dict[str, list[int]] = {}
+    qsize = np.zeros(len(DOC_QUERIES), dtype=np.int64)
+    for qid, text in enumerate(DOC_QUERIES):
+        ts = sorted(set(tokenize(text)))
+        qsize[qid] = len(ts)
+        for t in ts:
+            term_to_qids.setdefault(t, []).append(qid)
+
+    segs = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=segments"),
+        columns=["term", "docids"],
+        filter=pc.field("term").isin(sorted(term_to_qids)),
+    )
+
+    _HITS = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
+
+    def hits(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _HITS.empty_table()
+        qids_out, docs_out = [], []
+        for term, buf in zip(
+            batch["term"].to_pylist(), batch["docids"].to_pylist()
+        ):
+            d = decode_docids(buf).astype(np.int64)
+            for qid in term_to_qids.get(term, ()):
+                qids_out.append(np.full(len(d), qid, dtype=np.int64))
+                docs_out.append(d)
+        if not qids_out:
+            return _HITS.empty_table()
+        return pa.table(
+            {
+                "query_id": np.concatenate(qids_out),
+                "doc_id": np.concatenate(docs_out),
+            },
+            schema=_HITS,
+        )
+
+    per_doc = (
+        segs.map_batches(hits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["query_id", "doc_id"])
+        .count()
+    )
+
+    def full_match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HITS.empty_table()
+        q = pc.cast(t["query_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t["count()"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = n == qsize[q]
+        return pa.table(
+            {"query_id": q[keep], "doc_id": d[keep]}, schema=_HITS
+        )
+
+    matched = drop_empty_blocks(
+        per_doc.map_batches(full_match, batch_format="pyarrow", zero_copy_batch=True),
+        _HITS,
+    )
+
+    _OUT = pa.schema(
+        [("query_id", pa.int64()), ("lang", pa.string()), ("n_match", pa.int64())]
+    )
+    if matched.count() == 0:
+        return _OUT.empty_table()
+
+    langs = ray.data.read_parquet(
+        os.path.join(build_dir, "stage=docvec"), columns=["doc_id", "lang"]
+    )
+    joined = drop_empty_blocks(
+        matched.join(
+            langs,
+            join_type="inner",
+            num_partitions=join_partitions(matched, langs),
+            on=("doc_id",),
+            right_on=("doc_id",),
+        ),
+        pa.schema(
+            [("query_id", pa.int64()), ("doc_id", pa.int64()),
+             ("lang", pa.string())]
+        ),
+    )
+    agg = joined.groupby(["query_id", "lang"]).count()
+    return _rename(agg, {"count()": "n_match"}, int64_cols=("n_match",))

@@ -359,3 +359,20 @@ def test_deletion_neighborhood_complete_for_dl1():
         nb = {b, *_deletions(b)}
         assert na & nb, (a, b, d)
     assert checked > 100  # the sample actually exercised the property
+
+
+def test_facet_counts_sum_to_and_counts(ray_session):
+    """Per-query facet counts must sum to the conjunctive match count (the
+    lang facet partitions the matched set), and no facet row may exist for
+    a query that boolean_and_counts says has zero matches."""
+    from sharesci_ray.pipelines.ops_search import (
+        boolean_and_counts,
+        facet_counts,
+    )
+
+    facets = facet_counts(SF).to_pandas()
+    ands = boolean_and_counts(SF).to_pandas().set_index("query_id")["n_match"]
+    sums = facets.groupby("query_id")["n_match"].sum()
+    for qid, n in ands.items():
+        assert int(sums.get(qid, 0)) == int(n)
+    assert (facets["n_match"] > 0).all()
