@@ -7,6 +7,8 @@ The operational surface a user of the reference engine would expect:
   update --input GLOB --build-dir DIR
   delete --build-dir DIR --keys FILE   (one "repo<TAB>path" per line)
   compact --build-dir DIR              (reclaim tombstones, re-densify ids)
+  merge  --build-dir A --build-dir B [--build-dir ...] --out-dir OUT
+         (segment merge: combine built shards, no re-tokenize)
   query  --build-dir DIR (--text "..." | --queries FILE.{jsonl,parquet})
          [--k 10] [--scorer auto] [--phrase] [--output out.parquet]
   suggest --build-dir DIR --term WORD [--term WORD ...] [--k 5]
@@ -65,7 +67,7 @@ def _status(build_dir: str) -> dict:
         debt = None
     maintenance = sorted(
         m for m in manifests
-        if m.startswith(("update-", "delete-", "compact-"))
+        if m.startswith(("update-", "delete-", "compact-", "merge-"))
     )
     docvec_dir = os.path.join(build_dir, "stage=docvec")
     orphans = sorted(
@@ -128,6 +130,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--build-dir", required=True)
 
+    mg = sub.add_parser(
+        "merge",
+        help="merge >=2 built indexes into a fresh one (segment merge: "
+             "no re-tokenize; inputs must share one config)",
+    )
+    mg.add_argument("--build-dir", required=True, action="append",
+                    dest="build_dirs", help="input index (repeat >=2 times)")
+    mg.add_argument("--out-dir", required=True)
+
     st = sub.add_parser(
         "status",
         help="index health: stats, manifests, tombstones, maintenance "
@@ -173,6 +184,7 @@ def main(argv: list[str] | None = None) -> int:
         build_index,
         compact_index,
         delete_docs,
+        merge_indexes,
         update_index,
     )
     from .pipelines.query import run_queries
@@ -206,6 +218,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         state = compact_index(args.build_dir)
         print(json.dumps({"build_dir": args.build_dir,
+                          "stats": state.read_sidecar("stats.json")}))
+    elif args.cmd == "merge":
+        state = merge_indexes(args.build_dirs, args.out_dir)
+        print(json.dumps({"out_dir": args.out_dir,
                           "stats": state.read_sidecar("stats.json")}))
     elif args.cmd == "suggest":
         from .pipelines.ops_search import suggest_terms

@@ -1268,3 +1268,124 @@ def compact_index(build_dir: str) -> BuildState:
     }
     new_state.commit(m)
     return new_state
+
+
+def merge_indexes(build_dirs: list[str], out_dir: str) -> BuildState:
+    """Merge N built indexes into a fresh one at ``out_dir`` — the
+    Lucene-style segment-merge surface: combine separately-built shards
+    (per-source crawls, per-month batches) into one servable index
+    WITHOUT re-running the ingest/tokenize pass, which is the expensive
+    stage at corpus scale.
+
+    Semantics: bit-equal to a fresh ``build_index`` over the concatenation
+    of every input's SURVIVING corpus (each input's tombstones are dropped
+    while reading its checkpoint; dense doc ids are reassigned by the same
+    (repo, path, commit) sort, so the id → document map is identical to
+    the fresh build's).  Documents sharing a (repo, path) across inputs
+    are all kept — conflict resolution is ``update_index``'s overwrite
+    job, not the merge's.
+
+    Requirements: every input must be a healthy index (complete manifests,
+    no crashed-maintenance debt — run ``compact_index`` to heal first) and
+    all configs must be identical (tokenizer, langs, positions, scoring
+    and layout knobs) — merging indexes tokenized differently cannot be
+    correct without re-tokenizing.
+
+    Crash behavior: ``out_dir`` is built fresh and never serves until its
+    manifests commit (ScorerActor refuses an incomplete index); the inputs
+    are never written to.  A crashed merge is re-run from scratch.
+
+    Scale shape: the only data motion is one read of each input's docvec
+    checkpoint (already tokenized term vectors), the id-assign sort (a
+    key-only all-to-all, content never enters it) and the packed posting
+    shuffle of the normal segments stage — exactly the fresh-build plan
+    minus tokenization.
+    """
+    from ..stages.docvec import assign_doc_ids
+    from .util import drop_empty_blocks
+
+    if len(build_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two input indexes")
+    if os.path.exists(os.path.join(out_dir, "config.json")):
+        raise ValueError(f"output {out_dir} is already an index; refusing to overwrite")
+
+    # ---- validate all inputs up front (no writes until all pass) ----------
+    cfgs, toks, states = [], [], []
+    for d in build_dirs:
+        cfg, tok, state = _load_stored_state(d, "merge_indexes")
+        if state.read_manifest("segments") is None or os.path.exists(
+            os.path.join(d, _PENDING_FILE)
+        ):
+            raise ValueError(
+                f"{d} has a crashed maintenance window or incomplete segments; "
+                "run compact_index on it before merging"
+            )
+        cfgs.append(cfg)
+        toks.append(tok)
+        states.append(state)
+    base_cfg, base_tok = asdict(cfgs[0]), toks[0]
+    for d, cfg, tok in zip(build_dirs[1:], cfgs[1:], toks[1:]):
+        if asdict(cfg) != base_cfg or tok != base_tok:
+            raise ValueError(
+                f"config mismatch: {d} was built with different settings "
+                f"({asdict(cfg)}, tokenizer={tok!r}) than {build_dirs[0]} "
+                f"({base_cfg}, tokenizer={base_tok!r}); merge requires "
+                "identical configs"
+            )
+
+    # ---- union of surviving term vectors, ids reassigned densely ----------
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    parts = []
+    n_dropped = 0
+    for d, state in zip(build_dirs, states):
+        docvec_dir = state.stage_dir("docvec")
+        dv = ray.data.read_parquet(docvec_dir)
+        dead = _read_tombstones(d)
+        n_dropped += int(dead.size)
+        if dead.size:
+            dv = dv.map_batches(
+                _drop_dead_fn(dead), batch_format="pyarrow", zero_copy_batch=True
+            )
+        parts.append(dv.drop_columns(["doc_id"]))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    # the dead-filter can empty whole blocks (schema-less in Ray 2.49) —
+    # heal before the id sort, same containment as compact_index
+    dv_schema = _pq.read_schema(
+        sorted(
+            _glob.glob(
+                os.path.join(states[0].stage_dir("docvec"), "**", "*.parquet"),
+                recursive=True,
+            )
+        )[0]
+    )
+    dv_schema = pa.schema([f for f in dv_schema if f.name != "doc_id"])
+    termvecs = assign_doc_ids(drop_empty_blocks(merged, dv_schema), base=0)
+
+    # ---- fresh build (stats + segments from the merged termvecs) ----------
+    state = build_index(
+        ray.data.from_items([]),  # unused: _termvecs supplies the stage
+        out_dir,
+        cfgs[0],
+        resume=False,
+        _tok_id=base_tok,
+        _termvecs=termvecs,
+    )
+
+    m = state.begin(
+        "merge-0",
+        inputs=[s.stage_dir("docvec") for s in states],
+        upstream=["docvec", "stats", "segments"],
+    )
+    m.rows_out = int(state.read_sidecar("stats.json")["n_docs"])
+    m.metrics = {
+        "n_inputs": len(build_dirs),
+        "dropped_tombstones": n_dropped,
+        "n_docs": m.rows_out,
+    }
+    state.commit(m)
+    return state

@@ -145,3 +145,26 @@ def test_cli_suggest(ray_session, tmp_path, capsys):
     # df-descending ranking
     dfs = [r["df"] for r in rows]
     assert dfs == sorted(dfs, reverse=True)
+
+
+def test_cli_merge(ray_session, tmp_path, capsys):
+    full = make_corpus(90, seed=21)
+    corpus_a = str(tmp_path / "ma.parquet")
+    corpus_b = str(tmp_path / "mb.parquet")
+    pq.write_table(full.slice(0, 50), corpus_a)
+    pq.write_table(full.slice(50), corpus_b)
+    da, db = str(tmp_path / "ia"), str(tmp_path / "ib")
+    out = str(tmp_path / "merged")
+
+    assert main(["build", "--input", corpus_a, "--build-dir", da, "--n-buckets", "4"]) == 0
+    assert main(["build", "--input", corpus_b, "--build-dir", db, "--n-buckets", "4"]) == 0
+    capsys.readouterr()
+    assert main(["merge", "--build-dir", da, "--build-dir", db,
+                 "--out-dir", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["stats"]["n_docs"] == 90
+
+    # the merged index serves queries
+    assert main(["query", "--build-dir", out, "--text", "get_value index"]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert lines and all("doc_id" in json.loads(l) for l in lines)

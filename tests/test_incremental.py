@@ -838,3 +838,97 @@ def test_mid_swap_crash_bucket_recovered_from_old_twin(
         resume=False,
     )
     _rank_equal(d, d_ref)
+
+
+def test_merge_indexes_equals_fresh_build(ray_session, tmp_path_factory):
+    """merge(build(A), build(B), build(C)) is BIT-equal to a fresh build
+    over A+B+C — same stats, same dense id map, identical top-k ids and
+    scores — without re-tokenizing, and with one input's tombstones
+    dropped on the way in."""
+    import json
+    import os
+
+    from sharesci_ray.pipelines.build import (
+        _read_tombstones,
+        delete_docs,
+        merge_indexes,
+    )
+
+    full = make_corpus(150, seed=404)
+    a, b, c = full.slice(0, 60), full.slice(60, 50), full.slice(110)
+    dirs = []
+    cfg = BuildConfig(n_buckets=8)
+    for i, part in enumerate((a, b, c)):
+        d = str(tmp_path_factory.mktemp(f"mrg_{i}"))
+        build_index(corpus_from_table(part), d, cfg, resume=False)
+        dirs.append(d)
+    # tombstone two docs in shard B: the merge must drop them
+    victims = [62, 70]
+    delete_docs(dirs[1], [(full["repo"][i].as_py(), full["path"][i].as_py()) for i in victims])
+    assert _read_tombstones(dirs[1]).size == 2
+
+    d_out = str(tmp_path_factory.mktemp("mrg_out"))
+    state = merge_indexes(dirs, d_out)
+    man = state.read_manifest("merge-0")
+    assert man["metrics"]["n_inputs"] == 3
+    assert man["metrics"]["dropped_tombstones"] == 2
+
+    d_ref = str(tmp_path_factory.mktemp("mrg_ref"))
+    keep = [i for i in range(150) if i not in victims]
+    build_index(corpus_from_table(full.take(keep)), d_ref, cfg, resume=False)
+
+    s_out = json.load(open(f"{d_out}/stats.json"))
+    s_ref = json.load(open(f"{d_ref}/stats.json"))
+    assert s_out["n_docs"] == s_ref["n_docs"] == 148
+    assert s_out["total_tokens"] == s_ref["total_tokens"]
+    assert s_out["avgdl"] == s_ref["avgdl"]
+    assert _path_map(d_out) == _path_map(d_ref)
+
+    so = ScorerActor(d_out, k=10, scorer="bmw")
+    sr = ScorerActor(d_ref, k=10, scorer="bmw")
+    for q in make_queries(25, seed=17)["text"].to_pylist():
+        io_, sco = so.score_query(q)
+        ir_, scr = sr.score_query(q)
+        assert (io_ == ir_).all() and (sco == scr).all(), q
+
+    # merged index supports the normal maintenance surface afterwards
+    update_index(d_out, corpus_from_table(make_corpus(5, seed=88)))
+    assert json.load(open(f"{d_out}/stats.json"))["n_docs"] == 153
+
+
+def test_merge_indexes_validation(ray_session, tmp_path_factory):
+    """Rejections: <2 inputs, config mismatch, existing output, unhealthy
+    input (crashed-maintenance debt) — and nothing is written in any
+    rejected case."""
+    import os
+
+    import pytest as _pt
+
+    from sharesci_ray.pipelines.build import _PENDING_FILE, merge_indexes
+
+    c1 = make_corpus(30, seed=1)
+    c2 = make_corpus(30, seed=2)
+    d1 = str(tmp_path_factory.mktemp("mv_a"))
+    d2 = str(tmp_path_factory.mktemp("mv_b"))
+    build_index(corpus_from_table(c1), d1, BuildConfig(n_buckets=8), resume=False)
+    build_index(corpus_from_table(c2), d2, BuildConfig(n_buckets=4), resume=False)
+
+    out = str(tmp_path_factory.mktemp("mv_out")) + "/idx"
+    with _pt.raises(ValueError, match="at least two"):
+        merge_indexes([d1], out)
+    with _pt.raises(ValueError, match="config mismatch"):
+        merge_indexes([d1, d2], out)
+    assert not os.path.exists(os.path.join(out, "config.json"))
+
+    # identical config but simulated crashed window on one input
+    d3 = str(tmp_path_factory.mktemp("mv_c"))
+    build_index(corpus_from_table(c2), d3, BuildConfig(n_buckets=8), resume=False)
+    open(os.path.join(d3, _PENDING_FILE), "w").write("{}")
+    with _pt.raises(ValueError, match="crashed maintenance"):
+        merge_indexes([d1, d3], out)
+    os.remove(os.path.join(d3, _PENDING_FILE))
+
+    # existing-output refusal
+    merge_indexes([d1, d3], out)
+    with _pt.raises(ValueError, match="already an index"):
+        merge_indexes([d1, d3], out)
