@@ -1855,3 +1855,407 @@ def disjunctive_revenue(sf_dir: str):
             "n_items": pa.array([int(agg["sum(n_items)"] or 0)], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_order_distribution — TPC-H Q13 shape (order-count histogram)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*)::BIGINT AS n_custs FROM (
+      SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING the zero-order bucket (the left-join semantics that a plain
+    orders groupby misses).
+
+    Scale shape: orders pre-aggregates (custkey, n) per batch before its
+    only shuffle; the histogram of those counts is a second, tiny groupby
+    (≤ max order count keys); the zero bucket is exact scalar arithmetic —
+    total customers (a metadata count) minus customers having orders —
+    relying on the corpus's FK integrity (every o_custkey exists in
+    customer; TPC-H guarantees this), so no customer-side join or
+    anti-join shuffle is needed at any scale."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"o_custkey": g["o_custkey"],
+             "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    per_cust = _rename(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .sum("n"),
+        {"sum(n)": "c_count"},
+        int64_cols=("c_count",),
+    )
+
+    _HIST = pa.schema([("c_count", pa.int64()), ("one", pa.int64())])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _HIST.empty_table()
+        g = t.select(["c_count"]).group_by("c_count").aggregate([([], "count_all")])
+        return pa.table(
+            {"c_count": g["c_count"],
+             "one": pc.cast(g["count_all"], pa.int64())},
+            schema=_HIST,
+        )
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Sum("one"))
+    )
+    out = _rename(hist, {"sum(one)": "n_custs"}, int64_cols=("n_custs",)).to_pandas()
+
+    n_customers = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_with = int(out["n_custs"].sum())
+    n_zero = n_customers - n_with
+    if n_zero > 0:
+        out.loc[len(out)] = {"c_count": 0, "n_custs": n_zero}
+    return pa.table(
+        {
+            "c_count": pa.array(out["c_count"].astype("int64"), pa.int64()),
+            "n_custs": pa.array(out["n_custs"].astype("int64"), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_supplier_revenue — TPC-H Q15 shape (argmax-with-ties over a window)
+# ---------------------------------------------------------------------------
+
+_Q15_LO = "1996-01-01"
+_Q15_HI = "1996-04-01"
+
+
+@op(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+               AS total_rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+        AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+    """,
+)
+def top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in a
+    three-month window — the argmax-WITH-TIES semantics (every supplier
+    achieving the max is emitted, not an arbitrary one), exact because
+    revenue is an integer e4 sum.
+
+    Scale shape: lineitem filters at the scan and pre-aggregates
+    (suppkey, rev) per batch before its only shuffle; the max is a scalar
+    aggregate over the per-supplier table; winners (≥1 row, almost always
+    1) are filtered vectorized and their names attach via a bounded is_in
+    lookup — the supplier table is never shuffled."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Max
+
+    lo = _dt.datetime.fromisoformat(_Q15_LO)
+    hi = _dt.datetime.fromisoformat(_Q15_HI)
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        if t.num_rows == 0:
+            return pa.schema(
+                [("l_suppkey", pa.int64()), ("rev", pa.int64())]
+            ).empty_table()
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {"l_suppkey": t["l_suppkey"],
+                 "rev": pa.array(cents * (100 - disc), pa.int64())}
+            )
+            .group_by("l_suppkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    per_supp = _rename(
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .sum("rev"),
+        {"sum(rev)": "total_rev_e4"},
+        int64_cols=("total_rev_e4",),
+    )
+
+    best = per_supp.aggregate(Max("total_rev_e4"))["max(total_rev_e4)"]
+    if best is None:
+        return pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+             ("total_rev_e4", pa.int64())]
+        ).empty_table()
+    best = int(best)
+    winners = per_supp.filter(
+        lambda r, _b=best: r["total_rev_e4"] == _b
+    ).take_all()  # ≥1 row, ties only — bounded
+
+    keys = pa.array([int(r["l_suppkey"]) for r in winners], pa.int64())
+    names = (
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t, _k=keys: t.filter(pc.is_in(t["s_suppkey"], value_set=_k)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    name_of = {int(r["s_suppkey"]): r["s_name"] for r in names}
+    return pa.table(
+        {
+            "s_suppkey": pa.array([int(r["l_suppkey"]) for r in winners], pa.int64()),
+            "s_name": pa.array(
+                [name_of[int(r["l_suppkey"])] for r in winners], pa.string()
+            ),
+            "total_rev_e4": pa.array(
+                [int(r["total_rev_e4"]) for r in winners], pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# nation_trade_volume — TPC-H Q7 shape (nation-pair shipping volume by year)
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+@op(
+    "nation_trade_volume",
+    f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT
+             AS rev_e4
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = '{_Q7_NATIONS[0]}' AND nc.n_name = '{_Q7_NATIONS[1]}')
+        OR (ns.n_name = '{_Q7_NATIONS[1]}' AND nc.n_name = '{_Q7_NATIONS[0]}'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between two nations, split by
+    direction (supplier nation → customer nation) and ship year.  Exact
+    integer e4 revenue.
+
+    Scale shape: the nation dimension (25 rows) collapses to broadcast
+    nationkey sets, so supplier and customer filter AT THE SCAN to the
+    two nations (2/25 of rows) before anything wide; lineitem joins the
+    filtered supplier side first (dropping ~23/25 of lineitems), then
+    pre-aggregates per (orderkey, supp_nation, year) before the orders
+    join; orders ⋈ filtered-customer produces (orderkey, cust_nation) and
+    the final join + direction filter reduce to ≤ 2 × years rows."""
+    from .util import drop_empty_blocks, join_partitions
+
+    nations = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+        .take_all()  # 25-row dimension table
+    }
+    wanted_keys = pa.array(
+        [k for k, v in nations.items() if v in _Q7_NATIONS], pa.int64()
+    )
+
+    supp = (
+        read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        .map_batches(
+            lambda t, _k=wanted_keys: t.filter(
+                pc.is_in(t["s_nationkey"], value_set=_k)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    supp = drop_empty_blocks(
+        supp, pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())])
+    )
+
+    cust = (
+        read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda t, _k=wanted_keys: t.filter(
+                pc.is_in(t["c_nationkey"], value_set=_k)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    cust = drop_empty_blocks(
+        cust, pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())])
+    )
+
+    _OUT = pa.schema(
+        [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+         ("l_year", pa.int64()), ("rev_e4", pa.int64())]
+    )
+    if supp.count() == 0 or cust.count() == 0:
+        return _OUT.empty_table()
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    li_s = drop_empty_blocks(
+        li.join(
+            supp,
+            join_type="inner",
+            num_partitions=join_partitions(li, supp),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("l_extendedprice", pa.float64()), ("l_discount", pa.float64()),
+             ("l_shipdate", pa.timestamp("us")), ("s_nationkey", pa.int64())]
+        ),
+    )
+
+    _LPART = pa.schema(
+        [("l_orderkey", pa.int64()), ("supp_key", pa.int64()),
+         ("l_year", pa.int64()), ("rev", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LPART.empty_table()
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "supp_key": t["s_nationkey"],
+                    "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                    "rev": pa.array(cents * (100 - disc), pa.int64()),
+                }
+            )
+            .group_by(["l_orderkey", "supp_key", "l_year"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "supp_key", "l_year", "rev"])
+
+    li_agg = li_s.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ord_c = drop_empty_blocks(
+        orders.join(
+            cust,
+            join_type="inner",
+            num_partitions=join_partitions(orders, cust),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("c_nationkey", pa.int64())]
+        ),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    joined = drop_empty_blocks(
+        li_agg.join(
+            ord_c,
+            join_type="inner",
+            num_partitions=join_partitions(li_agg, ord_c),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("supp_key", pa.int64()),
+             ("l_year", pa.int64()), ("rev", pa.int64()),
+             ("c_nationkey", pa.int64())]
+        ),
+    )
+
+    _GPART = pa.schema(
+        [("supp_key", pa.int64()), ("cust_key", pa.int64()),
+         ("l_year", pa.int64()), ("rev", pa.int64())]
+    )
+
+    def direction_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _GPART.empty_table()
+        t = t.filter(pc.not_equal(t["supp_key"], t["c_nationkey"]))
+        if t.num_rows == 0:
+            return _GPART.empty_table()
+        g = (
+            pa.table(
+                {
+                    "supp_key": t["supp_key"],
+                    "cust_key": t["c_nationkey"],
+                    "l_year": t["l_year"],
+                    "rev": t["rev"],
+                }
+            )
+            .group_by(["supp_key", "cust_key", "l_year"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["supp_key", "cust_key", "l_year", "rev"])
+
+    agg = (
+        joined.map_batches(
+            direction_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["supp_key", "cust_key", "l_year"])
+        .sum("rev")
+    ).to_pandas()  # ≤ 2 directions × years rows — bounded
+
+    return pa.table(
+        {
+            "supp_nation": pa.array(
+                [nations[int(k)] for k in agg["supp_key"]], pa.string()
+            ),
+            "cust_nation": pa.array(
+                [nations[int(k)] for k in agg["cust_key"]], pa.string()
+            ),
+            "l_year": pa.array(agg["l_year"].astype("int64"), pa.int64()),
+            "rev_e4": pa.array(
+                agg["sum(rev)"].round().astype("int64"), pa.int64()
+            ),
+        }
+    )

@@ -376,3 +376,79 @@ def test_disjunctive_revenue_clauses(ray_session):
         total_n += int(row[1])
     assert int(got["rev_e4"][0]) == total_rev
     assert int(got["n_items"][0]) == total_n
+
+
+def test_customer_order_distribution_mass(ray_session):
+    """The histogram's mass checks out: Σ n_custs = |customer| (every
+    customer lands in exactly one bucket) and Σ c_count·n_custs = |orders|
+    (every order is counted once)."""
+    from sharesci_ray.pipelines.ops_relational import (
+        customer_order_distribution,
+    )
+
+    got = customer_order_distribution(SF).to_pandas()
+    n_cust = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchall()[0][0]
+    n_orders = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()[0][0]
+    assert int(got["n_custs"].sum()) == n_cust
+    assert int((got["c_count"] * got["n_custs"]).sum()) == n_orders
+
+
+def test_top_supplier_revenue_is_argmax(ray_session):
+    """Winners carry exactly the max per-supplier window revenue computed
+    independently, and every tied supplier is present."""
+    from sharesci_ray.pipelines.ops_relational import (
+        _Q15_HI,
+        _Q15_LO,
+        top_supplier_revenue,
+    )
+
+    got = top_supplier_revenue(SF).to_pandas()
+    rev = duckdb.sql(
+        f"""SELECT l_suppkey, sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) AS r
+            FROM read_parquet('{SF}/lineitem.parquet')
+            WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+              AND l_shipdate <  TIMESTAMP '{_Q15_HI}' GROUP BY 1"""
+    ).df()
+    best = int(rev["r"].max())
+    winners = set(rev[rev["r"] == best]["l_suppkey"])
+    assert set(got["s_suppkey"]) == winners
+    assert (got["total_rev_e4"] == best).all()
+
+
+def test_nation_trade_volume_directions(ray_session):
+    """Rows only cover the two configured nations, never a same-nation
+    pair, and each direction total matches an independent brute-force."""
+    from sharesci_ray.pipelines.ops_relational import (
+        _Q7_NATIONS,
+        nation_trade_volume,
+    )
+
+    got = nation_trade_volume(SF).to_pandas()
+    assert set(got["supp_nation"]) <= set(_Q7_NATIONS)
+    assert set(got["cust_nation"]) <= set(_Q7_NATIONS)
+    assert (got["supp_nation"] != got["cust_nation"]).all()
+    brute = duckdb.sql(
+        f"""
+        SELECT ns.n_name AS sn, nc.n_name AS cn,
+               sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS r
+        FROM read_parquet('{SF}/lineitem.parquet') l
+        JOIN read_parquet('{SF}/supplier.parquet') s ON s.s_suppkey = l.l_suppkey
+        JOIN read_parquet('{SF}/nation.parquet') ns ON ns.n_nationkey = s.s_nationkey
+        JOIN read_parquet('{SF}/orders.parquet') o ON o.o_orderkey = l.l_orderkey
+        JOIN read_parquet('{SF}/customer.parquet') c ON c.c_custkey = o.o_custkey
+        JOIN read_parquet('{SF}/nation.parquet') nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')
+          AND nc.n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')
+          AND ns.n_name != nc.n_name
+        GROUP BY 1, 2
+        """
+    ).df()
+    exp = {(r["sn"], r["cn"]): int(r["r"]) for _, r in brute.iterrows()}
+    got_dir = got.groupby(["supp_nation", "cust_nation"])["rev_e4"].sum()
+    assert {k: int(v) for k, v in got_dir.items()} == exp
