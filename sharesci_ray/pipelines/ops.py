@@ -309,7 +309,9 @@ def _index_for(sf_dir: str, positions: bool = False) -> str:
     return build_dir
 
 
-def _bm25_sql(facet_lang: str | None = None) -> str:
+def _bm25_sql(
+    facet_lang: str | None = None, rank_lo: int = 1, rank_hi: int = 10
+) -> str:
     q_rows = []
     for qid, text in enumerate(DOC_QUERIES):
         for term in sorted(set(tokenize(text))):
@@ -344,7 +346,7 @@ def _bm25_sql(facet_lang: str | None = None) -> str:
       SELECT query_id, sc.doc_id AS doc_id,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, sc.doc_id) AS rank
       FROM sc {facet}
-    ) WHERE rank <= 10
+    ) WHERE rank BETWEEN {rank_lo} AND {rank_hi}
     """
 
 
@@ -435,6 +437,39 @@ def _remap_to_docids(res, build_dir: str):
 def bm25_topk(sf_dir: str):
     """Flagship: full index build + BM25 top-10 (see _bm25_run)."""
     return _bm25_run(sf_dir)
+
+
+@op("bm25_topk_page2", _bm25_sql(rank_lo=11, rank_hi=20))
+def bm25_topk_page2(sf_dir: str):
+    """Result pagination: ranks 11–20 (the search UI's "page 2").  The
+    scorer actors keep a k=20 heap per query and the page is sliced from
+    the ranked output — the standard deep-pagination cost model (page N
+    costs a top-(N·page_size) heap inside the actor; nothing extra
+    shuffles, the emitted page is still ≤ page_size rows per query).
+    Rank identity (not scores) is the contract, same as bm25_topk."""
+    import ray
+    import ray.data
+
+    from .query import run_queries
+
+    build_dir = _index_for(sf_dir)
+    q_tbl = pa.table(
+        {
+            "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+            "text": pa.array(DOC_QUERIES, pa.string()),
+        }
+    )
+    res = run_queries(build_dir, ray.data.from_arrow(q_tbl), k=20, scorer="bmw")
+
+    def page(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return t.filter(pc.greater_equal(t["rank"], 11))
+
+    return _remap_to_docids(
+        res.map_batches(page, batch_format="pyarrow", zero_copy_batch=True),
+        build_dir,
+    )
 
 
 # ---------------------------------------------------------------------------

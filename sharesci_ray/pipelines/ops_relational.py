@@ -2259,3 +2259,140 @@ def nation_trade_volume(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# weekly_retention — cohort retention triangle over the events stream
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "weekly_retention",
+    """
+    WITH fw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT CAST(fw.cohort AS TIMESTAMP) AS cohort_week,
+           date_diff('day', fw.cohort, act.w) // 7 AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM act JOIN fw ON fw.user_id = act.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by the ISO week of their
+    first event; for each cohort, how many were active k weeks later —
+    the standard product-analytics retention report.
+
+    Scale shape: two per-batch partial reductions over ONE events scan
+    shape — (user, min ts) partials → groupby min gives the cohort;
+    distinct (user, week) partials → groupby dedup gives activity — then
+    one native hash join on user_id and a final bounded groupby
+    (≤ weeks² triangle rows).  Week truncation and the integer week
+    offset are exact integer arithmetic on epoch days, bit-deterministic
+    in any order."""
+    from ray.data.aggregate import Min
+
+    from .util import drop_empty_blocks, join_partitions
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    _WEEK_US = 7 * 86400 * 1_000_000
+
+    def _week_floor(ts: pa.ChunkedArray) -> pa.Array:
+        return pc.floor_temporal(ts, unit="week", week_starts_monday=True)
+
+    # --- cohort: first-event timestamp per user (min partials) -------------
+    def min_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("ts", "min")])
+        return g.rename_columns(["user_id", "first_ts"])
+
+    first = _rename(
+        ev.map_batches(min_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("first_ts")),
+        {"min(first_ts)": "first_ts"},
+    )
+
+    def to_cohort(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "cohort_week": _week_floor(t["first_ts"])}
+        )
+
+    cohorts = first.map_batches(
+        to_cohort, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # --- activity: distinct (user, week) pairs (distinct partials) ---------
+    def week_partial(t: pa.Table) -> pa.Table:
+        pairs = (
+            pa.table({"user_id": t["user_id"], "w": _week_floor(t["ts"])})
+            .group_by(["user_id", "w"])
+            .aggregate([])
+        )
+        return pairs
+
+    weeks = (
+        ev.map_batches(week_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "w"])
+        .count()
+        .select_columns(["user_id", "w"])
+    )
+
+    joined = drop_empty_blocks(
+        weeks.join(
+            cohorts,
+            join_type="inner",
+            num_partitions=join_partitions(weeks, cohorts),
+            on=("user_id",),
+            right_on=("user_id",),
+        ),
+        pa.schema(
+            [("user_id", pa.int64()), ("w", pa.timestamp("us")),
+             ("cohort_week", pa.timestamp("us"))]
+        ),
+    )
+
+    _PART = pa.schema(
+        [("cohort_week", pa.timestamp("us")), ("week_offset", pa.int64()),
+         ("one", pa.int64())]
+    )
+
+    def offset_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        # Ray's groupby shuffle can downcast timestamps (us → s through its
+        # numpy path) — normalize BOTH sides to epoch-us before the integer
+        # subtraction, or the offsets mix units
+        w_us = pc.cast(t["w"], pa.timestamp("us"))
+        c_us = pc.cast(t["cohort_week"], pa.timestamp("us"))
+        w = pc.cast(w_us, pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(c_us, pa.int64()).to_numpy(zero_copy_only=False)
+        off = (w - c) // _WEEK_US
+        g = (
+            pa.table(
+                {
+                    "cohort_week": c_us,
+                    "week_offset": pa.array(off, pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by(["cohort_week", "week_offset"])
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["cohort_week", "week_offset", "one"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        joined.map_batches(
+            offset_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("one"))
+    )
+    return _rename(agg, {"sum(one)": "n_users"}, int64_cols=("n_users",))

@@ -452,3 +452,29 @@ def test_nation_trade_volume_directions(ray_session):
     exp = {(r["sn"], r["cn"]): int(r["r"]) for _, r in brute.iterrows()}
     got_dir = got.groupby(["supp_nation", "cust_nation"])["rev_e4"].sum()
     assert {k: int(v) for k, v in got_dir.items()} == exp
+
+
+def test_weekly_retention_triangle(ray_session):
+    """Week-0 cohort mass: every user is active in their own first week, so
+    the week_offset=0 rows must sum to the number of distinct users; no
+    negative offsets can exist."""
+    from sharesci_ray.pipelines.ops_relational import weekly_retention
+
+    got = weekly_retention(SF).to_pandas()
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()[0][0]
+    assert (got["week_offset"] >= 0).all()
+    assert int(got[got["week_offset"] == 0]["n_users"].sum()) == n_users
+
+
+def test_bm25_page2_disjoint_from_page1(ray_session):
+    """Page 2 (ranks 11-20) never repeats a page-1 document for the same
+    query, and its ranks are exactly in [11, 20]."""
+    from sharesci_ray.pipelines.ops import bm25_topk, bm25_topk_page2
+
+    p1 = bm25_topk(SF).to_pandas()
+    p2 = bm25_topk_page2(SF).to_pandas()
+    assert p2["rank"].between(11, 20).all()
+    seen1 = set(zip(p1["query_id"], p1["doc_id"]))
+    assert not (set(zip(p2["query_id"], p2["doc_id"])) & seen1)
