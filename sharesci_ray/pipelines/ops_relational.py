@@ -2396,3 +2396,250 @@ def weekly_retention(sf_dir: str):
         .aggregate(Sum("one"))
     )
     return _rename(agg, {"sum(one)": "n_users"}, int64_cols=("n_users",))
+
+
+# ---------------------------------------------------------------------------
+# covisit_counts — item co-occurrence (the recommender candidate generator)
+# ---------------------------------------------------------------------------
+
+_COVISIT_K = 50
+
+
+@op(
+    "covisit_counts",
+    f"""
+    WITH it AS (
+      SELECT DISTINCT user_id,
+             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT item_a, item_b, n_users FROM (
+      SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_users
+      FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    ) ORDER BY n_users DESC, item_a, item_b LIMIT {_COVISIT_K}
+    """,
+)
+def covisit_counts(sf_dir: str):
+    """Item co-visitation: the top-{50} item pairs viewed by the most
+    common users — the classic recommender candidate-generation
+    co-occurrence matrix.  The item id is parsed from the event props
+    (one RE2 kernel per batch, semantics shared with the oracle).
+
+    Scale shape: distinct (user, item) partials reduce each batch before
+    the one groupby-by-user shuffle; pair emission is a vectorized
+    np.triu per user group (bounded by the per-user distinct-item count —
+    cap or sample hyperactive users at extreme skew, same caveat as the
+    windowed ops); pair counts pre-aggregate per batch before the small
+    pair groupby, and the final top-k carries a full deterministic
+    tie-break."""
+    from ray.data.aggregate import Sum
+
+    from .util import drop_empty_blocks
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "props"])
+
+    _UI = pa.schema([("user_id", pa.int64()), ("item", pa.int64())])
+
+    def ui_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        if t.num_rows == 0:
+            return _UI.empty_table()
+        extracted = pc.extract_regex(
+            t["props"].combine_chunks(), pattern="(?P<i>[0-9]+)"
+        )
+        item = pc.cast(pc.struct_field(extracted, "i"), pa.int64())
+        return (
+            pa.table({"user_id": t["user_id"], "item": item}, schema=_UI)
+            .group_by(["user_id", "item"])
+            .aggregate([])
+        )
+
+    ui = (
+        ev.map_batches(ui_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "item"])
+        .count()
+        .select_columns(["user_id", "item"])
+    )
+
+    _PAIRS = pa.schema(
+        [("item_a", pa.int64()), ("item_b", pa.int64()), ("one", pa.int64())]
+    )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        items = np.unique(group["item"].to_numpy(zero_copy_only=False))
+        if items.size < 2:
+            return _PAIRS.empty_table()
+        ia, ib = np.triu_indices(items.size, k=1)
+        return pa.table(
+            {
+                "item_a": pa.array(items[ia], pa.int64()),
+                "item_b": pa.array(items[ib], pa.int64()),
+                "one": pa.array(np.ones(ia.size, dtype=np.int64)),
+            },
+            schema=_PAIRS,
+        )
+
+    pairs = ui.groupby("user_id").map_groups(emit_pairs, batch_format="pyarrow")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIRS.empty_table()
+        g = t.group_by(["item_a", "item_b"]).aggregate([("one", "sum")])
+        return g.rename_columns(["item_a", "item_b", "one"])
+
+    counts = _rename(
+        pairs.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["item_a", "item_b"])
+        .aggregate(Sum("one")),
+        {"sum(one)": "n_users"},
+        int64_cols=("n_users",),
+    )
+    return counts.sort(
+        ["n_users", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(_COVISIT_K)
+
+
+# ---------------------------------------------------------------------------
+# orders_monthly_growth — month-over-month revenue delta (LAG window shape)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "orders_monthly_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS TIMESTAMP) AS month, rev_cents,
+           rev_cents - lag(rev_cents, 1, 0) OVER (ORDER BY month) AS delta_cents
+    FROM m
+    """,
+)
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth — the LAG() window shape of every
+    revenue dashboard.  Exact integer cents; the first month lags against
+    0 (lag default), keeping the output NULL-free for stable value
+    hashes (house float-safety policy).
+
+    Scale shape: orders pre-aggregates (month, cents) per batch before
+    the one groupby shuffle; the month table is bounded (years × 12 rows
+    regardless of data size), so the sequential lag computes driver-side
+    on the sorted bounded result — a LAG over an unbounded key would
+    instead use the per-key map_groups pattern of the windowed event
+    ops."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    _PART = pa.schema([("month", pa.timestamp("us")), ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        g = (
+            pa.table(
+                {
+                    "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by("month")
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["month", "cents"])
+
+    months = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .sum("cents")
+        .to_pandas()  # bounded: one row per month
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    rev = months["sum(cents)"].round().astype("int64").to_numpy()
+    delta = rev - np.concatenate(([0], rev[:-1]))  # lag(…, 1, 0)
+    return pa.table(
+        {
+            "month": pa.array(
+                months["month"].astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "rev_cents": pa.array(rev, pa.int64()),
+            "delta_cents": pa.array(delta, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_hour_anomalies — hours with event volume > mean + 2σ (monitoring)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "event_hour_anomalies",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT count(*)::BIGINT AS m, sum(n)::BIGINT AS s,
+             sum(n * n)::BIGINT AS q
+      FROM h
+    )
+    SELECT CAST(hour AS TIMESTAMP) AS hour, n
+    FROM h, st
+    WHERE (n * st.m - st.s)
+          > 2 * sqrt(CAST(st.m AS DOUBLE) * st.q - CAST(st.s AS DOUBLE) * st.s)
+    """,
+)
+def event_hour_anomalies(sf_dir: str):
+    """Volume anomaly detection: hours whose event count exceeds the
+    global hourly mean by more than two standard deviations — the
+    monitoring sweep a pipeline operator runs over an ingest stream.
+    Deterministic floats: the moments are exact int64 sums over the
+    bounded hour histogram; the threshold comparison keeps the left side
+    in exact integers ((n·m − s) vs 2·sqrt(m·q − s²)), the same
+    expression tree as the SQL twin.
+
+    Scale shape: one per-batch partial (hour, count) pre-aggregation →
+    one small groupby; the hour histogram is bounded (24 × days rows
+    regardless of event volume), so moments + threshold run driver-side
+    on the bounded table."""
+    ev = read_table(sf_dir, "events", columns=["ts"])
+
+    _PART = pa.schema([("hour", pa.timestamp("us")), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        g = (
+            pa.table({"hour": pc.floor_temporal(t["ts"], unit="hour")})
+            .group_by("hour")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"hour": g["hour"], "n": pc.cast(g["count_all"], pa.int64())},
+            schema=_PART,
+        )
+
+    hist = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .sum("n")
+        .to_pandas()  # bounded: one row per hour
+    )
+    n = hist["sum(n)"].round().astype("int64").to_numpy()
+    m = np.int64(len(n))
+    s = np.int64(n.sum())
+    q = np.int64((n * n).sum())
+    thresh = 2.0 * float(np.sqrt(float(m) * float(q) - float(s) * float(s)))
+    keep = (n * m - s) > thresh
+    return pa.table(
+        {
+            "hour": pa.array(
+                hist["hour"][keep].astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "n": pa.array(n[keep], pa.int64()),
+        }
+    )

