@@ -99,6 +99,11 @@ def _status(build_dir: str) -> dict:
         "reencode_debt": debt,
         "window_dead": window_dead,
         "orphan_deltas": orphans,
+        # a crashed merge's output: complete or not, the next merge_indexes
+        # call with this out_dir wipes and rebuilds it
+        "merge_in_progress": os.path.exists(
+            os.path.join(build_dir, "merge_in_progress.json")
+        ),
     }
 
 

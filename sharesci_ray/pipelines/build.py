@@ -1293,7 +1293,11 @@ def merge_indexes(build_dirs: list[str], out_dir: str) -> BuildState:
 
     Crash behavior: ``out_dir`` is built fresh and never serves until its
     manifests commit (ScorerActor refuses an incomplete index); the inputs
-    are never written to.  A crashed merge is re-run from scratch.
+    are never written to.  A crashed merge leaves a ``merge_in_progress``
+    marker in ``out_dir`` (written before the first byte of output,
+    removed after the merge manifest commits): a rerun wipes the debris
+    and rebuilds from scratch, while a genuine pre-existing index (no
+    marker) is still refused.
 
     Scale shape: the only data motion is one read of each input's docvec
     checkpoint (already tokenized term vectors), the id-assign sort (a
@@ -1306,6 +1310,12 @@ def merge_indexes(build_dirs: list[str], out_dir: str) -> BuildState:
 
     if len(build_dirs) < 2:
         raise ValueError("merge_indexes needs at least two input indexes")
+    marker = os.path.join(out_dir, "merge_in_progress.json")
+    if os.path.exists(marker):
+        # crashed merge: the marker outlives any partial build output —
+        # wipe the debris and rebuild from scratch (inputs were never
+        # touched, so this is always safe)
+        shutil.rmtree(out_dir, ignore_errors=True)
     if os.path.exists(os.path.join(out_dir, "config.json")):
         raise ValueError(f"output {out_dir} is already an index; refusing to overwrite")
 
@@ -1367,6 +1377,14 @@ def merge_indexes(build_dirs: list[str], out_dir: str) -> BuildState:
     termvecs = assign_doc_ids(drop_empty_blocks(merged, dv_schema), base=0)
 
     # ---- fresh build (stats + segments from the merged termvecs) ----------
+    # marker BEFORE the first output byte: a crash anywhere below leaves
+    # it in place, and the rerun's debris sweep above handles the rest
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        _json.dump({"inputs": build_dirs}, f)
+
     state = build_index(
         ray.data.from_items([]),  # unused: _termvecs supplies the stage
         out_dir,
@@ -1388,4 +1406,5 @@ def merge_indexes(build_dirs: list[str], out_dir: str) -> BuildState:
         "n_docs": m.rows_out,
     }
     state.commit(m)
+    os.remove(marker)
     return state

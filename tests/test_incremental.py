@@ -932,3 +932,48 @@ def test_merge_indexes_validation(ray_session, tmp_path_factory):
     merge_indexes([d1, d3], out)
     with _pt.raises(ValueError, match="already an index"):
         merge_indexes([d1, d3], out)
+
+
+def test_merge_crash_rerun_rebuilds(ray_session, tmp_path_factory, monkeypatch):
+    """A merge that crashes mid-build leaves the in-progress marker; the
+    rerun wipes the debris and produces a complete, servable index — while
+    a genuine pre-existing index (no marker) is still refused."""
+    import os
+
+    import pytest as _pt
+
+    import sharesci_ray.pipelines.build as B
+
+    full = make_corpus(60, seed=55)
+    d1 = str(tmp_path_factory.mktemp("mc_a"))
+    d2 = str(tmp_path_factory.mktemp("mc_b"))
+    cfg = BuildConfig(n_buckets=4)
+    build_index(corpus_from_table(full.slice(0, 30)), d1, cfg, resume=False)
+    build_index(corpus_from_table(full.slice(30)), d2, cfg, resume=False)
+
+    out = str(tmp_path_factory.mktemp("mc_out")) + "/idx"
+
+    real_build = B.build_index
+
+    def crash_mid_build(*a, **k):
+        # simulate dying after the inner build started writing output
+        real_build(*a, **k)
+        raise RuntimeError("injected crash before merge manifest commit")
+
+    monkeypatch.setattr(B, "build_index", crash_mid_build)
+    with _pt.raises(RuntimeError, match="injected crash"):
+        B.merge_indexes([d1, d2], out)
+    assert os.path.exists(os.path.join(out, "merge_in_progress.json"))
+    monkeypatch.setattr(B, "build_index", real_build)
+
+    # rerun: debris swept, merge completes, marker gone, index servable
+    state = B.merge_indexes([d1, d2], out)
+    assert not os.path.exists(os.path.join(out, "merge_in_progress.json"))
+    assert state.read_manifest("merge-0")["metrics"]["n_inputs"] == 2
+    s = ScorerActor(out, k=5, scorer="bmw")
+    ids, scores = s.score_query("get_value index")
+    assert ids.size > 0
+
+    # a completed index without the marker is still refused
+    with _pt.raises(ValueError, match="already an index"):
+        B.merge_indexes([d1, d2], out)
