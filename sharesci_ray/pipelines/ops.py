@@ -331,16 +331,24 @@ def _bm25_sql(
     st AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
     df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
     q(query_id, term) AS (VALUES {values}),
-    sc AS (
-      SELECT q.query_id, tf.doc_id,
-             sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
-                 * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+    ts AS (
+      SELECT q.query_id, tf.doc_id, q.term,
+             ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
       FROM q
       JOIN tf ON tf.term = q.term
       JOIN df ON df.term = q.term
       JOIN dl ON dl.doc_id = tf.doc_id
       CROSS JOIN st
-      GROUP BY 1, 2
+    ),
+    -- list(... ORDER BY term) + sequential list sum replays the engine's
+    -- SORTED-TERM float64 accumulation bit-for-bit (functions/bm25.py),
+    -- so near-tied docs rank identically instead of diverging in the
+    -- last ulp the way an unordered sum() can at deep ranks
+    sc AS (
+      SELECT query_id, doc_id,
+             list_aggregate(list(s ORDER BY term), 'sum') AS score
+      FROM ts GROUP BY 1, 2
     )
     SELECT query_id, rank, doc_id FROM (
       SELECT query_id, sc.doc_id AS doc_id,
