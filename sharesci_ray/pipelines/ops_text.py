@@ -1113,7 +1113,11 @@ def doc_length_zscore(sf_dir: str):
 
     Scale shape: pass 1 reduces every batch to three integers (count,
     sum, sum of squares — a scalar aggregate, no shuffle); the three
-    scalars broadcast via closure into the stateless pass-2 map."""
+    scalars broadcast via closure into the stateless pass-2 map.
+    Overflow bound: the sum-of-squares moment leaves int64 range around
+    10^12 ten-KB documents — past that, promote the q partials to a
+    (hi, lo) int64 pair or float128 partials (the SQL twin's DuckDB sum
+    already widens to int128 internally)."""
     from ray.data.aggregate import Sum
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])

@@ -107,3 +107,32 @@ def test_phrase_counter_rejects_nonpositional(ray_session, tmp_path_factory):
     build_index(corpus_from_table(corpus), d, BuildConfig(n_buckets=4), resume=False)
     with pytest.raises(ValueError, match="positional"):
         PhraseCounter(d)
+
+
+def test_merge_preserves_positions(ray_session, tmp_path_factory):
+    """Merging two positions-enabled indexes preserves the positional
+    payload: phrase occurrences on the merged index equal those on a
+    fresh positions build over the union corpus."""
+    from sharesci_ray.pipelines.build import merge_indexes
+
+    full = make_corpus(60, seed=808)
+    cfg = BuildConfig(n_buckets=4, positions=True)
+    d1 = str(tmp_path_factory.mktemp("pm_a"))
+    d2 = str(tmp_path_factory.mktemp("pm_b"))
+    d_ref = str(tmp_path_factory.mktemp("pm_ref"))
+    build_index(corpus_from_table(full.slice(0, 30)), d1, cfg, resume=False)
+    build_index(corpus_from_table(full.slice(30)), d2, cfg, resume=False)
+    build_index(corpus_from_table(full), d_ref, cfg, resume=False)
+
+    out = str(tmp_path_factory.mktemp("pm_out")) + "/idx"
+    merge_indexes([d1, d2], out)
+
+    toks = tokenize(full["content"][3].as_py())
+    phrase = " ".join(toks[5:8])
+    sm = ScorerActor(out, k=5, scorer="daat")
+    sr = ScorerActor(d_ref, k=5, scorer="daat")
+    dm, om = sm.phrase_occurrences(phrase)
+    dr, or_ = sr.phrase_occurrences(phrase)
+    # identical dense ids (same sort keys) → bit-equal phrase results
+    assert (dm == dr).all() and (om == or_).all()
+    assert dm.size > 0
