@@ -124,3 +124,39 @@ def test_shard_guard_on_unsharded_index(ray_session, indexes):
         ScorerActor(d_plain, doc_shard=0)
     with pytest.raises(ValueError, match="not doc-sharded"):
         run_queries_sharded(d_plain, ray.data.from_arrow(make_queries(2, seed=1)))
+
+
+def test_merge_of_doc_sharded_indexes(ray_session, tmp_path_factory):
+    """merge_indexes on doc-sharded configs: the merged index is itself a
+    valid doc-sharded layout, and sharded queries over it are bit-equal to
+    a fresh sharded build over the union corpus."""
+    from sharesci_ray.pipelines.build import merge_indexes
+
+    full = make_corpus(200, seed=31)
+    cfg = BuildConfig(n_buckets=8, doc_shards=2)
+    d1 = str(tmp_path_factory.mktemp("sm_a"))
+    d2 = str(tmp_path_factory.mktemp("sm_b"))
+    d_ref = str(tmp_path_factory.mktemp("sm_ref"))
+    build_index(corpus_from_table(full.slice(0, 100)), d1, cfg, resume=False)
+    build_index(corpus_from_table(full.slice(100)), d2, cfg, resume=False)
+    build_index(corpus_from_table(full), d_ref, cfg, resume=False)
+
+    out = str(tmp_path_factory.mktemp("sm_out")) + "/idx"
+    merge_indexes([d1, d2], out)
+
+    q_tbl = make_queries(25, seed=9)
+    got = (
+        run_queries_sharded(out, ray.data.from_arrow(q_tbl), k=10)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        run_queries_sharded(d_ref, ray.data.from_arrow(q_tbl), k=10)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref) > 0
+    assert (got["doc_id"].values == ref["doc_id"].values).all()
+    assert (got["score"].values == ref["score"].values).all()  # bit-equal
