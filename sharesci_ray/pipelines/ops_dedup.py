@@ -1699,3 +1699,109 @@ def clean_corpus(sf_dir: str):
         )
 
     return full.map_batches(decide, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Cross-source near-dup leakage (the train/eval contamination report)
+# ===========================================================================
+
+
+def _cross_source_sql() -> str:
+    return f"""
+    WITH pairs AS ({_jaccard_sql()})
+    SELECT p.doc_a, p.doc_b, da.source AS source_a, db.source AS source_b,
+           p.jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE da.source != db.source
+    """
+
+
+@op("cross_source_dup_pairs", _cross_source_sql())
+def cross_source_dup_pairs(sf_dir: str):
+    """Near-duplicate pairs that SPAN two different sources — the leakage
+    report a training-data owner runs before splitting by source (a doc
+    near-duplicated across sources contaminates any source-keyed
+    train/eval split).  Jaccard is the one exact int/int division, same
+    as near_dup_jaccard.
+
+    Scale shape: pair generation is near_dup_jaccard's df-capped inverted
+    index unchanged; the source labels attach via two native hash joins
+    of the (already small) pair set against the (doc_id, source)
+    projection; the cross-source filter is one vectorized mask."""
+    from .util import drop_empty_blocks, join_partitions
+
+    pairs = near_dup_jaccard(sf_dir)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    _PAIR_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("inter", pa.int64()),
+         ("union_sz", pa.int64()), ("jaccard", pa.float64())]
+    )
+    pairs = drop_empty_blocks(pairs, _PAIR_SCHEMA)
+    _OUT = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("source_a", pa.string()), ("source_b", pa.string()),
+         ("jaccard", pa.float64())]
+    )
+    if pairs.count() == 0:
+        return _OUT.empty_table()
+
+    j1 = drop_empty_blocks(
+        pairs.join(
+            docs,
+            join_type="inner",
+            num_partitions=join_partitions(pairs, docs),
+            on=("doc_a",),
+            right_on=("doc_id",),
+        ),
+        pa.schema(
+            list(_PAIR_SCHEMA) + [("source", pa.string())]
+        ),
+    )
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                 ("jaccard", pa.float64()), ("source_a", pa.string())]
+            ).empty_table()
+        return pa.table(
+            {"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+             "jaccard": t["jaccard"], "source_a": t["source"]}
+        )
+
+    j1 = j1.map_batches(tag_a, batch_format="pyarrow", zero_copy_batch=True)
+
+    j2 = drop_empty_blocks(
+        j1.join(
+            docs,
+            join_type="inner",
+            num_partitions=join_partitions(j1, docs),
+            on=("doc_b",),
+            right_on=("doc_id",),
+        ),
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("jaccard", pa.float64()), ("source_a", pa.string()),
+             ("source", pa.string())]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        t = t.filter(pc.not_equal(t["source_a"], t["source"]))
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "source_a": t["source_a"],
+                "source_b": t["source"],
+                "jaccard": t["jaccard"],
+            },
+            schema=_OUT,
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

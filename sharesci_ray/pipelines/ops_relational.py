@@ -2643,3 +2643,54 @@ def event_hour_anomalies(sf_dir: str):
             "n": pa.array(n[keep], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# distinct_parts_per_supplier — per-key exact COUNT(DISTINCT) at scale
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "distinct_parts_per_supplier",
+    """
+    SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS n_parts
+    FROM lineitem GROUP BY 1
+    """,
+)
+def distinct_parts_per_supplier(sf_dir: str):
+    """Per-supplier exact distinct part count — the grouped
+    COUNT(DISTINCT) shape (global distinct is G4; this is the per-key
+    variant every assortment/coverage report needs).
+
+    Scale shape: per-batch distinct (suppkey, partkey) pairs reduce each
+    block before the one pair-level groupby dedup; the final per-key
+    count is a second groupby over the already-distinct pairs — both
+    shuffles carry only distinct pairs, never raw lineitems.  (An
+    approximate variant would swap the pair dedup for a per-key HLL
+    sketch; the exact form is the oracle-checkable one.)"""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+
+    pairs = (
+        li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_suppkey", "l_partkey"])
+        .count()
+        .select_columns(["l_suppkey", "l_partkey"])
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["l_suppkey"]).group_by("l_suppkey").aggregate([([], "count_all")])
+        return pa.table(
+            {"l_suppkey": g["l_suppkey"],
+             "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    return _rename(
+        pairs.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .sum("n"),
+        {"sum(n)": "n_parts"},
+        int64_cols=("n_parts",),
+    )

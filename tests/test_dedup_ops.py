@@ -394,3 +394,31 @@ def test_benchmark_contamination_planted(ray_session):
     assert set(got) == {100, 102}
     assert got[100] == 2
     assert got[102] == 4  # 6 tokens → 4 shingles, all shared
+
+
+def test_cross_source_pairs_subset(ray_session):
+    """Cross-source pairs are exactly the near_dup_jaccard pairs whose two
+    docs carry different sources — no pair invented, none dropped."""
+    import duckdb as _dd
+
+    from sharesci_ray.pipelines.ops_dedup import (
+        cross_source_dup_pairs,
+        near_dup_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    all_pairs = near_dup_jaccard(sf).to_pandas()
+    got = cross_source_dup_pairs(sf).to_pandas()
+    src = _dd.sql(
+        f"SELECT doc_id, source FROM read_parquet('{sf}/documents.parquet')"
+    ).df().set_index("doc_id")["source"]
+    exp = {
+        (a, b)
+        for a, b in zip(all_pairs["doc_a"], all_pairs["doc_b"])
+        if src.loc[a] != src.loc[b]
+    }
+    assert set(zip(got["doc_a"], got["doc_b"])) == exp
+    for _, r in got.iterrows():
+        assert r["source_a"] == src.loc[r["doc_a"]]
+        assert r["source_b"] == src.loc[r["doc_b"]]
+        assert r["source_a"] != r["source_b"]

@@ -541,3 +541,18 @@ def test_top_terms_per_lang_k_and_order(ray_session):
         assert len(sub) <= _TOPTERMS_K
         keys = list(zip(-sub["tf_total"], sub["term"]))
         assert keys == sorted(keys)
+
+
+def test_distinct_parts_mass(ray_session):
+    """Per-supplier distinct part counts match DuckDB exactly, and their
+    sum equals the global distinct pair count."""
+    from sharesci_ray.pipelines.ops_relational import (
+        distinct_parts_per_supplier,
+    )
+
+    got = distinct_parts_per_supplier(SF).to_pandas().set_index("l_suppkey")
+    exp = duckdb.sql(
+        f"""SELECT l_suppkey, count(DISTINCT l_partkey) AS n
+            FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"""
+    ).df().set_index("l_suppkey")
+    assert got["n_parts"].to_dict() == exp["n"].to_dict()
