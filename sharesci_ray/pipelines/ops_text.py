@@ -1153,3 +1153,105 @@ def doc_length_zscore(sf_dir: str):
         )
 
     return docs.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Per-source quality rollup (the "which source is junk" report)
+# ===========================================================================
+
+_PUNCT_RE = r"[\.,;:!\?]"
+_DIGIT_RE = "[0-9]"
+
+
+@op(
+    "source_quality_report",
+    f"""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS total_chars,
+           sum(len({_TOKS}))::BIGINT AS total_tokens,
+           sum(length(text)
+               - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')))::DOUBLE
+             / sum(length(text)) AS punct_ratio,
+           sum(length(text)
+               - length(regexp_replace(text, '{_DIGIT_RE}', '', 'g')))::DOUBLE
+             / sum(length(text)) AS digit_ratio,
+           sum(length(text))::DOUBLE / count(*) AS mean_doc_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def source_quality_report(sf_dir: str):
+    """Per-source corpus quality rollup: document/char/token mass plus
+    aggregate punctuation and digit ratios — the report that decides
+    which sources enter the training mix.  Every ratio is ONE division
+    of two exact int64 sums (not a mean of per-doc ratios), so the
+    values are bit-deterministic across summation orders and engines.
+
+    Scale shape: each batch reduces to one row per source (bounded:
+    |sources| × blocks partials); the final groupby sums integers; no
+    row-level data survives the first map."""
+    from .ops import _rename
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    _PART = pa.schema(
+        [("source", pa.string()), ("docs", pa.int64()), ("chars", pa.int64()),
+         ("toks", pa.int64()), ("punct", pa.int64()), ("digit", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        text = t["text"]
+        n_chars = pc.utf8_length(text)
+        _, parent = flat_tokens(text)
+        n_tokens = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(n_tokens, parent, 1)
+
+        def matched(pattern: str) -> pa.Array:
+            stripped = pc.replace_substring_regex(text, pattern, "")
+            return pc.subtract(n_chars, pc.utf8_length(stripped))
+
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "chars": pc.cast(n_chars, pa.int64()),
+                    "toks": pa.array(n_tokens),
+                    "punct": pc.cast(matched(_PUNCT_RE), pa.int64()),
+                    "digit": pc.cast(matched(_DIGIT_RE), pa.int64()),
+                }
+            )
+            .group_by("source")
+            .aggregate(
+                [("docs", "sum"), ("chars", "sum"), ("toks", "sum"),
+                 ("punct", "sum"), ("digit", "sum")]
+            )
+        )
+        return g.rename_columns(["source", "docs", "chars", "toks", "punct", "digit"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("docs"), Sum("chars"), Sum("toks"), Sum("punct"), Sum("digit"))
+        .to_pandas()  # bounded: one row per source
+    )
+    docs_n = agg["sum(docs)"].astype("int64").to_numpy()
+    chars = agg["sum(chars)"].astype("int64").to_numpy()
+    toks = agg["sum(toks)"].astype("int64").to_numpy()
+    punct = agg["sum(punct)"].astype("int64").to_numpy()
+    digit = agg["sum(digit)"].astype("int64").to_numpy()
+    return pa.table(
+        {
+            "source": pa.array(agg["source"], pa.string()),
+            "n_docs": pa.array(docs_n, pa.int64()),
+            "total_chars": pa.array(chars, pa.int64()),
+            "total_tokens": pa.array(toks, pa.int64()),
+            "punct_ratio": pa.array(punct / chars, pa.float64()),
+            "digit_ratio": pa.array(digit / chars, pa.float64()),
+            "mean_doc_chars": pa.array(chars / docs_n, pa.float64()),
+        }
+    )
