@@ -1805,3 +1805,90 @@ def cross_source_dup_pairs(sf_dir: str):
         )
 
     return j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# Filtered vector search (metadata predicate + top-k — the hybrid-search shape)
+# ===========================================================================
+
+_FILTER_LABELS = (0, 1, 2, 3, 4)
+
+
+def _ann_filtered_sql() -> str:
+    labels = ", ".join(str(l) for l in _FILTER_LABELS)
+    return f"""
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id
+             ) AS rank
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id != b.vec_id AND b.label IN ({labels})
+      WHERE a.vec_id < {_ANN_NQ}
+    ) WHERE rank <= {_ANN_K}
+    """
+
+
+@op("ann_topk_filtered", _ann_filtered_sql())
+def ann_topk_filtered(sf_dir: str):
+    """Filtered vector search: cosine top-k restricted to candidates whose
+    metadata passes a predicate (here ``label ∈ {0..4}``) — the hybrid
+    filter-plus-ANN shape every vector store serves ("nearest docs
+    matching this facet").
+
+    Scale shape: the predicate applies AT THE SCAN (pre-filter, the only
+    correct order — post-filtering a top-k can starve it below k), so the
+    matmul never sees a rejected candidate; everything downstream is
+    ann_topk_cosine's broadcast-queries + per-batch partial top-k +
+    bounded per-query merge.  Rank identity is the contract, same ulp
+    policy as the unfiltered op."""
+    import ray
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    q_ids, q_mat = _query_matrix(emb, _ANN_NQ)
+    ref = ray.put((q_ids, q_mat))
+    allowed = pa.array(list(_FILTER_LABELS), pa.int64())
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(pc.cast(batch["label"], pa.int64()), value_set=allowed)
+        )
+        qi, qm = ray.get(ref)
+        out_schema = pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+             ("score", pa.float64())]
+        )
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        b_mat = _normalize(_embedding_matrix(batch))
+        sims = qm @ b_mat.T
+        out_q, out_n, out_s = [], [], []
+        for r in range(qi.size):
+            s = sims[r]
+            mask = b_ids != qi[r]
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            order = idx[np.lexsort((b_ids[idx], -s[idx]))][:_ANN_K]
+            out_q.extend([qi[r]] * order.size)
+            out_n.extend(b_ids[order])
+            out_s.extend(s[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    partials = emb.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, _ANN_K), batch_format="pyarrow"
+    )

@@ -422,3 +422,29 @@ def test_cross_source_pairs_subset(ray_session):
         assert r["source_a"] == src.loc[r["doc_a"]]
         assert r["source_b"] == src.loc[r["doc_b"]]
         assert r["source_a"] != r["source_b"]
+
+
+def test_ann_filtered_subset_semantics(ray_session):
+    """Every filtered neighbor passes the label predicate, and for queries
+    whose unfiltered top-k already satisfies it the two ops agree."""
+    import duckdb as _dd
+
+    from sharesci_ray.pipelines.ops_dedup import (
+        _FILTER_LABELS,
+        ann_topk_cosine,
+        ann_topk_filtered,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = ann_topk_filtered(sf).to_pandas()
+    labels = _dd.sql(
+        f"SELECT vec_id, label FROM read_parquet('{sf}/embeddings.parquet')"
+    ).df().set_index("vec_id")["label"]
+    assert got["neighbor_id"].map(labels).isin(_FILTER_LABELS).all()
+
+    plain = ann_topk_cosine(sf).to_pandas()
+    for qid, sub in plain.groupby("query_id"):
+        if sub["neighbor_id"].map(labels).isin(_FILTER_LABELS).all():
+            f = got[got["query_id"] == qid].sort_values("rank")
+            s = sub.sort_values("rank")
+            assert list(f["neighbor_id"]) == list(s["neighbor_id"]), qid
