@@ -1020,3 +1020,102 @@ def facet_counts(sf_dir: str):
     )
     agg = joined.groupby(["query_id", "lang"]).count()
     return _rename(agg, {"count()": "n_match"}, int64_cols=("n_match",))
+
+
+# ===========================================================================
+# Hybrid search: Reciprocal Rank Fusion of BM25 and vector ranks
+# ===========================================================================
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al. 2009)
+_HYBRID_TOPK = 10
+# mirror ops_dedup's _ANN_NQ/_ANN_K (importing them here at decorator time
+# is a circular import — ops.py registers both side-modules); the invariant
+# test asserts the mirrors stay equal
+_ANN_NQ = 10
+_ANN_K = 10
+
+
+def _hybrid_sql() -> str:
+    from .ops import _bm25_sql
+
+    ann_sql = f"""
+      SELECT query_id, rank, neighbor_id AS doc_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) DESC,
+                          b.vec_id
+               ) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < {_ANN_NQ}
+      ) WHERE rank <= {_ANN_K}
+    """
+    return f"""
+    WITH b AS ({_bm25_sql()}),
+    a AS ({ann_sql}),
+    f AS (
+      SELECT coalesce(b.query_id, a.query_id) AS query_id,
+             coalesce(b.doc_id, a.doc_id) AS doc_id,
+             coalesce(1.0 / ({_RRF_K} + b.rank), 0)
+               + coalesce(1.0 / ({_RRF_K} + a.rank), 0) AS rrf
+      FROM b FULL OUTER JOIN a
+        ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+      WHERE coalesce(b.query_id, a.query_id) < {_ANN_NQ}
+    )
+    SELECT query_id, rank, doc_id FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id) AS rank
+      FROM f
+    ) WHERE rank <= {_HYBRID_TOPK}
+    """
+
+
+@op("hybrid_search_rrf", _hybrid_sql())
+def hybrid_search_rrf(sf_dir: str):
+    """Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al., SIGIR
+    2009) of the BM25 ranking and the cosine vector ranking — the
+    standard two-tower search stack (lexical + semantic) fused without
+    score calibration.  Query q pairs DOC_QUERIES[q] with the embedding
+    of vec_id q; rrf = Σ 1/(60 + rank) over the lists that ranked the
+    doc.  Two IEEE divisions + one two-operand addition — identical
+    expression tree on both sides, so values hash exactly.
+
+    Scale shape: both input rankings are the already-distributed ops
+    (index-backed BM25, broadcast-matmul ANN); fusion itself operates on
+    the bounded rank lists (≤ queries × 2k rows), which is where RRF
+    always runs — fusing AFTER per-system top-k is the algorithm, not a
+    shortcut."""
+    from .ops import _bm25_run
+    from .ops_dedup import ann_topk_cosine
+
+    bm25 = _bm25_run(sf_dir).to_pandas()  # bounded: queries × k
+    bm25 = bm25[bm25["query_id"] < _ANN_NQ]
+    ann = ann_topk_cosine(sf_dir).to_pandas()  # bounded: queries × k
+
+    scores: dict[tuple[int, int], float] = {}
+    for _, r in bm25.iterrows():
+        key = (int(r["query_id"]), int(r["doc_id"]))
+        scores[key] = scores.get(key, 0.0) + 1.0 / (_RRF_K + int(r["rank"]))
+    for _, r in ann.iterrows():
+        key = (int(r["query_id"]), int(r["neighbor_id"]))
+        scores[key] = scores.get(key, 0.0) + 1.0 / (_RRF_K + int(r["rank"]))
+
+    out_q, out_r, out_d = [], [], []
+    by_query: dict[int, list[tuple[float, int]]] = {}
+    for (qid, doc), s in scores.items():
+        by_query.setdefault(qid, []).append((s, doc))
+    for qid in sorted(by_query):
+        ranked = sorted(by_query[qid], key=lambda t: (-t[0], t[1]))[:_HYBRID_TOPK]
+        for i, (_, doc) in enumerate(ranked, start=1):
+            out_q.append(qid)
+            out_r.append(i)
+            out_d.append(doc)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+        }
+    )

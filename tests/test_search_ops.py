@@ -376,3 +376,31 @@ def test_facet_counts_sum_to_and_counts(ray_session):
     for qid, n in ands.items():
         assert int(sums.get(qid, 0)) == int(n)
     assert (facets["n_match"] > 0).all()
+
+
+def test_hybrid_rrf_fusion_invariants(ray_session):
+    """Constant mirrors stay equal across modules; every hybrid result doc
+    appears in at least one input ranking; a doc ranked #1 by BOTH systems
+    must win its query."""
+    from sharesci_ray.pipelines import ops_dedup as D
+    from sharesci_ray.pipelines import ops_search as S
+    from sharesci_ray.pipelines.ops import _bm25_run
+    from sharesci_ray.pipelines.ops_dedup import ann_topk_cosine
+    from sharesci_ray.pipelines.ops_search import hybrid_search_rrf
+
+    assert (S._ANN_NQ, S._ANN_K) == (D._ANN_NQ, D._ANN_K)
+
+    sf = "/root/testdata/sf0.001"
+    got = hybrid_search_rrf(sf).to_pandas()
+    bm25 = _bm25_run(sf).to_pandas()
+    ann = ann_topk_cosine(sf).to_pandas()
+    allowed = set(zip(bm25["query_id"], bm25["doc_id"])) | set(
+        zip(ann["query_id"], ann["neighbor_id"])
+    )
+    assert set(zip(got["query_id"], got["doc_id"])) <= allowed
+    b1 = bm25[bm25["rank"] == 1].set_index("query_id")["doc_id"]
+    a1 = ann[ann["rank"] == 1].set_index("query_id")["neighbor_id"]
+    g1 = got[got["rank"] == 1].set_index("query_id")["doc_id"]
+    for qid in g1.index:
+        if qid in b1.index and qid in a1.index and b1[qid] == a1[qid]:
+            assert g1[qid] == b1[qid], qid
