@@ -49,6 +49,14 @@ _rng = np.random.RandomState(0xC0FFEE)
 PERM_A = _rng.randint(1, P31, size=N_PERMS).astype(np.int64)
 PERM_B = _rng.randint(0, P31, size=N_PERMS).astype(np.int64)
 
+# ANN query-set fixture shared by EVERY vector-search op's engine AND oracle
+# SQL (ops_dedup + ops_search): the first ANN_NQ vec_ids are the queries,
+# each returning ANN_K neighbors.  Lives in this leaf module (ADVICE r3) so
+# the op modules can't drift apart — importing between them at decorator
+# time is a circular import.
+ANN_K = 10
+ANN_NQ = 10
+
 # polynomial band-fold hash: key = Σ_j (sig_j · A^(r-1-j) mod P31) mod P31,
 # summed then reduced mod P31 once (sum of BAND_ROWS values < 2^33, exact)
 BAND_A = 1_000_003

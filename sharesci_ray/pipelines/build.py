@@ -230,6 +230,32 @@ def _absorb_orphan_deltas(state: BuildState, build_dir: str) -> None:
         _write_reencode_debt(build_dir, debt, None)
 
 
+def _committed_docvec_files(state: BuildState, docvec_dir: str) -> list[str]:
+    """Parquet files of a docvec checkpoint EXCLUDING uncommitted
+    ``update-k`` delta subdirs (ADVICE r3: update_index crashing after the
+    delta parquet write but before the debt/pending record leaves an
+    orphan dir with no manifest and no _PENDING_FILE — a read-only
+    consumer like merge_indexes must not fold those never-committed,
+    possibly torn rows in; "an update that never committed never
+    happened").  The orphan dirs themselves are left on disk: the input
+    index is not ours to mutate, and its own next maintenance op heals
+    them via _absorb_orphan_deltas."""
+    orphans = {
+        d
+        for d in os.listdir(docvec_dir)
+        if d.startswith("update-")
+        and os.path.isdir(os.path.join(docvec_dir, d))
+        and state.read_manifest(d) is None
+    }
+    files: list[str] = []
+    for root, _dirs, fs in os.walk(docvec_dir):
+        rel = os.path.relpath(root, docvec_dir)
+        if rel != "." and rel.split(os.sep)[0] in orphans:
+            continue
+        files += [os.path.join(root, f) for f in fs if f.endswith(".parquet")]
+    return sorted(files)
+
+
 def _drop_dead_fn(dead: np.ndarray):
     """map_batches filter excluding tombstoned doc ids (broadcast once)."""
     dead_ref = ray.put(pa.array(dead, pa.int64()))
@@ -1344,15 +1370,20 @@ def merge_indexes(build_dirs: list[str], out_dir: str) -> BuildState:
             )
 
     # ---- union of surviving term vectors, ids reassigned densely ----------
-    import glob as _glob
-
     import pyarrow.parquet as _pq
 
     parts = []
     n_dropped = 0
+    first_committed: list[str] | None = None
     for d, state in zip(build_dirs, states):
         docvec_dir = state.stage_dir("docvec")
-        dv = ray.data.read_parquet(docvec_dir)
+        # committed files only: an orphan update-k delta (crashed pre-window
+        # update_index — no manifest, no pending file, segments intact, so
+        # the validation above passes) must not leak into the merge
+        files = _committed_docvec_files(state, docvec_dir)
+        if first_committed is None:
+            first_committed = files
+        dv = ray.data.read_parquet(files)
         dead = _read_tombstones(d)
         n_dropped += int(dead.size)
         if dead.size:
@@ -1364,15 +1395,10 @@ def merge_indexes(build_dirs: list[str], out_dir: str) -> BuildState:
     for p in parts[1:]:
         merged = merged.union(p)
     # the dead-filter can empty whole blocks (schema-less in Ray 2.49) —
-    # heal before the id sort, same containment as compact_index
-    dv_schema = _pq.read_schema(
-        sorted(
-            _glob.glob(
-                os.path.join(states[0].stage_dir("docvec"), "**", "*.parquet"),
-                recursive=True,
-            )
-        )[0]
-    )
+    # heal before the id sort, same containment as compact_index.  Schema
+    # comes from a COMMITTED file (a torn orphan parquet could fail or
+    # mislead the footer read).
+    dv_schema = _pq.read_schema(first_committed[0])
     dv_schema = pa.schema([f for f in dv_schema if f.name != "doc_id"])
     termvecs = assign_doc_ids(drop_empty_blocks(merged, dv_schema), base=0)
 

@@ -267,6 +267,15 @@ DOC_QUERIES = [
     "shuffle partition spill",
 ]
 
+# Every fixture query must tokenize to ≥1 term (ADVICE r3): the boolean
+# count ops (ops_search) seed a zero row for every DOC_QUERIES index, while
+# their SQL twins derive the query set from the per-term VALUES list — a
+# zero-term query would emit an engine row with no oracle counterpart.
+for _q in DOC_QUERIES:
+    if not tokenize(_q):
+        raise AssertionError(f"DOC_QUERIES entry tokenizes to zero terms: {_q!r}")
+del _q
+
 _INDEX_CACHE: dict[str, str] = {}
 
 

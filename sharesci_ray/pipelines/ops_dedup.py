@@ -738,8 +738,10 @@ def dedup_simhash(sf_dir: str):
 # ===========================================================================
 
 _COS_MIN = 0.4
-_ANN_K = 10
-_ANN_NQ = 10
+# shared ANN fixture (functions/dedup.py leaf module — ADVICE r3: ops_search
+# uses the same values in its oracle SQL; a drift would silently desync them)
+_ANN_K = dd.ANN_K
+_ANN_NQ = dd.ANN_NQ
 
 
 @op(

@@ -2409,9 +2409,11 @@ _COVISIT_K = 50
     "covisit_counts",
     f"""
     WITH it AS (
-      SELECT DISTINCT user_id,
-             CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
-      FROM events WHERE event_type = 'view'
+      SELECT DISTINCT user_id, item FROM (
+        SELECT user_id,
+               TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+        FROM events WHERE event_type = 'view'
+      ) WHERE item IS NOT NULL
     )
     SELECT item_a, item_b, n_users FROM (
       SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_users
@@ -2449,8 +2451,12 @@ def covisit_counts(sf_dir: str):
             t["props"].combine_chunks(), pattern="(?P<i>[0-9]+)"
         )
         item = pc.cast(pc.struct_field(extracted, "i"), pa.int64())
+        # digit-less props extract to null (ADVICE r3): drop them here,
+        # mirroring the oracle's TRY_CAST + IS NOT NULL — a null item would
+        # reach emit_pairs' int64 arrays as garbage otherwise
         return (
             pa.table({"user_id": t["user_id"], "item": item}, schema=_UI)
+            .filter(pc.is_valid(item))
             .group_by(["user_id", "item"])
             .aggregate([])
         )

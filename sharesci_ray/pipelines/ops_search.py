@@ -1028,11 +1028,10 @@ def facet_counts(sf_dir: str):
 
 _RRF_K = 60       # the standard RRF damping constant (Cormack et al. 2009)
 _HYBRID_TOPK = 10
-# mirror ops_dedup's _ANN_NQ/_ANN_K (importing them here at decorator time
-# is a circular import — ops.py registers both side-modules); the invariant
-# test asserts the mirrors stay equal
-_ANN_NQ = 10
-_ANN_K = 10
+# shared ANN fixture from the functions/dedup leaf module (ADVICE r3):
+# ops_dedup's engine/oracle use the same source, so they cannot drift
+_ANN_NQ = dd.ANN_NQ
+_ANN_K = dd.ANN_K
 
 
 def _hybrid_sql() -> str:

@@ -934,6 +934,51 @@ def test_merge_indexes_validation(ray_session, tmp_path_factory):
         merge_indexes([d1, d3], out)
 
 
+def test_merge_skips_uncommitted_orphan_delta(ray_session, tmp_path_factory):
+    """ADVICE r3 (build.py merge_indexes): an input whose update_index
+    crashed after the delta parquet write but BEFORE the debt/pending
+    record (so segments manifest intact, no _PENDING_FILE — validation
+    passes) has an orphan ``update-0`` docvec subdir that no manifest
+    commits.  The merge must NOT fold those never-committed rows into the
+    output, and must not mutate the input (the input's own next
+    maintenance op heals the orphan)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from sharesci_ray.pipelines.build import merge_indexes
+
+    full = make_corpus(40, seed=909)
+    d1 = str(tmp_path_factory.mktemp("mo_a"))
+    d2 = str(tmp_path_factory.mktemp("mo_b"))
+    cfg = BuildConfig(n_buckets=4)
+    build_index(corpus_from_table(full.slice(0, 20)), d1, cfg, resume=False)
+    build_index(corpus_from_table(full.slice(20)), d2, cfg, resume=False)
+
+    # plant the orphan: a valid delta parquet under docvec/update-0 with
+    # rows that would double-count d1's docs if merged
+    docvec = glob.glob(os.path.join(d1, "**", "stage=docvec"), recursive=True)[0]
+    src = sorted(glob.glob(os.path.join(docvec, "*.parquet")))[0]
+    orphan = os.path.join(docvec, "update-0")
+    os.makedirs(orphan)
+    shutil.copy(src, os.path.join(orphan, "orphan.parquet"))
+
+    out = str(tmp_path_factory.mktemp("mo_out")) + "/idx"
+    merge_indexes([d1, d2], out)
+
+    # the output matches a merge of the COMMITTED corpora only
+    s_out = json.load(open(f"{out}/stats.json"))
+    assert s_out["n_docs"] == 40
+    d_ref = str(tmp_path_factory.mktemp("mo_ref"))
+    build_index(corpus_from_table(full), d_ref, cfg, resume=False)
+    assert _path_map(out) == _path_map(d_ref)
+    assert s_out["total_tokens"] == json.load(open(f"{d_ref}/stats.json"))["total_tokens"]
+
+    # input untouched: the orphan is still there for its owner to heal
+    assert os.path.isfile(os.path.join(orphan, "orphan.parquet"))
+
+
 def test_merge_crash_rerun_rebuilds(ray_session, tmp_path_factory, monkeypatch):
     """A merge that crashes mid-build leaves the in-progress marker; the
     rerun wipes the debris and produces a complete, servable index — while

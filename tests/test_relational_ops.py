@@ -492,6 +492,53 @@ def test_covisit_pairs_canonical(ray_session):
     assert keys == sorted(keys)
 
 
+def test_covisit_digitless_props_parity(ray_session):
+    """ADVICE r3: props with no digit run must be skipped identically on
+    both sides — the engine drops null items before pair emission, the
+    oracle TRY_CASTs and filters NULL — instead of erroring differently."""
+    import os
+    import tempfile
+
+    import duckdb as _dd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from sharesci_ray.pipelines.ops_relational import covisit_counts
+
+    rows = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["view"] * 6),
+            "props": pa.array(
+                ['{"k": 5}', '{"k": 9}', "no digits here", '{"k": 5}',
+                 '{"k": 9}', "{}"]
+            ),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="covisit_nodigit_")
+    pq.write_table(rows, os.path.join(d, "events.parquet"))
+
+    got = (
+        covisit_counts(d)
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    truth = (
+        con.execute(e.oracle_sql()["covisit_counts"])
+        .df()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    assert list(got["item_a"]) == list(truth["item_a"]) == [5]
+    assert list(got["item_b"]) == list(truth["item_b"]) == [9]
+    assert list(got["n_users"]) == list(truth["n_users"]) == [2]
+
+
 def test_monthly_growth_telescopes(ray_session):
     """Deltas telescope: with lag-against-previous (first month lags 0),
     Σ delta_cents = the last month's revenue.  Also check total mass
