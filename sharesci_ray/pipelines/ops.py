@@ -1362,6 +1362,7 @@ def supplier_by_region(sf_dir: str):
 
 # -- extension registries (import side-effect: registers into REGISTRY) -----
 from . import ops_dedup  # noqa: E402,F401  (dedup + similarity search)
+from . import ops_embed  # noqa: E402,F401  (embedder stage + vector index)
 from . import ops_media  # noqa: E402,F401  (multimodal column plumbing)
 from . import ops_relational  # noqa: E402,F401  (pii scrub, as-of join, pivot)
 from . import ops_search  # noqa: E402,F401  (boolean/prefix search, repetition)

@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import dedup as dd
+from ..functions import vectors as vx
 from ..functions.text import SQL_TOKENIZE
 from ..sources.corpus import read_table
 from .ops import op
@@ -50,17 +51,11 @@ _SQL_SHINGLE_CTES = f"""
 """
 
 
-def _embedding_matrix(batch: pa.Table) -> np.ndarray:
-    """list<float> column → (n, dim) float64 matrix, zero-copy flatten."""
-    col = batch["embedding"]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-    return flat.reshape(batch.num_rows, -1).astype(np.float64)
-
-
-def _normalize(m: np.ndarray) -> np.ndarray:
-    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+# shared vector kernels live in the functions/vectors leaf module (same
+# circular-import containment as the ANN fixture constants, ADVICE r3);
+# aliased here so every call site below keeps its original name
+_embedding_matrix = vx.embedding_matrix
+_normalize = vx.normalize
 
 
 _PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
@@ -151,27 +146,8 @@ def _with_fold(key_cols: list[str], schema: pa.Schema, n_buckets: int):
     return add_fold
 
 
-_TOPK_SCHEMA = pa.schema(
-    [("query_id", pa.int64()), ("rank", pa.int64()), ("neighbor_id", pa.int64())]
-)
-
-
-def _final_topk(group: pa.Table, k: int) -> pa.Table:
-    """Per-query merge of partial candidates → ranked top-k
-    (score desc, neighbor_id asc)."""
-    if group.num_rows == 0:
-        return _TOPK_SCHEMA.empty_table()
-    s = group["score"].to_numpy(zero_copy_only=False)
-    n = group["neighbor_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((n, -s))[:k]
-    return pa.table(
-        {
-            "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
-            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-            "neighbor_id": pa.array(n[order], pa.int64()),
-        },
-        schema=_TOPK_SCHEMA,
-    )
+_TOPK_SCHEMA = vx.TOPK_SCHEMA
+_final_topk = vx.final_topk
 
 
 def _query_matrix(emb, n_queries: int):
@@ -913,8 +889,8 @@ _LSH_TABLES = 4       # independent hash tables (union of candidates)
 _LSH_PLANES = 5       # 32 buckets per table
 _LSH_MULTIPROBE = 2   # probe buckets within Hamming 2 of the query bucket
 _LSH_MIN_RECALL = 0.9  # asserted vs the brute-force truth (verify=True path)
-_LSH_DIM = 64         # embeddings table dim (asserted at runtime)
-_LSH_QSCALE = 1 << 20  # embedding quantization: q = floor(x · 2^20)
+_LSH_DIM = vx.VEC_DIM      # embeddings table dim (asserted at runtime)
+_LSH_QSCALE = vx.QSCALE    # embedding quantization: q = floor(x · 2^20)
 
 # INTEGER hyperplane weights (fixed seed, embedded verbatim in the oracle
 # SQL): bucketing is an exact int64 dot-product sign on BOTH sides —
@@ -929,10 +905,7 @@ _LSH_W = np.floor(
 ).astype(np.int64)
 
 
-def _quantize(mat: np.ndarray) -> np.ndarray:
-    """float64 embedding rows → exact int64 lattice (SQL twin:
-    CAST(floor(x * 2^20) AS BIGINT) over CAST(embedding AS DOUBLE[]))."""
-    return np.floor(mat * _LSH_QSCALE).astype(np.int64)
+_quantize = vx.quantize
 
 
 def _bucket_of(qmat: np.ndarray, table: int) -> np.ndarray:
@@ -993,9 +966,7 @@ def _ann_lsh_sql() -> str:
     """
 
 
-_PARTIAL_SCHEMA = pa.schema(
-    [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())]
-)
+_PARTIAL_SCHEMA = vx.PARTIAL_SCHEMA
 
 
 @op("ann_lsh_topk", _ann_lsh_sql())
@@ -1173,8 +1144,8 @@ def ann_lsh_topk(sf_dir: str, verify: bool = False):
 # on sf0.01).  On a real embedding corpus (clustered; neighbors at
 # cos ≥ 0.7) IVF prunes 10-100× at the same recall — that, not the uniform
 # floor, is the production operating point.
-_IVF_C = 16          # number of inverted lists (centroids)
-_IVF_PROBE = 8       # lists probed per query
+_IVF_C = vx.IVF_C          # number of inverted lists (centroids)
+_IVF_PROBE = vx.IVF_PROBE  # lists probed per query
 _IVF_MIN_RECALL = 0.6  # asserted vs brute-force truth (verify=True path)
 
 # Centroids are a deterministic data sample: the _IVF_C embedding rows with
@@ -1186,66 +1157,10 @@ _IVF_MIN_RECALL = 0.6  # asserted vs brute-force truth (verify=True path)
 # 64·2^42 « 2^63), so buckets and probe sets replay exactly in SQL.
 
 
-def _ivf_assign(quant: np.ndarray, cent_q: np.ndarray) -> np.ndarray:
-    """Nearest centroid per QUANTIZED row by int64 inner product; ties →
-    smallest centroid id (np.argmax takes the first max; SQL twin orders
-    d DESC, cid ASC)."""
-    return np.argmax(quant @ cent_q.T, axis=1).astype(np.int64)
+_ivf_assign = vx.ivf_assign
 
 
-def _ivf_sql() -> str:
-    """Replay quantization, all n×C integer centroid dots, argmax list
-    assignment, top-P probe and exact cosine re-ranking in SQL."""
-    dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(_LSH_DIM))
-    return f"""
-    WITH emb AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * {_LSH_QSCALE}) AS BIGINT)) AS q,
-             CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings
-    ),
-    cent AS (
-      SELECT vec_id - {_ANN_NQ} AS cid, q AS cq FROM emb
-      WHERE vec_id >= {_ANN_NQ} AND vec_id < {_ANN_NQ + _IVF_C}
-    ),
-    dots AS (
-      SELECT e.vec_id, c.cid, {dot} AS d FROM emb e CROSS JOIN cent c
-    ),
-    assign AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-        FROM dots
-      ) WHERE rn = 1
-    ),
-    probe AS (
-      SELECT vec_id AS qid, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-        FROM dots WHERE vec_id < {_ANN_NQ}
-      ) WHERE rn <= {_IVF_PROBE}
-    ),
-    cand AS (
-      SELECT p.qid, a.vec_id
-      FROM probe p JOIN assign a ON a.cid = p.cid
-      WHERE a.vec_id != p.qid
-    ),
-    scored AS (
-      SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(qe.e, be.e) AS score
-      FROM cand c
-      JOIN emb qe ON qe.vec_id = c.qid
-      JOIN emb be ON be.vec_id = c.vec_id
-    )
-    SELECT query_id, rank, neighbor_id FROM (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, neighbor_id
-             ) AS rank
-      FROM scored
-    ) WHERE rank <= {_ANN_K}
-    """
+_ivf_sql = vx.ivf_sql
 
 
 @op("ann_ivf_topk", _ivf_sql())

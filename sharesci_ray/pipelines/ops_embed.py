@@ -1,0 +1,465 @@
+"""Deterministic embedding stage + persisted vector-index artifact.
+
+(ref: n/a — SURVEY.md §0: the reference checkout is empty; these ops come
+from the task brief's training-data-pipeline requirements and close
+VERDICT r3 "What's missing" #1-#2.)
+
+Two pieces real pipelines run before any ANN query:
+
+* **embed_documents** — the canonical "model loaded once per actor,
+  ``map_batches`` over text → vectors" stage.  The model is a seeded
+  random-projection / hashing-trick embedder (Weinberger et al., ICML 2009
+  "Feature Hashing for Large Scale Multitask Learning"): token t
+  contributes weight ``w_d(t) ∈ {-1, 0, +1}`` to dimension d, with
+  ``w_d = ((h31(t)·EA_d + EB_d) mod P31) mod 3 − 1`` — ``h31`` the
+  SQL-replayable md5-int60 token hash mod P31 (functions/dedup.py), EA/EB
+  frozen seeded constants.  Raw components are exact integer sums over
+  token occurrences (order-independent, bit-stable); the only float work
+  is one sqrt + one division per component, so the DuckDB oracle
+  reproduces every output bit (ops.py float-safety policy: sums of exact
+  small integers in float64 are exact; IEEE-754 sqrt and division are
+  correctly rounded on both sides).
+
+* **build_vector_index / ann_ivf_persisted** — the vector twin of the BM25
+  segment artifact: build ONCE (centroid sidecar + every vector written
+  into its nearest-centroid list, hive-partitioned by ``cid=``), then
+  answer query batches from the artifact alone.  The query plan reads the
+  two tiny sidecars plus ONLY the probed ``cid=`` partitions (partition
+  pruning at the read) — the corpus table is never re-scanned.  Assignment
+  and probing reuse ann_ivf_topk's integer-exact quantized dots, so the
+  persisted op shares its SQL oracle verbatim.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import dedup as dd
+from ..functions import vectors as vx
+from ..functions.text import flat_tokens
+from ..sources.corpus import read_table
+from .ops import _TOKS, op
+
+# shared leaf-module kernels/constants (functions/vectors.py): importing
+# them from ops_dedup here would be circular (ops.py registers both side
+# modules) — the same containment as the ANN fixture constants (ADVICE r3)
+_ANN_K, _ANN_NQ = dd.ANN_K, dd.ANN_NQ
+_IVF_C, _IVF_PROBE = vx.IVF_C, vx.IVF_PROBE
+_embedding_matrix = vx.embedding_matrix
+_final_topk = vx.final_topk
+_ivf_assign = vx.ivf_assign
+_ivf_sql = vx.ivf_sql
+_normalize = vx.normalize
+_quantize = vx.quantize
+_PARTIAL_SCHEMA = vx.PARTIAL_SCHEMA
+
+# ===========================================================================
+# Deterministic hashing-trick embedder
+# ===========================================================================
+
+EMBED_DIM = 16
+
+
+def _embed_params(dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """The frozen "model weights": per-dimension (EA, EB) projection
+    constants from a fixed seed — regenerated identically in every actor's
+    ``__init__`` and embedded verbatim in the oracle SQL VALUES list."""
+    rng = np.random.RandomState(0x5EEDED)
+    ea = rng.randint(1, dd.P31, size=dim).astype(np.int64)
+    eb = rng.randint(0, dd.P31, size=dim).astype(np.int64)
+    return ea, eb
+
+
+EMBED_A, EMBED_B = _embed_params(EMBED_DIM)
+
+_EMB_SCHEMA = pa.schema([("doc_id", pa.int64()), ("embedding", pa.list_(pa.float64()))])
+
+
+class HashEmbedder:
+    """Stateful embedding stage (actor pool): the projection model is
+    materialized ONCE per actor in ``__init__`` — the shape a real
+    model-inference stage uses (load weights once, embed every batch) —
+    and ``__call__`` embeds one Arrow batch fully vectorized (one md5 per
+    UNIQUE token via hash_strings, then numpy matmul-shaped modular
+    arithmetic; no per-row Python)."""
+
+    def __init__(
+        self, dim: int = EMBED_DIM, text_col: str = "text", id_col: str = "doc_id"
+    ):
+        self.dim = dim
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ea, self.eb = _embed_params(dim)  # the "model load"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _EMB_SCHEMA.empty_table()
+        flat, parent = flat_tokens(t[self.text_col])
+        v = np.zeros((n, self.dim), dtype=np.int64)
+        if len(flat):
+            h31 = dd.hash_strings(flat) % dd.P31
+            # (n_tokens, dim): h31 < 2^31, ea < 2^31 → products < 2^62, exact
+            g = (h31[:, None] * self.ea[None, :] + self.eb[None, :]) % dd.P31
+            w = (g % 3) - 1
+            # parent is nondecreasing (flat_tokens order): one reduceat per
+            # token run instead of np.add.at's per-element scatter
+            starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+            v[parent[starts]] = np.add.reduceat(w, starts, axis=0)
+        vf = v.astype(np.float64)
+        norm = np.sqrt((vf * vf).sum(axis=1))
+        x = np.divide(
+            vf,
+            norm[:, None],
+            out=np.zeros((n, self.dim), dtype=np.float64),
+            where=norm[:, None] > 0,
+        )
+        offsets = pa.array(np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offsets, pa.array(x.ravel(), pa.float64()))
+        return pa.table(
+            {"doc_id": pc.cast(t[self.id_col], pa.int64()), "embedding": emb},
+            schema=_EMB_SCHEMA,
+        )
+
+
+def document_vectors(
+    sf_dir: str, concurrency: int | None = None
+) -> "ray.data.Dataset":
+    """documents table → (doc_id, embedding) unit vectors via the
+    HashEmbedder actor pool — the stage downstream vector ops consume.
+
+    Pool size leaves ≥1 CPU for the upstream read: a pool holding every
+    cluster CPU backpressures ReadParquet forever (deadlock on small
+    ``ray.init(num_cpus=...)`` sessions)."""
+    from .util import cluster_cpus
+
+    if concurrency is None:
+        concurrency = max(1, min(cluster_cpus() // 2, cluster_cpus() - 1))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        HashEmbedder,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def _embed_sql() -> str:
+    values = ", ".join(
+        f"({d}, {int(EMBED_A[d])}, {int(EMBED_B[d])})" for d in range(EMBED_DIM)
+    )
+    h60 = dd.SQL_H60.format(s="term")
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    h AS (SELECT doc_id, tf, {h60} % {dd.P31} AS h31 FROM tf),
+    dims(dim, ea, eb) AS (VALUES {values}),
+    comp AS (
+      SELECT doc_id, dim,
+             SUM(tf * (((h31 * ea + eb) % {dd.P31}) % 3 - 1))::BIGINT AS v
+      FROM h CROSS JOIN dims GROUP BY 1, 2
+    ),
+    grid AS (SELECT doc_id, dim FROM documents CROSS JOIN dims),
+    vals AS (
+      SELECT g.doc_id, g.dim, COALESCE(c.v, 0)::BIGINT AS v
+      FROM grid g LEFT JOIN comp c ON c.doc_id = g.doc_id AND c.dim = g.dim
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS n
+      FROM vals GROUP BY 1
+    )
+    SELECT v.doc_id, v.dim,
+           CASE WHEN n.n = 0 THEN 0.0
+                ELSE CAST(v.v AS DOUBLE) / n.n END AS val
+    FROM vals v JOIN nrm n USING (doc_id)
+    """
+
+
+_FLAT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("dim", pa.int64()), ("val", pa.float64())]
+)
+
+
+@op("embed_documents", _embed_sql())
+def embed_documents(sf_dir: str):
+    """Text → embedding stage over the documents table, flattened to one
+    (doc_id, dim, val) row per vector component so the driver's value-hash
+    gate checks every float bit against the SQL twin.
+
+    Scale shape: stateless w.r.t. the data but STATEFUL w.r.t. the model —
+    the projection constants are built once per actor (``HashEmbedder``,
+    the brief's "load model once in ``__init__``" shape) and each batch is
+    one vectorized hash+matmul; nothing shuffles (embed is embarrassingly
+    parallel) and only the (doc, dim) rows leave each task."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _FLAT_SCHEMA.empty_table()
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = pc.list_flatten(col)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.repeat(
+                        t["doc_id"].to_numpy(zero_copy_only=False), EMBED_DIM
+                    ),
+                    pa.int64(),
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(EMBED_DIM, dtype=np.int64), n), pa.int64()
+                ),
+                "val": pc.cast(vals, pa.float64()),
+            },
+            schema=_FLAT_SCHEMA,
+        )
+
+    return document_vectors(sf_dir).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ===========================================================================
+# Persisted IVF vector-index artifact
+# ===========================================================================
+
+
+def build_vector_index(
+    vectors: "ray.data.Dataset",
+    out_dir: str,
+    n_queries: int = _ANN_NQ,
+    n_lists: int = _IVF_C,
+) -> dict:
+    """Build-once IVF artifact over a (vec_id, embedding) dataset — the
+    vector twin of the BM25 segments directory:
+
+      out_dir/centroids.parquet   (cid, embedding) — the n_lists fixture
+                                  centroids (rows n_queries ..
+                                  n_queries+n_lists, same deterministic
+                                  scheme as ann_ivf_topk so the SQL twin
+                                  replays assignment exactly)
+      out_dir/queries.parquet     the first n_queries rows (the fixture
+                                  query set, kept out of the hot path)
+      out_dir/lists/cid=K/...     every vector in its nearest-centroid
+                                  list; hive-partitioned so a query reads
+                                  ONLY its probed lists.  ``list_id``
+                                  duplicates the partition value inside
+                                  the file (hive writers drop the
+                                  partition column from row data).
+      out_dir/meta.json           dim / list count / row count / qscale.
+
+    Assignment is the integer-exact quantized argmax of ann_ivf_topk —
+    no float-boundary hazard between build and oracle.  The build's one
+    corpus pass + partitioned write is amortized over every subsequent
+    query batch.  Crash-safe: built under ``out_dir + '.tmp'`` and
+    committed by a single rename."""
+    import ray
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(tmp)
+
+    import pyarrow.parquet as pq
+
+    # ---- bounded sidecars: centroids + fixture queries --------------------
+    head = vectors.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries + n_lists)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded: n_queries + n_lists rows
+    head.sort(key=lambda r: int(r["vec_id"]))
+    if len(head) != n_queries + n_lists:
+        raise ValueError(
+            f"build_vector_index: expected vec_ids [0, {n_queries + n_lists}) "
+            f"for the query/centroid fixture, got {len(head)} rows"
+        )
+    dim = len(head[0]["embedding"])
+    q_raw = np.array([r["embedding"] for r in head[:n_queries]], dtype=np.float64)
+    cent_raw = np.array([r["embedding"] for r in head[n_queries:]], dtype=np.float64)
+    cent_q = _quantize(cent_raw)
+
+    def emb_list(mat: np.ndarray) -> pa.ListArray:
+        n = mat.shape[0]
+        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+        return pa.ListArray.from_arrays(offs, pa.array(mat.ravel(), pa.float64()))
+
+    pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array(np.arange(n_lists, dtype=np.int64)),
+                "embedding": emb_list(cent_raw),
+            }
+        ),
+        os.path.join(tmp, "centroids.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n_queries, dtype=np.int64)),
+                "embedding": emb_list(q_raw),
+            }
+        ),
+        os.path.join(tmp, "queries.parquet"),
+    )
+
+    # ---- assignment + partitioned list write (the one corpus pass) --------
+    cent_ref = ray.put(cent_q)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", t.schema.field("embedding").type),
+                    ("cid", pa.int64()),
+                    ("list_id", pa.int64()),
+                ]
+            ).empty_table()
+        cids = _ivf_assign(_quantize(_embedding_matrix(t)), ray.get(cent_ref))
+        t = t.select(["vec_id", "embedding"])
+        t = t.append_column("cid", pa.array(cids, pa.int64()))
+        return t.append_column("list_id", pa.array(cids, pa.int64()))
+
+    n_rows = vectors.count()
+    vectors.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(tmp, "lists"), partition_cols=["cid"])
+
+    meta = {
+        "dim": dim,
+        "n_lists": n_lists,
+        "n_queries": n_queries,
+        "n_vectors": int(n_rows),
+        "qscale_log2": 20,
+    }
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, out_dir)
+    return meta
+
+
+def query_vector_index(
+    index_dir: str, k: int = _ANN_K, n_probe: int = _IVF_PROBE
+) -> "ray.data.Dataset":
+    """Answer the artifact's fixture query set from the artifact ALONE:
+    load the two tiny sidecars, pick each query's top-``n_probe`` lists by
+    the same integer dots, then scan ONLY the union of probed ``cid=``
+    partitions — partition pruning at the read; the corpus table is never
+    touched.  Output schema and ranking are identical to ann_ivf_topk."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    q_t = pq.read_table(os.path.join(index_dir, "queries.parquet"))
+    cent_q = _quantize(_embedding_matrix(cent_t.rename_columns(["vec_id", "embedding"])))
+    q_raw = _embedding_matrix(q_t)
+    q_ids = q_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(q_raw)
+    n_lists = cent_t.num_rows
+
+    q_dots = _quantize(q_raw) @ cent_q.T  # (nq, C) exact int64
+    probe = np.argsort(-q_dots, axis=1, kind="stable")[:, :n_probe]
+    probe_masks = np.zeros((q_ids.size, n_lists), dtype=bool)
+    for r in range(q_ids.size):
+        probe_masks[r, probe[r]] = True
+    probed_cids = sorted(set(int(c) for c in probe.ravel()))
+
+    # the pruned read: only probed lists' files enter the plan (Ray 2.49's
+    # read_parquet expands a single dir but not a LIST of dirs — enumerate
+    # the files explicitly)
+    import glob as _glob
+
+    paths = [
+        f
+        for c in probed_cids
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "lists", f"cid={c}", "*.parquet"))
+        )
+    ]
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "list_id"])
+    ref = ray.put((q_ids, q_mat, probe_masks))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, pm = ray.get(ref)
+        if batch.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lids = batch["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_mat = _normalize(_embedding_matrix(batch))
+        sims = qm @ b_mat.T
+        out_q, out_n, out_s = [], [], []
+        for r in range(qi.size):
+            mask = pm[r][lids] & (b_ids != qi[r])
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            s = sims[r]
+            order = idx[np.lexsort((b_ids[idx], -s[idx]))][:k]
+            out_q.extend([qi[r]] * order.size)
+            out_n.extend(b_ids[order])
+            out_s.extend(s[order])
+        if not out_q:
+            return _PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    partials = ds.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )
+
+
+_VINDEX_CACHE: dict[str, str] = {}
+
+
+def _vector_index_for(sf_dir: str) -> str:
+    """Build (or reuse) the persisted IVF artifact for a testdata dir's
+    embeddings table — same amortization shape as ops._index_for: the ANN
+    ops share one artifact per corpus, salted with a source fingerprint so
+    kernel edits invalidate stale /tmp artifacts."""
+    if sf_dir in _VINDEX_CACHE:
+        return _VINDEX_CACHE[sf_dir]
+    import inspect
+    import sys
+
+    src = inspect.getsource(sys.modules[__name__]) + inspect.getsource(dd)
+    tag = hashlib.sha256(f"{sf_dir}:{src}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"sharesci_vidx_{tag}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_vector_index(emb, out)
+    _VINDEX_CACHE[sf_dir] = out
+    return out
+
+
+@op("ann_ivf_persisted", _ivf_sql())
+def ann_ivf_persisted(sf_dir: str):
+    """ann_ivf_topk semantics answered from the PERSISTED artifact
+    (VERDICT r3 next-round #2): build the IVF index once per corpus
+    (centroid sidecar + hive-partitioned lists), then serve top-k from the
+    artifact alone — sidecars + probed ``cid=`` partitions only, no corpus
+    re-scan, build cost amortized across every query batch.  Identical
+    output to ann_ivf_topk (same integer-exact assignment and probe sets),
+    so it shares that op's full SQL oracle."""
+    return query_vector_index(_vector_index_for(sf_dir))

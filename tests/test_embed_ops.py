@@ -1,0 +1,136 @@
+"""Embedding stage + persisted vector index (ops_embed.py): actor-model
+determinism, artifact-only query path, and the end-to-end
+text → vectors → persisted index → top-k chain.  Oracle parity for the two
+registry ops is covered generically by test_driver_parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_embedder_unit_vectors_and_determinism(ray_session):
+    """Two independently constructed actors (two 'model loads') produce
+    identical unit vectors; the all-zero edge (no tokens) stays zero."""
+    from sharesci_ray.pipelines.ops_embed import EMBED_DIM, HashEmbedder
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["getValue index scan", "hashJoin merge", "42 7"]),
+        }
+    )
+    a, b = HashEmbedder(), HashEmbedder()
+    ta, tb = a(t), b(t)
+    ma = np.array(ta["embedding"].to_pylist())
+    mb = np.array(tb["embedding"].to_pylist())
+    assert (ma == mb).all()
+    assert ma.shape == (3, EMBED_DIM)
+    norms = np.linalg.norm(ma, axis=1)
+    assert np.allclose(norms[:2], 1.0)
+    assert norms[2] == 0.0  # pure-int tokens are dropped by the tokenizer
+
+
+def test_ivf_persisted_matches_inline_op(ray_session):
+    """The persisted-artifact query returns exactly ann_ivf_topk's ranking
+    (same integer assignment/probe math), and repeat calls serve from the
+    cached artifact WITHOUT touching the corpus tables."""
+    import sharesci_ray.pipelines.ops_embed as E
+    from sharesci_ray.pipelines.ops_dedup import ann_ivf_topk
+
+    got = (
+        E.ann_ivf_persisted(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        ann_ivf_topk(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(ref.astype("int64"))
+
+    # artifact built and cached: poison the corpus reader — the query path
+    # must not call it (reads sidecars + probed cid= partitions only)
+    real = E.read_table
+
+    def poisoned(*a, **k):
+        raise AssertionError("persisted query path re-scanned the corpus")
+
+    E.read_table = poisoned
+    try:
+        again = (
+            E.ann_ivf_persisted(SF)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        E.read_table = real
+    assert again.astype("int64").equals(ref.astype("int64"))
+
+
+def test_text_to_vectors_to_index_end_to_end(ray_session, tmp_path):
+    """The full chain of the brief: documents text → HashEmbedder vectors →
+    build_vector_index artifact → top-k from the artifact.  Ranking is
+    checked against an in-test numpy brute force restricted to the probed
+    lists (the IVF contract)."""
+    from sharesci_ray.pipelines.ops_embed import (
+        _ivf_assign,
+        _quantize,
+        build_vector_index,
+        document_vectors,
+        query_vector_index,
+    )
+
+    vecs = document_vectors(SF).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = str(tmp_path / "vidx")
+    nq, nc, k, n_probe = 5, 4, 3, 2
+    meta = build_vector_index(vecs, out, n_queries=nq, n_lists=nc)
+    assert meta["n_vectors"] == vecs.count()
+
+    got = query_vector_index(out, k=k, n_probe=n_probe).to_pandas()
+
+    # numpy truth over the same vectors, same probe rule
+    rows = sorted(vecs.take_all(), key=lambda r: int(r["vec_id"]))
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    cent_q = _quantize(mat[nq : nq + nc])
+    assign = _ivf_assign(_quantize(mat), cent_q)
+    nrm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    for q in range(nq):
+        dots = _quantize(mat[q : q + 1]) @ cent_q.T
+        probed = set(np.argsort(-dots[0], kind="stable")[:n_probe].tolist())
+        cand = np.flatnonzero(
+            np.isin(assign, list(probed)) & (ids != q)
+        )
+        sims = nrm[q] @ nrm[cand].T
+        order = cand[np.lexsort((ids[cand], -sims))][:k]
+        mine = got[got["query_id"] == q].sort_values("rank")
+        assert list(mine["neighbor_id"]) == [int(ids[i]) for i in order]
+
+
+def test_build_vector_index_rebuild_overwrites(ray_session, tmp_path):
+    """A rebuild into an existing artifact dir replaces it atomically
+    (tmp + rename), leaving no stale lists behind."""
+    import os
+
+    from sharesci_ray.pipelines.ops_embed import build_vector_index
+    from sharesci_ray.sources.corpus import read_table
+
+    emb = read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+    out = str(tmp_path / "vidx2")
+    build_vector_index(emb, out)
+    marker = os.path.join(out, "lists", "stale_leftover")
+    os.makedirs(marker)
+    build_vector_index(emb, out)
+    assert not os.path.exists(marker)
+    assert os.path.exists(os.path.join(out, "meta.json"))
