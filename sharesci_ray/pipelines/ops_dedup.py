@@ -720,33 +720,17 @@ _ANN_K = dd.ANN_K
 _ANN_NQ = dd.ANN_NQ
 
 
-@op(
-    "near_dup_embedding",
-    f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= {_COS_MIN}
-    """,
-)
-def near_dup_embedding(sf_dir: str):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4), float64 everywhere.
+def _near_dup_embedding_scan(sf_dir: str):
+    """EXACT all-pairs cosine threshold join — the A/B reference kernel
+    behind near_dup_embedding's ``exact_scan=True`` flag (VERDICT r3 #4:
+    the default plan is now LSH candidates + exact verify; this kernel is
+    O(B²) in block count BY CONSTRUCTION and kept only for recall A/B).
 
-    EXACT all-pairs without any driver materialization: the normalized
-    table is materialized as object-store blocks (``to_arrow_refs`` — the
-    driver holds only the refs), and a dataset of block-pair indices
-    (i ≤ j) fans out over ``map_batches``; each task ray.gets exactly two
-    blocks (bounded memory), does one float64 matmul, and emits the
-    threshold survivors.  Exact all-pairs is intrinsically O(B²) in block
-    count — that IS the op's contract; the subquadratic approximate path
-    is ann_lsh_topk's bucketed variant.
-
-    Parity caveat: the engine computes normalize-then-dot, the oracle
-    dot/(|a||b|) — algebraically equal, last-ulp different, so a pair whose
-    cosine sits within ~1e-15 of the threshold could split the sets.  The
-    testdata margin is ≥1e-5; a construction-exact variant would compare
-    integer-quantized scores.
+    No driver materialization: the normalized table is materialized as
+    object-store blocks (``to_arrow_refs`` — the driver holds only the
+    refs), and a dataset of block-pair indices (i ≤ j) fans out over
+    ``map_batches``; each task ray.gets exactly two blocks (bounded
+    memory), does one float64 matmul, and emits the threshold survivors.
     """
     import ray
     import ray.data
@@ -915,9 +899,10 @@ def _bucket_of(qmat: np.ndarray, table: int) -> np.ndarray:
     return (proj.astype(np.int64) * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
 
 
-def _ann_lsh_sql() -> str:
-    """Full oracle: replay quantization, all T·P integer plane dots, bucket
-    assembly, Hamming-≤2 multiprobe and exact cosine re-ranking in SQL."""
+def _lsh_buckets_sql() -> str:
+    """SQL UNION replaying every table's integer plane dots → (vec_id,
+    table_id, bucket) over the ``emb`` CTE — shared by ann_lsh_topk's and
+    near_dup_embedding's oracles."""
     per_table = []
     for t in range(_LSH_TABLES):
         bits = []
@@ -929,7 +914,13 @@ def _ann_lsh_sql() -> str:
         per_table.append(
             f"SELECT vec_id, {t} AS table_id, {' + '.join(bits)} AS bucket FROM emb"
         )
-    buckets_union = " UNION ALL ".join(per_table)
+    return " UNION ALL ".join(per_table)
+
+
+def _ann_lsh_sql() -> str:
+    """Full oracle: replay quantization, all T·P integer plane dots, bucket
+    assembly, Hamming-≤2 multiprobe and exact cosine re-ranking in SQL."""
+    buckets_union = _lsh_buckets_sql()
     return f"""
     WITH emb AS (
       SELECT vec_id,
@@ -1131,6 +1122,196 @@ def ann_lsh_topk(sf_dir: str, verify: bool = False):
             ),
         }
     )
+
+
+# ===========================================================================
+# Embedding near-dup pairs: LSH candidates + exact cosine verify (default)
+# ===========================================================================
+
+
+def _near_dup_lsh_sql() -> str:
+    """Oracle for the DEFAULT near_dup_embedding plan: the same integer
+    plane buckets as ann_lsh_topk, pairs colliding within Hamming ≤
+    _LSH_MULTIPROBE in ANY table, exact cosine verify on candidates.  The
+    candidate rule is mirrored on both sides, so parity is structural at
+    every scale — including where the LSH recall floor is < 1."""
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {_LSH_QSCALE}) AS BIGINT)) AS q,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    buck AS ({_lsh_buckets_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buck a JOIN buck b
+        ON b.table_id = a.table_id
+       AND bit_count(xor(a.bucket, b.bucket)) <= {_LSH_MULTIPROBE}
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b
+    FROM cand c
+    JOIN emb ea ON ea.vec_id = c.vec_a
+    JOIN emb eb ON eb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(ea.e, eb.e) >= {_COS_MIN}
+    """
+
+
+@op("near_dup_embedding", _near_dup_lsh_sql())
+def near_dup_embedding(sf_dir: str, exact_scan: bool = False):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4): LSH candidate
+    generation + exact float64 cosine verify on the candidates only
+    (VERDICT r3 #4 — the scale-safe default; the O(B²) all-pairs kernel
+    survives behind ``exact_scan=True`` as the A/B recall reference).
+
+    Candidate rule: two vectors are candidates iff their integer
+    hyperplane buckets (ann_lsh_topk's tables/planes, exact int64 dots)
+    are within Hamming ≤ 2 in ANY of the 4 tables.  The engine
+    realizes it as bucket-collision after radius-1 probe expansion (a
+    vector is emitted under its own bucket and each 1-bit flip; two
+    buckets at distance ≤ 2 always share an expanded key), which is
+    EXACTLY the xor/bit_count join the oracle runs — so engine and oracle
+    agree structurally at every scale.  Measured recall vs the exact scan:
+    59/59 true pairs at sf0.01, 916/920 at sf0.1 (the testdata is
+    near-uniform — adversarial for LSH; on a clustered real-dup corpus the
+    same rule prunes orders of magnitude harder at recall ~1).
+
+    Scale shape: the expansion emits (planes+1)·tables bounded-int rows
+    per vector; pair emission is the same fold-bucketed map_groups as
+    dedup_minhash_lsh (one Python call per fold bucket); dedup + the two
+    verify joins are linear hash shuffles sized by join_partitions — no
+    stage touches block PAIRS.  Verify loads only candidate rows' vectors.
+
+    Parity caveat (unchanged from the exact variant): engine
+    normalize-then-dot vs oracle dot/(|a||b|) differ in the last ulp; the
+    testdata margin at the 0.4 threshold is ≥ 1e-5.
+    """
+    if exact_scan:
+        return _near_dup_embedding_scan(sf_dir)
+
+    from .util import drop_empty_blocks, join_partitions
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    _EXP_SCHEMA = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("table_id", pa.int64()),
+            ("bucket", pa.int64()),
+            ("fold", pa.int64()),
+        ]
+    )
+
+    def exp_buckets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(list(_EXP_SCHEMA)[:3]).empty_table()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = _quantize(_embedding_matrix(t))
+        vids, tids, bks = [], [], []
+        for tb in range(_LSH_TABLES):
+            b = _bucket_of(q, tb)
+            probes = [b] + [b ^ (1 << p) for p in range(_LSH_PLANES)]
+            bks.append(np.concatenate(probes))
+            vids.append(np.tile(ids, _LSH_PLANES + 1))
+            tids.append(
+                np.full(ids.size * (_LSH_PLANES + 1), tb, dtype=np.int64)
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(vids), pa.int64()),
+                "table_id": pa.array(np.concatenate(tids), pa.int64()),
+                "bucket": pa.array(np.concatenate(bks), pa.int64()),
+            }
+        )
+
+    exp = emb.map_batches(
+        exp_buckets, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = exp.map_batches(
+        _with_fold(["table_id", "bucket"], _EXP_SCHEMA, _fold_count()),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # no df-cap here: dropping a hot bucket would silently lose PAIRS (the
+    # op's output unit), not just inflate a candidate set — degenerate
+    # buckets cost work, never correctness
+    pairs = folded.groupby("fold").map_groups(
+        lambda g: _emit_pairs_bucket(
+            g, ["table_id", "bucket"], id_col="vec_id", cap=1 << 62
+        ),
+        batch_format="pyarrow",
+    )
+    cand = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+        .rename_columns({"doc_a": "vec_a", "doc_b": "vec_b"})
+    )
+
+    # normalized vectors packed as fixed_size_binary: acero (Dataset.join)
+    # rejects list<double> payload columns, and the fixed-width buffer
+    # decodes back to a (n, dim) matrix with one zero-copy frombuffer
+    dim = _LSH_DIM
+    _BIN = pa.binary(dim * 8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = np.ascontiguousarray(_normalize(_embedding_matrix(t)))
+        arr = pa.Array.from_buffers(_BIN, t.num_rows, [None, pa.py_buffer(m.tobytes())])
+        return pa.table(
+            {"vec_id": pc.cast(t["vec_id"], pa.int64()), "embedding": arr}
+        )
+
+    def _bin_mat(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        raw = np.frombuffer(col.buffers()[1], dtype=np.float64)
+        return raw[col.offset * dim : (col.offset + len(col)) * dim].reshape(-1, dim)
+
+    norm = emb.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    _CAND_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    cand = drop_empty_blocks(cand, _CAND_SCHEMA)
+    nparts = join_partitions(cand, norm)
+    j1 = drop_empty_blocks(
+        cand.join(
+            norm,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("vec_a",),
+            right_on=("vec_id",),
+        ),
+        pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("embedding", _BIN)]
+        ),
+    ).rename_columns({"embedding": "emb_a"})
+    j2 = drop_empty_blocks(
+        j1.join(
+            norm,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("vec_b",),
+            right_on=("vec_id",),
+        ),
+        pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()),
+             ("emb_a", _BIN), ("embedding", _BIN)]
+        ),
+    )
+
+    _OUT_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT_SCHEMA.empty_table()
+        cos = (_bin_mat(t["emb_a"]) * _bin_mat(t["embedding"])).sum(axis=1)
+        return (
+            t.select(["vec_a", "vec_b"])
+            .filter(pa.array(cos >= _COS_MIN))
+            .cast(_OUT_SCHEMA)
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ===========================================================================
