@@ -53,4 +53,4 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from sharesci_ray.pipelines import ops
 
-    return ops.ORACLE_SQL
+    return ops.resolve_oracle_sql()

@@ -32,12 +32,16 @@ from ..sources.corpus import documents_as_corpus, read_table
 from .util import join_partitions
 
 REGISTRY: dict[str, Callable[[str], Any]] = {}
-ORACLE_SQL: dict[str, str] = {}
+# values are SQL strings, or zero-arg callables producing one (deferred:
+# an op whose oracle EMBEDS another op's SQL — export.training_shard_manifest
+# wraps clean_chunks' — can't resolve it at its own import time without
+# pinning module import order; resolve_oracle_sql() finalizes the dict)
+ORACLE_SQL: dict[str, str | Callable[[], str]] = {}
 
 _TOKS = SQL_TOKENIZE.format(col="text")
 
 
-def op(name: str, sql: str | None = None):
+def op(name: str, sql: str | Callable[[], str] | None = None):
     def deco(fn):
         REGISTRY[name] = fn
         if sql is not None:
@@ -45,6 +49,12 @@ def op(name: str, sql: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracle_sql() -> dict[str, str]:
+    """ORACLE_SQL with deferred (callable) entries resolved — the driver-
+    facing form (__ray_entry__.oracle_sql)."""
+    return {k: (v() if callable(v) else v) for k, v in ORACLE_SQL.items()}
 
 
 def _rename(ds, mapping: dict[str, str], int64_cols: tuple[str, ...] = ()):
@@ -1367,3 +1377,4 @@ from . import ops_media  # noqa: E402,F401  (multimodal column plumbing)
 from . import ops_relational  # noqa: E402,F401  (pii scrub, as-of join, pivot)
 from . import ops_search  # noqa: E402,F401  (boolean/prefix search, repetition)
 from . import ops_text  # noqa: E402,F401  (text analysis)
+from . import export  # noqa: E402,F401  (training-shard export)
