@@ -178,6 +178,32 @@ def test_near_dup_embedding_threshold(ray_session):
     assert (pairs["vec_a"] < pairs["vec_b"]).all()
 
 
+def test_connected_components_long_chain_pointer_doubling(ray_session):
+    """VERDICT r3 #6: a planted 200-edge chain (diameter 200) — which the
+    pre-doubling 64-round propagation bound would have REJECTED (loud
+    RuntimeError) — converges in O(log diameter) pointer-doubling rounds
+    and labels every node with the chain minimum."""
+    import ray.data
+
+    from sharesci_ray.pipelines.ops_dedup import _connected_components
+
+    n = 200
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(list(range(n)), pa.int64()),
+            "doc_b": pa.array(list(range(1, n + 1)), pa.int64()),
+        }
+    )
+    labels = (
+        _connected_components(ray.data.from_arrow(pairs), max_rounds=12)
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert len(labels) == n + 1
+    assert (labels["label"] == 0).all()
+
+
 def test_near_dup_embedding_default_equals_exact_scan(ray_session):
     """VERDICT r3 #4: the default LSH-candidate + exact-verify plan returns
     the SAME pairs as the O(B²) all-pairs reference kernel on sf0.01
