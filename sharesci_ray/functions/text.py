@@ -232,9 +232,78 @@ def rolling_fingerprint(text: str, window: int = 16, base: int = 257) -> int:
     return int(hashes.min())
 
 
-def fingerprint_column(col: pa.Array | pa.ChunkedArray, window: int = 16) -> np.ndarray:
-    """rolling_fingerprint applied per row → int64 numpy array."""
-    vals = col.to_pylist()
-    return np.array(
-        [rolling_fingerprint(t or "", window=window) for t in vals], dtype=np.int64
+def fingerprint_column(
+    col: pa.Array | pa.ChunkedArray, window: int = 16, base: int = 257
+) -> np.ndarray:
+    """rolling_fingerprint per row → int64, fully batch-vectorized
+    (VERDICT r3 #8: no per-row Python).
+
+    One pass over the column's concatenated utf-8 buffer: window hashes
+    are computed for EVERY byte position with ``window`` shifted
+    multiply-adds (O(window) vectorized passes, O(N) memory — no
+    (N, window) materialization), windows crossing a row boundary are
+    masked out, and per-row minima come from one ``np.minimum.reduceat``.
+    Rows shorter than the window get the same prefix polynomial hash the
+    scalar kernel computes; empty/null rows fingerprint to 0.  Value-
+    identical to :func:`rolling_fingerprint` on every row (pytest pins
+    this): uint64 addition wraps mod 2^64 and the 2^32 mask commutes with
+    it exactly as in the scalar path.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    col = pc.fill_null(col, "")
+    arr = col if pa.types.is_large_string(col.type) else pc.cast(col, pa.large_string())
+    buf_off = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=n + 1, offset=8 * arr.offset
     )
+    start, end = int(buf_off[0]), int(buf_off[-1])
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=end)[start:end]
+        .astype(np.uint64)
+    )
+    offs = (buf_off - buf_off[0]).astype(np.int64)
+    lens = np.diff(offs)
+    mask = np.uint64(0xFFFFFFFF)
+    out = np.zeros(n, dtype=np.int64)
+
+    # ---- short rows (0 < len < window): prefix polynomial hash ------------
+    short = (lens > 0) & (lens < window)
+    if short.any():
+        pows = np.array(
+            [pow(base, k, 1 << 32) for k in range(window)], dtype=np.uint64
+        )
+        char_row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        sel = short[char_row]
+        sdata = data[sel]
+        dist = (
+            np.repeat(offs[1:], lens) - 1 - np.arange(data.size, dtype=np.int64)
+        )[sel]
+        with np.errstate(over="ignore"):  # uint64 wrap == mod 2^64, intended
+            contrib = sdata * pows[dist]
+        scounts = lens[short]
+        sstarts = np.cumsum(scounts) - scounts
+        out[short] = (np.add.reduceat(contrib, sstarts) & mask).astype(np.int64)
+
+    # ---- long rows (len >= window): min over in-row window hashes ---------
+    long_ = lens >= window
+    if long_.any() and data.size >= window:
+        wpows = np.array(
+            [pow(base, window - 1 - j, 1 << 32) for j in range(window)],
+            dtype=np.uint64,
+        )
+        n_win = data.size - window + 1
+        h = np.zeros(n_win, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(window):
+                h += data[j : j + n_win] * wpows[j]
+        h &= mask
+        char_row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        valid = char_row[:n_win] == char_row[window - 1 :]
+        hv = h[valid]
+        counts = np.where(long_, lens - window + 1, 0)
+        starts = (np.cumsum(counts) - counts)[long_]
+        out[long_] = np.minimum.reduceat(hv, starts).astype(np.int64)
+    return out
