@@ -231,6 +231,115 @@ def embed_documents(sf_dir: str):
 
 
 # ===========================================================================
+# End-to-end text → embed → ANN (full SQL oracle)
+# ===========================================================================
+
+
+def _ann_docs_sql() -> str:
+    """Replay the embedder bit-exactly (its SQL twin), then rank by exact
+    cosine — dot products summed in ASCENDING dim order via
+    list_aggregate(list(...ORDER BY dim), 'sum'), replaying the engine's
+    sequential per-dim accumulation bit-for-bit (the bm25 oracle's
+    sorted-term trick) so near-tied neighbors rank identically."""
+    return f"""
+    WITH emb AS ({_embed_sql()}),
+    p AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, a.dim AS dim,
+             a.val * b.val AS prod
+      FROM emb a JOIN emb b ON a.dim = b.dim AND a.doc_id != b.doc_id
+      WHERE a.doc_id < {_ANN_NQ}
+    ),
+    sc AS (
+      SELECT query_id, neighbor_id,
+             list_aggregate(list(prod ORDER BY dim), 'sum') AS score
+      FROM p GROUP BY 1, 2
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM sc
+    ) WHERE rank <= {_ANN_K}
+    """
+
+
+@op("ann_docs_topk", _ann_docs_sql())
+def ann_docs_topk(sf_dir: str):
+    """The full text→vector→search chain as ONE driver-checked op:
+    documents are embedded by the HashEmbedder actor pool and the first
+    {nq} doc ids act as queries for brute-force cosine top-{k} over the
+    derived vectors — nothing here reads the embeddings table.
+
+    Scale shape: identical to ann_topk_cosine's (broadcast query matrix,
+    per-batch partial top-k — only k rows per query leave a batch) but fed
+    by the embedding stage instead of stored vectors; the two stages fuse
+    into one streamed map per batch.  Scores are computed with a
+    SEQUENTIAL per-dim accumulation (ascending dim) so the oracle can
+    replay the float sum exactly — embedder outputs are bit-equal on both
+    sides, so rank parity is exact, not margin-dependent."""
+    import ray
+
+    vecs = document_vectors(sf_dir)
+    q_rows = vecs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], _ANN_NQ)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded: _ANN_NQ rows
+    q_rows.sort(key=lambda r: int(r["doc_id"]))
+    q_ids = np.array([r["doc_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    ref = ray.put((q_ids, q_mat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        if batch.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        b_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        b_mat = (
+            pc.list_flatten(col)
+            .to_numpy(zero_copy_only=False)
+            .reshape(batch.num_rows, -1)
+        )
+        # sequential per-dim accumulation, ascending dim — the exact float
+        # order the oracle's list(... ORDER BY dim) sum replays
+        sims = np.zeros((qi.size, b_ids.size), dtype=np.float64)
+        for d in range(qm.shape[1]):
+            sims += qm[:, d : d + 1] * b_mat[:, d][None, :]
+        out_q, out_n, out_s = [], [], []
+        for r in range(qi.size):
+            mask = b_ids != qi[r]
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            s = sims[r]
+            order = idx[np.lexsort((b_ids[idx], -s[idx]))][:_ANN_K]
+            out_q.extend([qi[r]] * order.size)
+            out_n.extend(b_ids[order])
+            out_s.extend(s[order])
+        if not out_q:
+            return _PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    partials = vecs.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, _ANN_K), batch_format="pyarrow"
+    )
+
+
+# ===========================================================================
 # Persisted IVF vector-index artifact
 # ===========================================================================
 

@@ -118,6 +118,18 @@ def test_text_to_vectors_to_index_end_to_end(ray_session, tmp_path):
         assert list(mine["neighbor_id"]) == [int(ids[i]) for i in order]
 
 
+def test_ann_docs_topk_invariants(ray_session):
+    """End-to-end text→embed→ANN op: k rows per query, no self-neighbor,
+    ranks dense from 1 (oracle parity is covered by test_driver_parity)."""
+    from sharesci_ray.pipelines.ops_embed import ann_docs_topk
+
+    df = ann_docs_topk(SF).to_pandas()
+    assert set(df["query_id"].unique()) == set(range(10))
+    for q, g in df.groupby("query_id"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, 11))
+        assert (g["neighbor_id"] != q).all()
+
+
 def test_build_vector_index_rebuild_overwrites(ray_session, tmp_path):
     """A rebuild into an existing artifact dir replaces it atomically
     (tmp + rename), leaving no stale lists behind."""
