@@ -441,7 +441,10 @@ def build_vector_index(
         t = t.append_column("cid", pa.array(cids, pa.int64()))
         return t.append_column("list_id", pa.array(cids, pa.int64()))
 
-    n_rows = vectors.count()
+    from ray.data.aggregate import Count, Max
+
+    agg = vectors.aggregate(Count(), Max("vec_id"))
+    n_rows, max_id = int(agg["count()"]), int(agg["max(vec_id)"])
     vectors.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(os.path.join(tmp, "lists"), partition_cols=["cid"])
@@ -450,12 +453,134 @@ def build_vector_index(
         "dim": dim,
         "n_lists": n_lists,
         "n_queries": n_queries,
-        "n_vectors": int(n_rows),
+        "n_vectors": n_rows,
+        "max_vec_id": max_id,
         "qscale_log2": 20,
+        "updates": 0,
+        # committed file set per list: readers trust THIS, not the
+        # directory listing — an update that crashes after writing delta
+        # files but before the meta rewrite leaves only ignored orphans
+        "files": _list_files(tmp),
     }
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(tmp, meta)
     os.rename(tmp, out_dir)
+    return meta
+
+
+def _list_files(index_dir: str) -> dict[str, list[str]]:
+    """{cid: [parquet basenames]} from the lists/ tree."""
+    import glob as _glob
+
+    out: dict[str, list[str]] = {}
+    for d in sorted(_glob.glob(os.path.join(index_dir, "lists", "cid=*"))):
+        cid = os.path.basename(d).split("=", 1)[1]
+        out[cid] = sorted(
+            os.path.basename(f) for f in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+    return out
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    """Atomic meta.json replace — the artifact's single commit point."""
+    tmp = os.path.join(index_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+
+def update_vector_index(index_dir: str, new_vectors: "ray.data.Dataset") -> dict:
+    """Incremental append to a persisted IVF artifact (the vector twin of
+    build.update_index): new (vec_id, embedding) rows are assigned to the
+    artifact's FROZEN centroids (so assignment/probe math — and the shared
+    SQL oracle's rule — never changes across updates) and written as delta
+    parquet files inside only the touched ``cid=`` directories; the
+    existing lists are never read or rewritten — an update costs
+    O(delta), not O(index).
+
+    Crash safety: readers resolve the file set from meta.json's committed
+    ``files`` map, never from the directory listing, and the meta rewrite
+    is a single atomic replace — a crash after the delta writes but before
+    the commit leaves orphan files that are invisible to queries and swept
+    by the next update.
+
+    New vec_ids must extend the id space (min(new) > stored max_vec_id):
+    the fixture queries/centroids are id-addressed, and duplicate ids
+    would double-count in top-k."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    agg = new_vectors.aggregate(Count(), Min("vec_id"), Max("vec_id"))
+    n_new = int(agg["count()"])
+    if n_new == 0:
+        return meta
+    lo, hi = int(agg["min(vec_id)"]), int(agg["max(vec_id)"])
+    if lo <= int(meta["max_vec_id"]):
+        raise ValueError(
+            f"update_vector_index: new vec_ids must extend the id space "
+            f"(min new id {lo} <= stored max {meta['max_vec_id']})"
+        )
+
+    # sweep orphans from a previously crashed update (committed set wins)
+    committed = meta["files"]
+    for d in _glob.glob(os.path.join(index_dir, "lists", "cid=*")):
+        cid = os.path.basename(d).split("=", 1)[1]
+        keep = set(committed.get(cid, []))
+        for f_ in _glob.glob(os.path.join(d, "*.parquet")):
+            if os.path.basename(f_) not in keep:
+                os.remove(f_)
+
+    cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cent_q = _quantize(
+        _embedding_matrix(cent_t.rename_columns(["vec_id", "embedding"]))
+    )
+    cent_ref = ray.put(cent_q)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", t.schema.field("embedding").type),
+                    ("cid", pa.int64()),
+                    ("list_id", pa.int64()),
+                ]
+            ).empty_table()
+        cids = _ivf_assign(_quantize(_embedding_matrix(t)), ray.get(cent_ref))
+        t = t.select(["vec_id", "embedding"])
+        t = t.append_column("cid", pa.array(cids, pa.int64()))
+        return t.append_column("list_id", pa.array(cids, pa.int64()))
+
+    k = int(meta.get("updates", 0))
+    stage = os.path.join(index_dir, f"update-{k}.stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    new_vectors.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(stage, partition_cols=["cid"])
+
+    # move delta files into the live lists/ tree under update-salted names
+    # (collision-free), then commit the whole update with one meta replace
+    new_files: dict[str, list[str]] = {c: list(v) for c, v in committed.items()}
+    for d in sorted(_glob.glob(os.path.join(stage, "cid=*"))):
+        cid = os.path.basename(d).split("=", 1)[1]
+        dest = os.path.join(index_dir, "lists", f"cid={cid}")
+        os.makedirs(dest, exist_ok=True)
+        for f_ in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+            name = f"upd{k}-{os.path.basename(f_)}"
+            os.replace(f_, os.path.join(dest, name))
+            new_files.setdefault(cid, []).append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    meta["files"] = {c: sorted(v) for c, v in new_files.items()}
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    meta["max_vec_id"] = hi
+    meta["updates"] = k + 1
+    _write_meta(index_dir, meta)
     return meta
 
 
@@ -486,18 +611,18 @@ def query_vector_index(
         probe_masks[r, probe[r]] = True
     probed_cids = sorted(set(int(c) for c in probe.ravel()))
 
-    # the pruned read: only probed lists' files enter the plan (Ray 2.49's
-    # read_parquet expands a single dir but not a LIST of dirs — enumerate
-    # the files explicitly)
-    import glob as _glob
-
+    # the pruned read: only probed lists' COMMITTED files enter the plan —
+    # file set from meta.json (a crashed update's orphan deltas are
+    # invisible), never the directory listing
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
     paths = [
-        f
+        os.path.join(index_dir, "lists", f"cid={c}", name)
         for c in probed_cids
-        for f in sorted(
-            _glob.glob(os.path.join(index_dir, "lists", f"cid={c}", "*.parquet"))
-        )
+        for name in meta["files"].get(str(c), [])
     ]
+    if not paths:  # every probed list empty — no candidates
+        return ray.data.from_arrow(vx.TOPK_SCHEMA.empty_table())
     ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "list_id"])
     ref = ray.put((q_ids, q_mat, probe_masks))
 

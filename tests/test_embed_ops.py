@@ -130,6 +130,92 @@ def test_ann_docs_topk_invariants(ray_session):
         assert (g["neighbor_id"] != q).all()
 
 
+def test_update_vector_index_equals_fresh_build(ray_session, tmp_path):
+    """Incremental append ≡ fresh build over the union: same top-k ranking
+    (frozen centroids → identical assignment), meta counts updated, and a
+    crashed update's orphan delta file is invisible to queries and swept
+    by the next update."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.pipelines.ops_embed import (
+        build_vector_index,
+        query_vector_index,
+        update_vector_index,
+    )
+    from sharesci_ray.sources.corpus import read_table
+
+    emb = read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+    n = emb.count()
+    cut = n - 40
+    base = emb.filter(lambda r: r["vec_id"] < cut)
+    delta = emb.filter(lambda r: r["vec_id"] >= cut)
+
+    d_inc = str(tmp_path / "inc")
+    build_vector_index(base, d_inc)
+    meta0 = __import__("json").load(open(os.path.join(d_inc, "meta.json")))
+    meta1 = update_vector_index(d_inc, delta)
+    assert meta1["n_vectors"] == meta0["n_vectors"] + 40 == n
+    assert meta1["updates"] == 1
+
+    d_full = str(tmp_path / "full")
+    build_vector_index(emb, d_full)
+
+    got = (
+        query_vector_index(d_inc)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        query_vector_index(d_full)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(ref.astype("int64"))
+
+    # rejected: overlapping id space
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="extend the id space"):
+        update_vector_index(d_inc, delta)
+
+    # orphan delta (crash after file write, before meta commit): plant an
+    # uncommitted parquet with absurd rows — queries must not see it
+    cid0 = sorted(meta1["files"])[0]
+    committed = meta1["files"][cid0][0]
+    orphan_src = os.path.join(d_inc, "lists", f"cid={cid0}", committed)
+    orphan_dst = os.path.join(d_inc, "lists", f"cid={cid0}", "updX-orphan.parquet")
+    t = pq.read_table(orphan_src)
+    pq.write_table(
+        t.set_column(
+            0, "vec_id", pc.add(t["vec_id"], 1_000_000)
+        ),
+        orphan_dst,
+    )
+    again = (
+        query_vector_index(d_inc)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert again.astype("int64").equals(ref.astype("int64"))
+    # the next update sweeps it
+    more = emb.filter(lambda r: r["vec_id"] >= cut).map_batches(
+        lambda tb: tb.set_column(
+            tb.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(tb["vec_id"], 10_000),
+        ),
+        batch_format="pyarrow",
+    )
+    update_vector_index(d_inc, more)
+    assert not os.path.exists(orphan_dst)
+
+
 def test_build_vector_index_rebuild_overwrites(ray_session, tmp_path):
     """A rebuild into an existing artifact dir replaces it atomically
     (tmp + rename), leaving no stale lists behind."""
