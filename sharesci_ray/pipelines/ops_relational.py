@@ -2700,3 +2700,229 @@ def distinct_parts_per_supplier(sf_dir: str):
         {"sum(n)": "n_parts"},
         int64_cols=("n_parts",),
     )
+
+
+# ---------------------------------------------------------------------------
+# small_qty_order_revenue — TPC-H Q17 shape (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#1"
+
+
+@op(
+    "small_qty_order_revenue",
+    f"""
+    WITH lp AS (
+      SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = '{_Q17_BRAND}'
+    ),
+    pstat AS (
+      SELECT l_partkey, sum(qty)::BIGINT AS sum_qty, count(*)::BIGINT AS n
+      FROM lp GROUP BY 1
+    )
+    SELECT COALESCE(sum(lp.price_cents), 0)::BIGINT AS rev_cents,
+           count(*)::BIGINT AS n_small,
+           CAST(COALESCE(sum(lp.price_cents), 0) AS DOUBLE) / 700.0
+             AS avg_yearly
+    FROM lp JOIN pstat USING (l_partkey)
+    WHERE lp.qty * 5 * pstat.n < pstat.sum_qty
+    """,
+)
+def small_qty_order_revenue(sf_dir: str):
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders
+    (quantity below 20% of the part's average order quantity) for one
+    brand's parts were not taken.  The correlated ``qty < 0.2·avg``
+    comparison is lifted to exact integers — ``qty·5·n < Σqty`` — so the
+    filter is bit-identical on both sides; the only float is the final
+    ``Σcents / 700`` division of one exact integer sum.
+
+    Scale shape: the brand's part-key set is a bounded broadcast
+    (one brand ≈ |parts|/|brands| keys) applied AT THE SCAN, so lineitem
+    is filtered to ~1/|brands| before anything else; per-part (Σqty, n)
+    stats reduce per batch and the bounded per-brand stats table is
+    broadcast back for the probe pass — no corpus-sized shuffle at all,
+    every batch reduces to three integers."""
+    import ray
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pk_rows = part.map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], _Q17_BRAND)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded: one brand's parts
+    pk = pa.array(sorted(int(r["p_partkey"]) for r in pk_rows), pa.int64())
+    pk_ref = ray.put(pk)
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(pk_ref)))
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    lp = li.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+    lp = lp.materialize()  # two passes (stats + probe) over ~1/|brands| rows
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["l_partkey", "qty"])
+            .group_by("l_partkey")
+            .aggregate([("qty", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "sum_qty": pc.cast(g["qty_sum"], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    stat_rows = (
+        lp.map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .sum(["sum_qty", "n"])
+    ).take_all()  # bounded: one brand's parts
+    sum_qty = {int(r["l_partkey"]): int(r["sum(sum_qty)"]) for r in stat_rows}
+    n_li = {int(r["l_partkey"]): int(r["sum(n)"]) for r in stat_rows}
+    keys = pa.array(sorted(sum_qty), pa.int64())
+    sq_arr = np.array([sum_qty[int(k.as_py())] for k in keys], dtype=np.int64)
+    n_arr = np.array([n_li[int(k.as_py())] for k in keys], dtype=np.int64)
+    stat_ref = ray.put((keys, sq_arr, n_arr))
+
+    _PART = pa.schema([("rev_cents", pa.int64()), ("n_small", pa.int64())])
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        k, sq, nn = ray.get(stat_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=k).to_numpy(
+            zero_copy_only=False
+        )
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        cents = t["price_cents"].to_numpy(zero_copy_only=False)
+        small = qty * 5 * nn[idx] < sq[idx]
+        return pa.table(
+            {
+                "rev_cents": pa.array([int(cents[small].sum())], pa.int64()),
+                "n_small": pa.array([int(small.sum())], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = lp.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("rev_cents"), Sum("n_small"))
+    rev = int(agg["sum(rev_cents)"] or 0)
+    n_small = int(agg["sum(n_small)"] or 0)
+    return pa.table(
+        {
+            "rev_cents": pa.array([rev], pa.int64()),
+            "n_small": pa.array([n_small], pa.int64()),
+            "avg_yearly": pa.array([float(rev) / 700.0], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionize_events — gap-based sessionization (the classic event-log op)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8 h idle gap starts a new session
+
+
+@op(
+    "sessionize_events",
+    f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+    s AS (
+      SELECT user_id, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                    OR tus - lag(tus) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    sid AS (
+      SELECT user_id,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY tus
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM s
+    ),
+    per AS (SELECT user_id, session_id, count(*) AS n FROM sid GROUP BY 1, 2)
+    SELECT user_id, sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_sessions,
+           max(n)::BIGINT AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+)
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization (the canonical event-log windowing op): a
+    user's events split into sessions wherever the idle gap exceeds
+    {gap} hours; per user: event count, session count, and the largest
+    session.  Integer-exact (epoch-µs diffs), so the window-function SQL
+    twin matches bit-for-bit; tie timestamps are safe — the diff sequence
+    of a sorted multiset doesn't depend on tie order.
+
+    Scale shape: ts is cast to int64 epoch-µs BEFORE the one groupby
+    shuffle (no timestamp type crosses the exchange — Ray 2.49's numpy
+    path can downcast [us]→[s]); per-user session stats are a vectorized
+    sort + diff + boundary-count inside map_groups, with per-session
+    sizes from one np.diff over boundary indices.  Hyperactive users make
+    single large groups — at extreme skew, pre-split such users by day
+    and merge session runs at the seams."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "tus": pc.cast(
+                    pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    _OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("max_session_events", pa.int64()),
+        ]
+    )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _OUT.empty_table()
+        tus = np.sort(group["tus"].to_numpy(zero_copy_only=False))
+        gaps = np.diff(tus)
+        bounds = np.flatnonzero(gaps > _SESSION_GAP_US)
+        sizes = np.diff(np.concatenate([[0], bounds + 1, [tus.size]]))
+        return pa.table(
+            {
+                "user_id": pa.array([int(group["user_id"][0].as_py())], pa.int64()),
+                "n_events": pa.array([int(tus.size)], pa.int64()),
+                "n_sessions": pa.array([int(sizes.size)], pa.int64()),
+                "max_session_events": pa.array([int(sizes.max())], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    return (
+        ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
