@@ -26,6 +26,88 @@ QSCALE = 1 << 20    # embedding quantization: q = floor(x · 2^20)
 IVF_C = 16          # number of inverted lists (centroids)
 IVF_PROBE = 8       # lists probed per query
 
+# Hyperplane LSH (ops_dedup's ann_lsh_topk + ops_embed's persisted variant).
+# Tuned on the testdata distribution, which is ADVERSARIAL for LSH (near-
+# uniform embeddings); see ops_dedup for the full parameter rationale.
+LSH_TABLES = 4       # independent hash tables (union of candidates)
+LSH_PLANES = 5       # 32 buckets per table
+LSH_MULTIPROBE = 2   # probe buckets within Hamming 2 of the query bucket
+
+# INTEGER hyperplane weights (fixed seed, embedded verbatim in the oracle
+# SQL): bucketing is an exact int64 dot-product sign on BOTH sides —
+# q_d = floor(x_d · 2^20) (lossless), w from a frozen RNG rounded to
+# integers.  |q| < 2^21 · |w| < 2^22 · 64 terms → |dot| < 2^47, exact in
+# int64 everywhere — no float-sign parity hazard at the bucket boundary.
+LSH_W = np.floor(
+    np.random.RandomState(0xBEEF).standard_normal((LSH_TABLES, LSH_PLANES, VEC_DIM))
+    * 1_000_000
+).astype(np.int64)
+
+
+def bucket_of(qmat: np.ndarray, table: int) -> np.ndarray:
+    """Hyperplane LSH bucket per QUANTIZED row (int in [0, 2^planes));
+    integer matmul — bit p set iff Σ_d q_d·w_pd > 0, exact in int64."""
+    proj = qmat @ LSH_W[table].T > 0  # (n, planes) int64 matmul, no overflow
+    return (proj.astype(np.int64) * (1 << np.arange(LSH_PLANES))).sum(axis=1)
+
+
+def lsh_buckets_sql() -> str:
+    """SQL UNION replaying every table's integer plane dots → (vec_id,
+    table_id, bucket) over the ``emb`` CTE — shared by the LSH oracles."""
+    per_table = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for p in range(LSH_PLANES):
+            dot = " + ".join(
+                f"q[{d + 1}]*({int(LSH_W[t, p, d])})" for d in range(VEC_DIM)
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        per_table.append(
+            f"SELECT vec_id, {t} AS table_id, {' + '.join(bits)} AS bucket FROM emb"
+        )
+    return " UNION ALL ".join(per_table)
+
+
+def ann_lsh_sql() -> str:
+    """Full oracle: replay quantization, all T·P integer plane dots, bucket
+    assembly, Hamming-≤2 multiprobe and exact cosine re-ranking in SQL —
+    shared by ann_lsh_topk AND ann_lsh_persisted (identical bucket/probe
+    math by construction)."""
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {QSCALE}) AS BIGINT)) AS q,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    buck AS ({lsh_buckets_sql()}),
+    qb AS (
+      SELECT vec_id AS qid, table_id, bucket FROM buck WHERE vec_id < {ANN_NQ}
+    ),
+    cand AS (
+      SELECT DISTINCT qb.qid, b.vec_id
+      FROM qb JOIN buck b
+        ON b.table_id = qb.table_id
+       AND bit_count(xor(qb.bucket, b.bucket)) <= {LSH_MULTIPROBE}
+      WHERE b.vec_id != qb.qid
+    ),
+    scored AS (
+      SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(qe.e, be.e) AS score
+      FROM cand c
+      JOIN emb qe ON qe.vec_id = c.qid
+      JOIN emb be ON be.vec_id = c.vec_id
+    )
+    SELECT query_id, rank, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {ANN_K}
+    """
+
 PARTIAL_SCHEMA = pa.schema(
     [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score", pa.float64())]
 )
@@ -74,6 +156,28 @@ def final_topk(group: pa.Table, k: int) -> pa.Table:
             "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
             "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
             "neighbor_id": pa.array(n[order], pa.int64()),
+        },
+        schema=TOPK_SCHEMA,
+    )
+
+
+def final_topk_dedupe(group: pa.Table, k: int) -> pa.Table:
+    """Union candidates across tables (dedupe neighbors — scores for a
+    given (query, neighbor) are identical across tables) → exact top-k."""
+    if group.num_rows == 0:
+        return TOPK_SCHEMA.empty_table()
+    n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+    s = group["score"].to_numpy(zero_copy_only=False)
+    uniq, first = np.unique(n, return_index=True)
+    s = s[first]
+    order = np.lexsort((uniq, -s))[:k]
+    return pa.table(
+        {
+            "query_id": pc.cast(
+                group["query_id"].take(pa.array(first[order])), pa.int64()
+            ),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "neighbor_id": pa.array(uniq[order], pa.int64()),
         },
         schema=TOPK_SCHEMA,
     )

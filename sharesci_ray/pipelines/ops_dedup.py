@@ -929,92 +929,20 @@ def ann_topk_cosine(sf_dir: str):
 # cos ≈ 0.27), so wide probing is required for recall ≥ 0.9.  On a real
 # embedding corpus (neighbors at cos ≥ 0.7) the same recall comes much
 # cheaper — raise _LSH_PLANES / drop _LSH_MULTIPROBE there.
-_LSH_TABLES = 4       # independent hash tables (union of candidates)
-_LSH_PLANES = 5       # 32 buckets per table
-_LSH_MULTIPROBE = 2   # probe buckets within Hamming 2 of the query bucket
+# shared LSH kernels/constants live in the functions/vectors leaf module
+# (same circular-import containment as the IVF pieces): ops_embed's
+# persisted LSH index shares the exact bucket math and oracle SQL
+_LSH_TABLES = vx.LSH_TABLES
+_LSH_PLANES = vx.LSH_PLANES
+_LSH_MULTIPROBE = vx.LSH_MULTIPROBE
 _LSH_MIN_RECALL = 0.9  # asserted vs the brute-force truth (verify=True path)
 _LSH_DIM = vx.VEC_DIM      # embeddings table dim (asserted at runtime)
 _LSH_QSCALE = vx.QSCALE    # embedding quantization: q = floor(x · 2^20)
-
-# INTEGER hyperplane weights (fixed seed, embedded verbatim in the oracle
-# SQL): bucketing is an exact int64 dot-product sign on BOTH sides —
-# q_d = floor(x_d · 2^20) (exact: float32 → float64 widening and a
-# power-of-two scale are lossless, floor is identical in numpy and SQL),
-# w from a frozen RNG rounded to integers.  |q| < 2^21 · |w| < 2^22 · 64
-# terms → |dot| < 2^47, exact in int64 everywhere — no float-sign parity
-# hazard at the bucket boundary.
-_LSH_W = np.floor(
-    np.random.RandomState(0xBEEF).standard_normal((_LSH_TABLES, _LSH_PLANES, _LSH_DIM))
-    * 1_000_000
-).astype(np.int64)
-
-
+_LSH_W = vx.LSH_W
 _quantize = vx.quantize
-
-
-def _bucket_of(qmat: np.ndarray, table: int) -> np.ndarray:
-    """Hyperplane LSH bucket per QUANTIZED row (int in [0, 2^planes));
-    integer matmul — bit p set iff Σ_d q_d·w_pd > 0, exact in int64."""
-    proj = qmat @ _LSH_W[table].T > 0  # (n, planes) int64 matmul, no overflow
-    return (proj.astype(np.int64) * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
-
-
-def _lsh_buckets_sql() -> str:
-    """SQL UNION replaying every table's integer plane dots → (vec_id,
-    table_id, bucket) over the ``emb`` CTE — shared by ann_lsh_topk's and
-    near_dup_embedding's oracles."""
-    per_table = []
-    for t in range(_LSH_TABLES):
-        bits = []
-        for p in range(_LSH_PLANES):
-            dot = " + ".join(
-                f"q[{d + 1}]*({int(_LSH_W[t, p, d])})" for d in range(_LSH_DIM)
-            )
-            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-        per_table.append(
-            f"SELECT vec_id, {t} AS table_id, {' + '.join(bits)} AS bucket FROM emb"
-        )
-    return " UNION ALL ".join(per_table)
-
-
-def _ann_lsh_sql() -> str:
-    """Full oracle: replay quantization, all T·P integer plane dots, bucket
-    assembly, Hamming-≤2 multiprobe and exact cosine re-ranking in SQL."""
-    buckets_union = _lsh_buckets_sql()
-    return f"""
-    WITH emb AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * {_LSH_QSCALE}) AS BIGINT)) AS q,
-             CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings
-    ),
-    buck AS ({buckets_union}),
-    qb AS (
-      SELECT vec_id AS qid, table_id, bucket FROM buck WHERE vec_id < {_ANN_NQ}
-    ),
-    cand AS (
-      SELECT DISTINCT qb.qid, b.vec_id
-      FROM qb JOIN buck b
-        ON b.table_id = qb.table_id
-       AND bit_count(xor(qb.bucket, b.bucket)) <= {_LSH_MULTIPROBE}
-      WHERE b.vec_id != qb.qid
-    ),
-    scored AS (
-      SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(qe.e, be.e) AS score
-      FROM cand c
-      JOIN emb qe ON qe.vec_id = c.qid
-      JOIN emb be ON be.vec_id = c.vec_id
-    )
-    SELECT query_id, rank, neighbor_id FROM (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, neighbor_id
-             ) AS rank
-      FROM scored
-    ) WHERE rank <= {_ANN_K}
-    """
+_bucket_of = vx.bucket_of
+_lsh_buckets_sql = vx.lsh_buckets_sql
+_ann_lsh_sql = vx.ann_lsh_sql
 
 
 _PARTIAL_SCHEMA = vx.PARTIAL_SCHEMA
@@ -1127,26 +1055,11 @@ def ann_lsh_topk(sf_dir: str, verify: bool = False):
         score_bucket, batch_format="pyarrow"
     )
 
-    def merge_tables(group: pa.Table) -> pa.Table:
-        """Union candidates across tables (dedupe neighbors — scores for a
-        given (query, neighbor) are identical across tables) → exact top-k."""
-        if group.num_rows == 0:
-            return _TOPK_SCHEMA.empty_table()
-        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        s = group["score"].to_numpy(zero_copy_only=False)
-        uniq, first = np.unique(n, return_index=True)
-        s = s[first]
-        order = np.lexsort((uniq, -s))[:_ANN_K]
-        return pa.table(
-            {
-                "query_id": pc.cast(group["query_id"].take(pa.array(first[order])), pa.int64()),
-                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-                "neighbor_id": pa.array(uniq[order], pa.int64()),
-            },
-            schema=_TOPK_SCHEMA,
-        )
-
-    lsh = partials.groupby("query_id").map_groups(merge_tables, batch_format="pyarrow")
+    # union candidates across tables (dedupe — scores for a (query,
+    # neighbor) pair are identical across tables) → exact top-k
+    lsh = partials.groupby("query_id").map_groups(
+        lambda g: vx.final_topk_dedupe(g, _ANN_K), batch_format="pyarrow"
+    )
     if not verify:
         return lsh  # streaming result; buckets/candidates oracle-checked
 

@@ -664,6 +664,242 @@ def query_vector_index(
     )
 
 
+# ===========================================================================
+# Persisted LSH vector-index artifact (the hashed-partition twin of the IVF)
+# ===========================================================================
+
+
+def build_lsh_index(
+    vectors: "ray.data.Dataset", out_dir: str, n_queries: int = _ANN_NQ
+) -> dict:
+    """Build-once LSH artifact over a (vec_id, embedding) dataset:
+
+      out_dir/queries.parquet                    the fixture query rows
+      out_dir/lists/table_id=T/bucket=B/...      each vector exploded into
+                                                 its LSH_TABLES (table,
+                                                 bucket) copies — the
+                                                 standard multi-table LSH
+                                                 storage trade (T× bytes
+                                                 buys per-table pruning)
+      out_dir/meta.json                          committed-file map (same
+                                                 reader contract as the
+                                                 IVF artifact)
+
+    Bucketing is the integer-exact hyperplane math of ann_lsh_topk
+    (functions/vectors.py), so the persisted query path shares that op's
+    SQL oracle verbatim."""
+    import pyarrow.parquet as pq
+    import ray
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(tmp)
+
+    q_rows = vectors.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded: the fixture query sample
+    q_rows.sort(key=lambda r: int(r["vec_id"]))
+    dim = len(q_rows[0]["embedding"])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    offs = pa.array(
+        np.arange(0, (len(q_rows) + 1) * dim, dim, dtype=np.int32)
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([int(r["vec_id"]) for r in q_rows], pa.int64()),
+                "embedding": pa.ListArray.from_arrays(
+                    offs, pa.array(q_mat.ravel(), pa.float64())
+                ),
+            }
+        ),
+        os.path.join(tmp, "queries.parquet"),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", batch.schema.field("embedding").type),
+                    ("t_id", pa.int64()),
+                    ("bkt", pa.int64()),
+                    ("table_id", pa.int64()),
+                    ("bucket", pa.int64()),
+                ]
+            ).empty_table()
+        m = _quantize(_embedding_matrix(batch))
+        n = batch.num_rows
+        buckets = np.concatenate(
+            [vx.bucket_of(m, t) for t in range(vx.LSH_TABLES)]
+        )
+        tids = np.repeat(np.arange(vx.LSH_TABLES, dtype=np.int64), n)
+        ids = pc.cast(batch["vec_id"], pa.int64()).combine_chunks()
+        emb = batch["embedding"].combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.concat_arrays([ids] * vx.LSH_TABLES),
+                "embedding": pa.concat_arrays([emb] * vx.LSH_TABLES),
+                # in-file duplicates (hive writers drop partition columns)
+                "t_id": pa.array(tids, pa.int64()),
+                "bkt": pa.array(buckets, pa.int64()),
+                "table_id": pa.array(tids, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    n_rows = int(vectors.aggregate(Count())["count()"])
+    vectors.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(tmp, "lists"), partition_cols=["table_id", "bucket"])
+
+    import glob as _glob
+
+    files: dict[str, list[str]] = {}
+    for d in sorted(_glob.glob(os.path.join(tmp, "lists", "table_id=*", "bucket=*"))):
+        b = os.path.basename(d).split("=", 1)[1]
+        t = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
+        files[f"{t}/{b}"] = sorted(
+            os.path.basename(f) for f in _glob.glob(os.path.join(d, "*.parquet"))
+        )
+    meta = {
+        "dim": dim,
+        "n_queries": n_queries,
+        "n_vectors": n_rows,
+        "tables": vx.LSH_TABLES,
+        "planes": vx.LSH_PLANES,
+        "qscale_log2": 20,
+        "files": files,
+    }
+    _write_meta(tmp, meta)
+    os.rename(tmp, out_dir)
+    return meta
+
+
+def query_lsh_index(
+    index_dir: str, k: int = _ANN_K, multiprobe: int = vx.LSH_MULTIPROBE
+) -> "ray.data.Dataset":
+    """Answer the artifact's fixture query set from the artifact ALONE:
+    compute each query's per-table bucket, expand to every bucket within
+    Hamming ``multiprobe``, and read ONLY those (table, bucket) partitions'
+    committed files — ann_lsh_topk semantics without re-hashing the corpus.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    q_t = pq.read_table(os.path.join(index_dir, "queries.parquet"))
+    q_ids = q_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_raw = _embedding_matrix(q_t)
+    q_mat = _normalize(q_raw)
+    q_quant = _quantize(q_raw)
+
+    probe: dict[tuple[int, int], list[int]] = {}
+    for t in range(int(meta["tables"])):
+        q_buckets = vx.bucket_of(q_quant, t)
+        for qi, b in zip(q_ids, q_buckets):
+            for nb in range(1 << int(meta["planes"])):
+                if bin(int(b) ^ nb).count("1") <= multiprobe:
+                    probe.setdefault((t, nb), []).append(int(qi))
+
+    paths = [
+        os.path.join(index_dir, "lists", f"table_id={t}", f"bucket={b}", name)
+        for (t, b) in sorted(probe)
+        for name in meta["files"].get(f"{t}/{b}", [])
+    ]
+    if not paths:
+        return ray.data.from_arrow(vx.TOPK_SCHEMA.empty_table())
+    ds = ray.data.read_parquet(
+        paths, columns=["vec_id", "embedding", "t_id", "bkt"]
+    )
+    ref = ray.put((q_ids, q_mat, probe))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qi, qm, pr = ray.get(ref)
+        if batch.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tids = batch["t_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkts = batch["bkt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_mat = _normalize(_embedding_matrix(batch))
+        rows = {int(q): i for i, q in enumerate(qi)}
+        out_q, out_n, out_s = [], [], []
+        # a read batch can span several (table, bucket) partitions: score
+        # each distinct pair's slice against its probing queries
+        pairs = np.unique(np.stack([tids, bkts], axis=1), axis=0)
+        for t, b in pairs:
+            want = pr.get((int(t), int(b)))
+            if not want:
+                continue
+            sel = np.flatnonzero((tids == t) & (bkts == b))
+            ids_s, mat_s = b_ids[sel], b_mat[sel]
+            for q in want:
+                s = qm[rows[q]] @ mat_s.T
+                idx = np.flatnonzero(ids_s != q)
+                if idx.size == 0:
+                    continue
+                order = idx[np.lexsort((ids_s[idx], -s[idx]))][:k]
+                out_q.extend([q] * order.size)
+                out_n.extend(ids_s[order])
+                out_s.extend(s[order])
+        if not out_q:
+            return _PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    partials = ds.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: vx.final_topk_dedupe(g, k), batch_format="pyarrow"
+    )
+
+
+_LSHINDEX_CACHE: dict[str, str] = {}
+
+
+def _lsh_index_for(sf_dir: str) -> str:
+    """Build (or reuse) the persisted LSH artifact for a testdata dir's
+    embeddings table (same amortization shape as _vector_index_for)."""
+    if sf_dir in _LSHINDEX_CACHE:
+        return _LSHINDEX_CACHE[sf_dir]
+    import inspect
+    import sys
+
+    src = inspect.getsource(sys.modules[__name__]) + inspect.getsource(vx)
+    tag = hashlib.sha256(f"lsh:{sf_dir}:{src}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"sharesci_lshidx_{tag}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_lsh_index(emb, out)
+    _LSHINDEX_CACHE[sf_dir] = out
+    return out
+
+
+@op("ann_lsh_persisted", vx.ann_lsh_sql())
+def ann_lsh_persisted(sf_dir: str):
+    """ann_lsh_topk semantics answered from the PERSISTED artifact: build
+    the multi-table LSH index once per corpus (vectors exploded into their
+    (table, bucket) partitions), then serve top-k from the artifact alone —
+    query buckets + multiprobe expansion select the partitions to read, the
+    corpus is never re-hashed.  Identical output to ann_lsh_topk (same
+    integer bucket math), so it shares that op's full SQL oracle."""
+    return query_lsh_index(_lsh_index_for(sf_dir))
+
+
 _VINDEX_CACHE: dict[str, str] = {}
 
 

@@ -118,6 +118,45 @@ def test_text_to_vectors_to_index_end_to_end(ray_session, tmp_path):
         assert list(mine["neighbor_id"]) == [int(ids[i]) for i in order]
 
 
+def test_lsh_persisted_matches_inline_op(ray_session):
+    """The persisted multi-table LSH artifact returns exactly
+    ann_lsh_topk's ranking, and repeat calls serve from the cached
+    artifact WITHOUT touching the corpus tables."""
+    import sharesci_ray.pipelines.ops_embed as E
+    from sharesci_ray.pipelines.ops_dedup import ann_lsh_topk
+
+    got = (
+        E.ann_lsh_persisted(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        ann_lsh_topk(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(ref.astype("int64"))
+
+    real = E.read_table
+
+    def poisoned(*a, **k):
+        raise AssertionError("persisted LSH query path re-scanned the corpus")
+
+    E.read_table = poisoned
+    try:
+        again = (
+            E.ann_lsh_persisted(SF)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        E.read_table = real
+    assert again.astype("int64").equals(ref.astype("int64"))
+
+
 def test_ann_docs_topk_invariants(ray_session):
     """End-to-end text→embed→ANN op: k rows per query, no self-neighbor,
     ranks dense from 1 (oracle parity is covered by test_driver_parity)."""
