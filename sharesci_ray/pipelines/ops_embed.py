@@ -664,6 +664,69 @@ def query_vector_index(
     )
 
 
+def _vindex_stats_sql() -> str:
+    """Recompute per-list sizes from scratch in SQL (the assign CTE of the
+    shared IVF oracle) — the artifact's bookkeeping must match exactly."""
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {vx.QSCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id - {_ANN_NQ} AS cid, q AS cq FROM emb
+      WHERE vec_id >= {_ANN_NQ} AND vec_id < {_ANN_NQ + _IVF_C}
+    ),
+    dots AS (
+      SELECT e.vec_id, c.cid,
+             {" + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(vx.VEC_DIM))}
+               AS d
+      FROM emb e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    )
+    SELECT cid, count(*)::BIGINT AS n_vectors FROM assign GROUP BY cid
+    """
+
+
+@op("vector_index_stats", _vindex_stats_sql)
+def vector_index_stats(sf_dir: str):
+    """Index bookkeeping == corpus truth, as a driver-checked op (the
+    vector twin of index_dictionary_stats): per-list vector counts read
+    from the PERSISTED artifact's parquet FOOTERS (committed files only —
+    zero data bytes read), compared against a from-scratch SQL recompute
+    of the centroid assignment.  A green row proves the artifact's lists
+    partition the corpus exactly as the assignment rule says."""
+    import pyarrow.parquet as pq
+
+    idx = _vector_index_for(sf_dir)
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    cids, counts = [], []
+    for cid, names in sorted(meta["files"].items(), key=lambda kv: int(kv[0])):
+        n = sum(
+            pq.read_metadata(
+                os.path.join(idx, "lists", f"cid={cid}", name)
+            ).num_rows
+            for name in names
+        )
+        if n:
+            cids.append(int(cid))
+            counts.append(n)
+    return pa.table(
+        {
+            "cid": pa.array(cids, pa.int64()),
+            "n_vectors": pa.array(counts, pa.int64()),
+        }
+    )
+
+
 # ===========================================================================
 # Persisted LSH vector-index artifact (the hashed-partition twin of the IVF)
 # ===========================================================================
