@@ -161,6 +161,41 @@ def main(argv: list[str] | None = None) -> int:
                     help="word to correct (repeatable)")
     sg.add_argument("--k", type=int, default=5)
 
+    vb = sub.add_parser(
+        "vindex-build",
+        help="build a persisted IVF vector index from (vec_id, embedding) "
+             "parquet (centroid/query sidecars + cid=-partitioned lists)",
+    )
+    vb.add_argument("--embeddings", required=True, help="parquet path/glob")
+    vb.add_argument("--out-dir", required=True)
+
+    vu = sub.add_parser(
+        "vindex-update",
+        help="append new (vec_id, embedding) rows to a persisted IVF index "
+             "(frozen centroids, O(delta) — existing lists untouched)",
+    )
+    vu.add_argument("--embeddings", required=True)
+    vu.add_argument("--index-dir", required=True)
+
+    vq = sub.add_parser(
+        "vindex-query",
+        help="top-k cosine neighbors for the index's fixture query set, "
+             "served from the artifact alone (probed cid= partitions only)",
+    )
+    vq.add_argument("--index-dir", required=True)
+    vq.add_argument("--k", type=int, default=10)
+    vq.add_argument("--probe", type=int, default=8)
+
+    se = sub.add_parser(
+        "shards-export",
+        help="clean + dedup + chunk the documents table and write "
+             "size-targeted training shards + manifest",
+    )
+    se.add_argument("--sf-dir", required=True,
+                    help="directory containing documents.parquet")
+    se.add_argument("--out-dir", required=True)
+    se.add_argument("--target-chars", type=int, default=None)
+
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--build-dir", required=True)
     q.add_argument("--text", default=None, help="single query string")
@@ -228,6 +263,36 @@ def main(argv: list[str] | None = None) -> int:
         state = merge_indexes(args.build_dirs, args.out_dir)
         print(json.dumps({"out_dir": args.out_dir,
                           "stats": state.read_sidecar("stats.json")}))
+    elif args.cmd == "vindex-build":
+        from .pipelines.ops_embed import build_vector_index
+
+        meta = build_vector_index(
+            ray.data.read_parquet(args.embeddings), args.out_dir
+        )
+        print(json.dumps({"out_dir": args.out_dir,
+                          **{k: v for k, v in meta.items() if k != "files"}}))
+    elif args.cmd == "vindex-update":
+        from .pipelines.ops_embed import update_vector_index
+
+        meta = update_vector_index(
+            args.index_dir, ray.data.read_parquet(args.embeddings)
+        )
+        print(json.dumps({"index_dir": args.index_dir,
+                          **{k: v for k, v in meta.items() if k != "files"}}))
+    elif args.cmd == "vindex-query":
+        from .pipelines.ops_embed import query_vector_index
+
+        res = query_vector_index(args.index_dir, k=args.k, n_probe=args.probe)
+        for row in res.sort(["query_id", "rank"]).iter_rows():
+            print(json.dumps(row))
+    elif args.cmd == "shards-export":
+        from .pipelines.export import TARGET_SHARD_CHARS, write_training_shards
+
+        manifest = write_training_shards(
+            args.sf_dir, args.out_dir,
+            target_chars=args.target_chars or TARGET_SHARD_CHARS,
+        )
+        print(json.dumps(manifest))
     elif args.cmd == "suggest":
         from .pipelines.ops_search import suggest_terms
 

@@ -168,3 +168,45 @@ def test_cli_merge(ray_session, tmp_path, capsys):
     assert main(["query", "--build-dir", out, "--text", "get_value index"]) == 0
     lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
     assert lines and all("doc_id" in json.loads(l) for l in lines)
+
+
+def test_cli_vindex_and_shards(ray_session, tmp_path, capsys):
+    """vindex-build → vindex-query → vindex-update round-trip, plus the
+    shards-export surface, all through the CLI."""
+    SF = "/root/testdata/sf0.001"
+
+    # vector index over the testdata embeddings (copied so ids are ours)
+    import pyarrow.parquet as _pq
+
+    emb = _pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    src = str(tmp_path / "emb.parquet")
+    n = emb.num_rows
+    _pq.write_table(emb.slice(0, n - 30), src)
+    idx = str(tmp_path / "vidx")
+
+    assert main(["vindex-build", "--embeddings", src, "--out-dir", idx]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_vectors"] == n - 30
+
+    assert main(["vindex-query", "--index-dir", idx, "--k", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    rows = [json.loads(l) for l in lines]
+    assert rows and all(r["rank"] <= 5 for r in rows)
+
+    delta = str(tmp_path / "delta.parquet")
+    _pq.write_table(emb.slice(n - 30), delta)
+    assert main(["vindex-update", "--embeddings", delta, "--index-dir", idx]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_vectors"] == n and out["updates"] == 1
+
+    # shard export
+    shards = str(tmp_path / "shards")
+    assert main(
+        ["shards-export", "--sf-dir", SF, "--out-dir", shards,
+         "--target-chars", "40000"]
+    ) == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_shards"] >= 2
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(shards, "manifest.json"))
