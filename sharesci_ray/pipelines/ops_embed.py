@@ -382,6 +382,11 @@ def build_vector_index(
 
     import pyarrow.parquet as pq
 
+    # three consumers below (sidecar take, count/max aggregate, assignment
+    # write): checkpoint the input once into the object store so an
+    # upstream compute stage (e.g. the embedder) runs once, not three times
+    vectors = vectors.materialize()
+
     # ---- bounded sidecars: centroids + fixture queries --------------------
     head = vectors.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], n_queries + n_lists)),
@@ -515,6 +520,7 @@ def update_vector_index(index_dir: str, new_vectors: "ray.data.Dataset") -> dict
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    new_vectors = new_vectors.materialize()  # two consumers: validate + write
     agg = new_vectors.aggregate(Count(), Min("vec_id"), Max("vec_id"))
     n_new = int(agg["count()"])
     if n_new == 0:
@@ -758,6 +764,9 @@ def build_lsh_index(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(tmp)
+
+    # three consumers (sidecar take, count, exploded write): checkpoint once
+    vectors = vectors.materialize()
 
     q_rows = vectors.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
