@@ -972,6 +972,123 @@ def ann_lsh_persisted(sf_dir: str):
     return query_lsh_index(_lsh_index_for(sf_dir))
 
 
+# ===========================================================================
+# Vector serving: actor pool over the persisted IVF artifact (A2 analog)
+# ===========================================================================
+
+
+class VectorScorerActor:
+    """Stateful vector-search stage over a persisted IVF artifact — the
+    vector twin of query.ScorerActor: centroids + meta load ONCE per actor
+    in ``__init__``, inverted lists load lazily per cid on first probe and
+    stay cached (an actor serving a query stream touches each hot list
+    once, not once per batch).  ``__call__`` takes a (query_id, embedding)
+    Arrow batch and returns ranked (query_id, rank, neighbor_id) — ranking
+    identical to query_vector_index for the same queries.
+
+    Scale note: per-actor list cache duplicates hot lists across pool
+    actors; at multi-node scale hand actors plasma refs of the list tables
+    (shared_segment_refs pattern) instead of per-actor parquet reads."""
+
+    def __init__(self, index_dir: str, k: int = _ANN_K, n_probe: int = _IVF_PROBE):
+        import pyarrow.parquet as pq
+
+        self.k, self.n_probe = k, n_probe
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+        self.cent_q = _quantize(
+            _embedding_matrix(cent_t.rename_columns(["vec_id", "embedding"]))
+        )
+        self._lists: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _list(self, cid: int) -> tuple[np.ndarray, np.ndarray]:
+        """(vec_ids, normalized matrix) of one inverted list, cached."""
+        if cid not in self._lists:
+            import pyarrow.parquet as pq
+
+            names = self.meta["files"].get(str(cid), [])
+            if not names:
+                self._lists[cid] = (
+                    np.empty(0, np.int64),
+                    np.empty((0, int(self.meta["dim"])), np.float64),
+                )
+            else:
+                t = pa.concat_tables(
+                    pq.read_table(
+                        os.path.join(self.index_dir, "lists", f"cid={cid}", n),
+                        columns=["vec_id", "embedding"],
+                    )
+                    for n in names
+                )
+                self._lists[cid] = (
+                    t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    _normalize(_embedding_matrix(t)),
+                )
+        return self._lists[cid]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = vx.TOPK_SCHEMA
+        if batch.num_rows == 0:
+            return out.empty_table()
+        q_ids = batch["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q_raw = _embedding_matrix(batch)
+        q_mat = _normalize(q_raw)
+        dots = _quantize(q_raw) @ self.cent_q.T
+        probes = np.argsort(-dots, axis=1, kind="stable")[:, : self.n_probe]
+        out_q, out_r, out_n = [], [], []
+        for i in range(q_ids.size):
+            ids_parts, score_parts = [], []
+            for cid in probes[i]:
+                ids, mat = self._list(int(cid))
+                if ids.size == 0:
+                    continue
+                ids_parts.append(ids)
+                score_parts.append(q_mat[i] @ mat.T)
+            if not ids_parts:
+                continue
+            ids = np.concatenate(ids_parts)
+            s = np.concatenate(score_parts)
+            keep = ids != q_ids[i]  # fixture semantics: never self-match
+            ids, s = ids[keep], s[keep]
+            order = np.lexsort((ids, -s))[: self.k]
+            out_q.extend([q_ids[i]] * order.size)
+            out_r.extend(range(1, order.size + 1))
+            out_n.extend(ids[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+            },
+            schema=out,
+        )
+
+
+def query_vectors(
+    index_dir: str,
+    queries: "ray.data.Dataset",
+    k: int = _ANN_K,
+    n_probe: int = _IVF_PROBE,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Arbitrary (query_id, embedding) batches → ranked top-k neighbors
+    through a VectorScorerActor pool — the serving path for query streams
+    that are NOT the artifact's stored fixture set."""
+    return queries.map_batches(
+        VectorScorerActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "k": k, "n_probe": n_probe
+        },
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 _VINDEX_CACHE: dict[str, str] = {}
 
 

@@ -169,6 +169,40 @@ def test_ann_docs_topk_invariants(ray_session):
         assert (g["neighbor_id"] != q).all()
 
 
+def test_vector_scorer_actor_matches_batch_path(ray_session):
+    """The VectorScorerActor serving pool returns exactly
+    query_vector_index's ranking when fed the artifact's own fixture
+    queries — one load per actor, lists cached across batches."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from sharesci_ray.pipelines.ops_embed import (
+        _vector_index_for,
+        query_vector_index,
+        query_vectors,
+    )
+
+    idx = _vector_index_for(SF)
+    q_t = pq.read_table(os.path.join(idx, "queries.parquet")).rename_columns(
+        ["query_id", "embedding"]
+    )
+    got = (
+        query_vectors(idx, ray.data.from_arrow(q_t), concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        query_vector_index(idx)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(ref.astype("int64"))
+
+
 def test_update_vector_index_equals_fresh_build(ray_session, tmp_path):
     """Incremental append ≡ fresh build over the union: same top-k ranking
     (frozen centroids → identical assignment), meta counts updated, and a
