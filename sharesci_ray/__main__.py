@@ -185,6 +185,12 @@ def main(argv: list[str] | None = None) -> int:
     vq.add_argument("--index-dir", required=True)
     vq.add_argument("--k", type=int, default=10)
     vq.add_argument("--probe", type=int, default=8)
+    vq.add_argument(
+        "--queries", default=None,
+        help="(query_id, embedding) parquet to search with (served through "
+             "the VectorScorerActor pool); default = the artifact's stored "
+             "fixture query set",
+    )
 
     se = sub.add_parser(
         "shards-export",
@@ -280,9 +286,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"index_dir": args.index_dir,
                           **{k: v for k, v in meta.items() if k != "files"}}))
     elif args.cmd == "vindex-query":
-        from .pipelines.ops_embed import query_vector_index
+        from .pipelines.ops_embed import query_vector_index, query_vectors
 
-        res = query_vector_index(args.index_dir, k=args.k, n_probe=args.probe)
+        if args.queries:
+            res = query_vectors(
+                args.index_dir,
+                ray.data.read_parquet(args.queries),
+                k=args.k,
+                n_probe=args.probe,
+            )
+        else:
+            res = query_vector_index(args.index_dir, k=args.k, n_probe=args.probe)
         for row in res.sort(["query_id", "rank"]).iter_rows():
             print(json.dumps(row))
     elif args.cmd == "shards-export":

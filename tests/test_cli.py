@@ -210,3 +210,31 @@ def test_cli_vindex_and_shards(ray_session, tmp_path, capsys):
     import os as _os
 
     assert _os.path.exists(_os.path.join(shards, "manifest.json"))
+
+
+def test_cli_vindex_query_with_queries_file(ray_session, tmp_path, capsys):
+    """vindex-query --queries serves an arbitrary query-vector parquet
+    through the VectorScorerActor pool."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    SF = "/root/testdata/sf0.001"
+    emb = _pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    src = str(tmp_path / "emb.parquet")
+    _pq.write_table(emb, src)
+    idx = str(tmp_path / "vidx")
+    assert main(["vindex-build", "--embeddings", src, "--out-dir", idx]) == 0
+    capsys.readouterr()
+
+    qfile = str(tmp_path / "q.parquet")
+    _pq.write_table(
+        emb.slice(0, 4).rename_columns(["query_id", "embedding"]), qfile
+    )
+    assert main(
+        ["vindex-query", "--index-dir", idx, "--queries", qfile, "--k", "3"]
+    ) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["rank"] <= 3 for r in rows)
