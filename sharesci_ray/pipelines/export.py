@@ -217,8 +217,10 @@ def write_training_shards(
     )
     # duplicate the partition value in-file (hive writers drop partition
     # columns from row data; consumers want it without path parsing)
-    sharded = sharded.add_column(
-        "shard_id", lambda df: df["shard"], batch_format="pandas"
+    sharded = sharded.map_batches(
+        lambda t: t.append_column("shard_id", t["shard"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     ).materialize()  # two consumers: the write and the manifest aggregate
 
     sharded.drop_columns(["h31"]).write_parquet(
