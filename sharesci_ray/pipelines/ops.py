@@ -1374,6 +1374,7 @@ def supplier_by_region(sf_dir: str):
 from . import ops_dedup  # noqa: E402,F401  (dedup + similarity search)
 from . import ops_embed  # noqa: E402,F401  (embedder stage + vector index)
 from . import ops_media  # noqa: E402,F401  (multimodal column plumbing)
+from . import ops_ml  # noqa: E402,F401  (k-means, range join, split, mix)
 from . import ops_relational  # noqa: E402,F401  (pii scrub, as-of join, pivot)
 from . import ops_search  # noqa: E402,F401  (boolean/prefix search, repetition)
 from . import ops_text  # noqa: E402,F401  (text analysis)

@@ -1,0 +1,419 @@
+"""ML / training-data-prep extension ops, round 4 (registry side-module).
+
+Four operators that close real gaps a large-scale training-data pipeline
+hits after dedup + indexing (ref: n/a — SURVEY.md §0: the reference
+checkout is empty; algorithms from the published literature: Lloyd,
+"Least squares quantization in PCM", IEEE Trans. IT 1982):
+
+  kmeans_embeddings — genuinely ITERATIVE distributed k-means (Lloyd's):
+                      broadcast centroids → per-batch partial sums →
+                      K-row groupby → driver update, repeated R rounds.
+                      Integer-exact end to end (quantized lattice dots,
+                      floor-division centroid means) so a DuckDB oracle
+                      replays every round bit-for-bit — the hard part of
+                      oracle-checking an iterative algorithm.
+  range_join_events — interval/window join (an operator Ray Data has no
+                      native form for): each purchase joined to ALL of
+                      the same user's views in the preceding hour
+                      (count + cents sum), not just the latest (that one
+                      is asof_join_events).
+  split_by_cluster  — leakage-safe train/valid/test split: the split key
+                      is the near-dup CLUSTER label, not the document id,
+                      so near-duplicates can never straddle a split
+                      boundary (the classic eval-contamination bug).
+  balance_sources   — data-mix rebalancing: deterministically downsample
+                      every source to the size of the smallest one via a
+                      stable per-document hash rule (same md5 rule as
+                      hash_sample, so membership is reproducible across
+                      runs and shard layouts).
+
+Scale notes: k-means moves only K×(dim+2) partial rows per block per
+round (the embeddings stream from parquet each round — nothing is pinned
+in memory); the window join shuffles each user's history exactly once and
+assumes one user's history fits one group (time-bucket the key at extreme
+per-user volume — same caveat as asof_join_events); split_by_cluster
+rides dedup_cluster's distributed label propagation and adds one
+stateless map; balance_sources broadcasts a source→count dict (tiny) and
+filters in one vectorized pass — no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import dedup as dd
+from ..functions import vectors as vx
+from ..sources.corpus import read_table
+from .ops import _cents, op
+
+# ---------------------------------------------------------------------------
+# kmeans_embeddings — iterative Lloyd's k-means, integer-exact both sides
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8        # clusters (distinct from IVF_C=16 so fixtures differ)
+KMEANS_ROUNDS = 3   # Lloyd iterations (fixed → SQL-replayable)
+_DIM = vx.VEC_DIM
+
+
+def _fdiv_sql(s: str, n: str) -> str:
+    """Exact FLOOR division in BIGINT (DuckDB ``//`` truncates toward
+    zero; numpy floor_divide floors): subtract the positive mod first so
+    the remaining quotient is exact under either rounding rule."""
+    return f"(({s}) - ((({s}) % ({n})) + ({n})) % ({n})) // ({n})"
+
+
+def _kmeans_sql() -> str:
+    """Replay all R rounds as chained CTEs: integer centroid dots →
+    argmax assignment (ties → smallest cid) → floor-div integer centroid
+    means (empty clusters keep their previous centroid)."""
+    dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(_DIM))
+    parts = [
+        f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {vx.QSCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cent0 AS (SELECT vec_id AS cid, q AS cq FROM emb WHERE vec_id < {KMEANS_K})"""
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        mean_list = ", ".join(
+            _fdiv_sql(f"sum(e.q[{d + 1}])", "count(*)") for d in range(_DIM)
+        )
+        parts.append(
+            f"""
+    dots{r} AS (
+      SELECT e.vec_id, c.cid, {dot} AS d FROM emb e CROSS JOIN cent{r - 1} c
+    ),
+    asg{r} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots{r}
+      ) WHERE rn = 1
+    ),
+    upd{r} AS (
+      SELECT a.cid, [{mean_list}] AS cq
+      FROM asg{r} a JOIN emb e USING (vec_id) GROUP BY a.cid
+    ),
+    cent{r} AS (
+      SELECT c.cid, COALESCE(u.cq, c.cq) AS cq
+      FROM cent{r - 1} c LEFT JOIN upd{r} u USING (cid)
+    )"""
+        )
+    R = KMEANS_ROUNDS
+    parts.append(
+        f"""
+    final_dots AS (
+      SELECT e.vec_id, c.cid, {dot} AS d FROM emb e CROSS JOIN cent{R} c
+    )
+    SELECT vec_id, cid AS cluster_id FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+      FROM final_dots
+    ) WHERE rn = 1"""
+    )
+    return ",".join(parts)
+
+
+_KM_PARTIAL_COLS = [f"s{d:02d}" for d in range(_DIM)]
+
+
+def _km_partials(cent_q: np.ndarray):
+    """Per-batch partial: assign each quantized row to its centroid, emit
+    one row per touched centroid with (count, per-dim int sums) — the
+    combiner that keeps the per-round shuffle at K rows per block."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("cid", pa.int64()), ("n", pa.int64())]
+                + [(c, pa.int64()) for c in _KM_PARTIAL_COLS]
+            ).empty_table()
+        quant = vx.quantize(vx.embedding_matrix(batch))
+        asg = vx.ivf_assign(quant, cent_q)
+        cids = np.unique(asg)
+        counts = np.empty(cids.size, np.int64)
+        sums = np.empty((cids.size, _DIM), np.int64)
+        for i, c in enumerate(cids):
+            m = asg == c
+            counts[i] = int(m.sum())
+            sums[i] = quant[m].sum(axis=0)
+        cols = {"cid": pa.array(cids, pa.int64()), "n": pa.array(counts, pa.int64())}
+        for d, name in enumerate(_KM_PARTIAL_COLS):
+            cols[name] = pa.array(sums[:, d], pa.int64())
+        return pa.table(cols)
+
+    return fn
+
+
+@op("kmeans_embeddings", _kmeans_sql)
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table: K=8
+    centroids initialized from the first K quantized vectors, R=3 rounds of (broadcast centroids → per-batch partial sums → K-row
+    groupby-sum → driver-side floor-div mean), then a final assignment
+    pass.  Everything is integer-exact (int64 lattice dots; floor-division
+    means; argmax ties → smallest cid) so the oracle replays each round
+    bit-for-bit.  Per round the embeddings STREAM from parquet (nothing
+    pinned); only K×(dim+2) partial rows per block shuffle, and the
+    driver-side state is the K×dim centroid matrix — constant in corpus
+    size, the canonical scalable k-means shape."""
+    from ray.data.aggregate import Sum
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def init_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["vec_id"], KMEANS_K))
+
+    seed = emb.map_batches(init_rows, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    seed.sort(key=lambda r: r["vec_id"])
+    assert len(seed) == KMEANS_K, f"need vec_ids 0..{KMEANS_K - 1} as seeds"
+    cent_q = np.floor(
+        np.array([r["embedding"] for r in seed], np.float64) * vx.QSCALE
+    ).astype(np.int64)
+
+    aggs = [Sum("n")] + [Sum(c) for c in _KM_PARTIAL_COLS]
+    for _ in range(KMEANS_ROUNDS):
+        rows = (
+            read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+            .map_batches(_km_partials(cent_q), batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("cid")
+            .aggregate(*aggs)
+            .take_all()  # K rows — the per-round reduce is constant-size
+        )
+        new = cent_q.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            n = int(r["sum(n)"])  # Sum may widen to float64; < 2^43, exact
+            s = np.array([r[f"sum({c})"] for c in _KM_PARTIAL_COLS], np.int64)
+            new[int(r["cid"])] = np.floor_divide(s, n)
+        cent_q = new
+
+    final = cent_q
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("vec_id", pa.int64()), ("cluster_id", pa.int64())]
+            ).empty_table()
+        quant = vx.quantize(vx.embedding_matrix(batch))
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "cluster_id": pa.array(vx.ivf_assign(quant, final), pa.int64()),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# range_join_events — interval join: purchase ← all views in preceding hour
+# ---------------------------------------------------------------------------
+
+_WINDOW_US = 3_600_000_000  # 1 hour in timestamp[us] ticks
+
+_RANGE_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("n_views", pa.int64()),
+        ("views_cents", pa.int64()),
+    ]
+)
+
+
+@op(
+    "range_join_events",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           count(v.ts)::BIGINT AS n_views,
+           COALESCE(sum(v.cents), 0)::BIGINT AS views_cents
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'view'
+    ) v ON v.user_id = p.user_id
+       AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+)
+def range_join_events(sf_dir: str):
+    """Interval (window) join: each 'purchase' matched to ALL of the same
+    user's 'view' events in the preceding hour, aggregated to a count and
+    a cents sum (purchases with no views keep a zero row — LEFT join
+    semantics).  Ray Data has no native range join; composition: tag both
+    sides, union, ONE shuffle (groupby user), then a vectorized
+    two-searchsorted prefix-sum window inside each group — O(n log n) per
+    user, never the O(n²) pairwise expansion.  Partitioning assumption:
+    one user's history fits one group (time-bucket the key at extreme
+    per-user volume)."""
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def split(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "view"))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts": t["ts"],
+                "cents": _cents(t["value"]),
+                "is_left": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int8()),
+            }
+        )
+
+    tagged = ev.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("user_id").map_groups(
+        range_merge_group, batch_format="pyarrow"
+    )
+
+
+def range_merge_group(group: pa.Table) -> pa.Table:
+    """One user's window join (vectorized): sort the views once, prefix-sum
+    their cents, then two searchsorted calls bound each purchase's
+    (ts − 1h, ts] window.  Module-level so the kernel is property-testable
+    against a brute-force reference without a Ray pipeline around it."""
+    if group.num_rows == 0:
+        return _RANGE_SCHEMA.empty_table()
+    side = group["is_left"].to_numpy(zero_copy_only=False)
+    ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    cents = group["cents"].to_numpy(zero_copy_only=False)
+    lmask = side == 1
+    if not lmask.any():
+        return _RANGE_SCHEMA.empty_table()
+    v_ts, v_cents = ts[~lmask], cents[~lmask]
+    order = np.argsort(v_ts, kind="stable")
+    v_ts, v_cents = v_ts[order], v_cents[order]
+    pref = np.concatenate([[0], np.cumsum(v_cents)])
+    l_ts = ts[lmask]
+    lo = np.searchsorted(v_ts, l_ts - _WINDOW_US, side="right")
+    hi = np.searchsorted(v_ts, l_ts, side="right")
+    lidx = pa.array(np.flatnonzero(lmask))
+    return pa.table(
+        {
+            "event_id": group["event_id"].take(lidx),
+            "user_id": group["user_id"].take(lidx),
+            "ts": group["ts"].take(lidx),
+            "n_views": pa.array(hi - lo, pa.int64()),
+            "views_cents": pa.array(pref[hi] - pref[lo], pa.int64()),
+        },
+        schema=_RANGE_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_by_cluster — leakage-safe train/valid/test split on near-dup labels
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN, _SPLIT_VALID = 80, 90  # md5(cluster) % 100 thresholds
+
+
+def _split_sql() -> str:
+    """Deferred (callable) oracle — embeds dedup_cluster's SQL, which
+    lives in ops_dedup; importing it at decorator time would be the
+    circular import ops.py's bottom-import order forbids."""
+    from .ops_dedup import _cluster_sql
+
+    return f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN h < {_SPLIT_TRAIN} THEN 'train'
+                WHEN h < {_SPLIT_VALID} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS h
+      FROM ( {_cluster_sql()} )
+    )
+    """
+
+
+@op("split_by_cluster", _split_sql)
+def split_by_cluster(sf_dir: str):
+    """Leakage-safe dataset split: hash the near-dup CLUSTER label (from
+    dedup_cluster's distributed label propagation), not the document id,
+    into train/valid/test — so two near-duplicate documents can never
+    land on opposite sides of an eval boundary (the contamination bug a
+    per-document split has by construction).  Same md5-int60 rule as
+    hash_sample: membership is stable across runs, machines and shard
+    layouts.  One stateless vectorized map over the cluster labels; all
+    the heavy lifting is dedup_cluster's already-distributed pipeline."""
+    from .ops_dedup import dedup_cluster
+
+    labels = dedup_cluster(sf_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+                 ("split", pa.string())]
+            ).empty_table()
+        h = dd.hash_strings(pc.cast(batch["cluster_id"], pa.string())) % 100
+        split = np.where(
+            h < _SPLIT_TRAIN, "train", np.where(h < _SPLIT_VALID, "valid", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "cluster_id": pc.cast(batch["cluster_id"], pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return labels.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# balance_sources — deterministic downsample to a balanced source mix
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "balance_sources",
+    """
+    WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+    m AS (SELECT min(n) AS m FROM c)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN c ON c.source = d.source, m
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % c.n < m.m
+    """,
+)
+def balance_sources(sf_dir: str):
+    """Data-mix rebalancing: downsample every source to (approximately)
+    the size of the smallest source, deterministically — keep a document
+    iff md5(doc_id) % source_count < min_count, so each source keeps a
+    ~min/count fraction via a stable per-document rule (reproducible
+    across runs; re-crawls keep their membership).  Two phases: a tiny
+    source→count groupby (take_all on n_sources rows) broadcast into a
+    stateless vectorized filter — no data shuffle at any scale."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    counts = docs.groupby("source").count().take_all()
+    n_by_src = {r["source"]: int(r["count()"]) for r in counts}
+    m = min(n_by_src.values())
+
+    srcs = sorted(n_by_src)
+    src_set = pa.array(srcs, pa.string())
+    src_n = np.array([n_by_src[s] for s in srcs], np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = dd.hash_strings(pc.cast(batch["doc_id"], pa.string()))
+        idx = pc.index_in(batch["source"], value_set=src_set).to_numpy(
+            zero_copy_only=False
+        )
+        n = src_n[idx]  # vectorized source → count gather
+        return batch.filter(pa.array(h % n < m))
+
+    return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
