@@ -373,6 +373,84 @@ def split_by_cluster(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ann_recall_report — the approximate path's ACCURACY as an oracle-checked op
+# ---------------------------------------------------------------------------
+
+
+def _recall_sql() -> str:
+    """Deferred oracle composed from the REGISTERED SQL of the two ANN ops
+    (ann_topk_cosine = exact truth, ann_ivf_topk = scale path) — read from
+    ORACLE_SQL at driver time so the three ops can never drift apart."""
+    from .ops import ORACLE_SQL
+
+    def _resolved(name: str) -> str:
+        s = ORACLE_SQL[name]
+        return s() if callable(s) else s
+
+    return f"""
+    SELECT e.query_id,
+           count(a.neighbor_id)::BIGINT AS n_hit,
+           count(a.neighbor_id) * 1.0 / {dd.ANN_K} AS recall
+    FROM ( {_resolved("ann_topk_cosine")} ) e
+    LEFT JOIN ( {_resolved("ann_ivf_topk")} ) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """
+
+
+@op("ann_recall_report", _recall_sql)
+def ann_recall_report(sf_dir: str):
+    """Recall@k of the IVF scale path against the brute-force cosine
+    truth, per query, as a first-class driver-checked op — the accuracy
+    of the approximate index is itself part of the correctness contract,
+    not a hidden tuning detail.  Composition of two already-distributed
+    ops: tag + union their bounded top-k outputs (2·NQ·K rows total),
+    one groupby, a set-intersection count per query.  recall is one
+    division of the exact intersection count by K — bit-identical to the
+    oracle's count(*) * 1.0 / k."""
+    from .ops_dedup import ann_ivf_topk, ann_topk_cosine
+
+    k = dd.ANN_K
+
+    def tag(flag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": pc.cast(batch["query_id"], pa.int64()),
+                    "neighbor_id": pc.cast(batch["neighbor_id"], pa.int64()),
+                    "is_exact": pa.array(
+                        np.full(batch.num_rows, flag, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    exact = ann_topk_cosine(sf_dir).map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    approx = ann_ivf_topk(sf_dir).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["is_exact"].to_numpy(zero_copy_only=False)
+        nb = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        hits = np.intersect1d(nb[side == 1], nb[side == 0]).size
+        return pa.table(
+            {
+                "query_id": group["query_id"].slice(0, 1).cast(pa.int64()),
+                "n_hit": pa.array([hits], pa.int64()),
+                "recall": pa.array([hits / k], pa.float64()),
+            }
+        )
+
+    return exact.union(approx).groupby("query_id").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # balance_sources — deterministic downsample to a balanced source mix
 # ---------------------------------------------------------------------------
 

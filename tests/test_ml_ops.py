@@ -136,6 +136,21 @@ def test_split_by_cluster_leakage_safe(ray_session):
     assert (df["split"] == "train").mean() > 0.5  # 80% target, small-n slack
 
 
+def test_ann_recall_report_bounds(ray_session):
+    """Recall rows are one per query, n_hit in [0, K], recall == n_hit/K
+    exactly, and the oracle composition re-resolves (callable SQL)."""
+    from sharesci_ray.functions.dedup import ANN_K, ANN_NQ
+    from sharesci_ray.pipelines.ops import ORACLE_SQL
+    from sharesci_ray.pipelines.ops_ml import ann_recall_report
+
+    df = ann_recall_report(SF).to_pandas()
+    assert len(df) == ANN_NQ and df["query_id"].is_unique
+    assert df["n_hit"].between(0, ANN_K).all()
+    assert (df["recall"] == df["n_hit"] / ANN_K).all()
+    sql = ORACLE_SQL["ann_recall_report"]
+    assert callable(sql) and "FROM (" in sql()
+
+
 def test_balance_sources_mix_bound(ray_session):
     """Every source is downsampled toward the smallest source's size:
     kept-per-source stays within binomial noise of min_count, and the
