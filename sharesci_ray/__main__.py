@@ -202,6 +202,15 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--out-dir", required=True)
     se.add_argument("--target-chars", type=int, default=None)
 
+    sx = sub.add_parser(
+        "split-export",
+        help="write the corpus hive-partitioned by the leakage-safe "
+             "train/valid/test split (split key = near-dup cluster label)",
+    )
+    sx.add_argument("--sf-dir", required=True,
+                    help="directory containing documents.parquet")
+    sx.add_argument("--out-dir", required=True)
+
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--build-dir", required=True)
     q.add_argument("--text", default=None, help="single query string")
@@ -307,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
             target_chars=args.target_chars or TARGET_SHARD_CHARS,
         )
         print(json.dumps(manifest))
+    elif args.cmd == "split-export":
+        from .pipelines.ops_ml import export_split_corpus
+
+        print(json.dumps(export_split_corpus(args.sf_dir, args.out_dir)))
     elif args.cmd == "suggest":
         from .pipelines.ops_search import suggest_terms
 

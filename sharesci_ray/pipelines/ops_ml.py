@@ -372,6 +372,41 @@ def split_by_cluster(sf_dir: str):
     return labels.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def export_split_corpus(sf_dir: str, out_dir: str) -> dict:
+    """Write the corpus hive-partitioned by the leakage-safe split
+    (``split=train/ split=valid/ split=test/``) — the artifact a training
+    run actually consumes.  One native hash join carries only doc ids and
+    labels; the text column rides the documents scan, never the shuffle.
+    Returns {split: n_docs} for the CLI.  Partitioned output means a
+    failed run resumes by re-writing only the missing partition."""
+    from .util import drop_empty_blocks, join_partitions
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang", "source"])
+    labels = split_by_cluster(sf_dir)
+    joined = drop_empty_blocks(
+        docs.join(
+            labels, join_type="inner",
+            num_partitions=join_partitions(docs, labels),
+            on=("doc_id",),
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("lang", pa.string()), ("source", pa.string()),
+             ("cluster_id", pa.int64()), ("split", pa.string())]
+        ),
+    )
+    joined.write_parquet(out_dir, partition_cols=["split"])
+    import pyarrow.dataset as pds
+
+    counts: dict[str, int] = {}
+    for frag in pds.dataset(out_dir, partitioning="hive").get_fragments():
+        part = str(frag.partition_expression)
+        key = "train" if "train" in part else ("valid" if "valid" in part else "test")
+        counts[key] = counts.get(key, 0) + frag.count_rows()
+    return counts
+
+
 # ---------------------------------------------------------------------------
 # ann_recall_report — the approximate path's ACCURACY as an oracle-checked op
 # ---------------------------------------------------------------------------

@@ -238,3 +238,25 @@ def test_cli_vindex_query_with_queries_file(ray_session, tmp_path, capsys):
             if l.startswith("{")]
     assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_cli_split_export(ray_session, tmp_path, capsys):
+    """split-export writes hive split= partitions whose doc sets (a) cover
+    the corpus exactly once and (b) respect the per-cluster split rule."""
+    import os
+
+    import pyarrow.dataset as pds
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "splits")
+    assert main(["split-export", "--sf-dir", SF, "--out-dir", out]) == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(counts) <= {"train", "valid", "test"}
+    n_docs = pq.read_metadata(os.path.join(SF, "documents.parquet")).num_rows
+    assert sum(counts.values()) == n_docs
+    t = pds.dataset(out, partitioning="hive").to_table(
+        columns=["doc_id", "cluster_id", "split"]
+    )
+    df = t.to_pandas()
+    assert df["doc_id"].is_unique and len(df) == n_docs
+    assert (df.groupby("cluster_id")["split"].nunique() == 1).all()
