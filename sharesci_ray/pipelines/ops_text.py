@@ -235,6 +235,158 @@ def bigram_counts(sf_dir: str):
 
 
 # ===========================================================================
+# Collocation extraction: top bigrams by PMI (pointwise mutual information)
+# ===========================================================================
+
+_PMI_MIN_N = 5       # drop bigrams rarer than this before ranking
+_PMI_TOP = 50
+
+
+def _pmi_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS term FROM toks),
+    ucnt AS (SELECT term, count(*)::BIGINT AS n FROM uni GROUP BY 1),
+    bg AS (
+      SELECT unnest({dd.sql_shingles('t', k=2)}) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (
+      SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1
+      HAVING count(*) >= {_PMI_MIN_N}
+    )
+    SELECT b.bigram, b.n, b.n * 1.0 / (ux.n * uy.n) AS pmi_ratio
+    FROM bcnt b
+    JOIN ucnt ux ON ux.term = split_part(b.bigram, ' ', 1)
+    JOIN ucnt uy ON uy.term = split_part(b.bigram, ' ', 2)
+    ORDER BY pmi_ratio DESC, b.bigram LIMIT {_PMI_TOP}
+    """
+
+
+@op("bigram_pmi_topk", _pmi_sql())
+def bigram_pmi_topk(sf_dir: str):
+    """Collocation extraction: top-{50} bigrams by pointwise mutual
+    information (Church & Hanks, CL 1990), ranked by the PMI-monotone
+    ratio c_xy / (c_x · c_y) — the corpus-size constant log(T²/B) shifts
+    every PMI equally, so dropping it keeps the ranking and keeps the
+    score ONE division of exact integer counts (float-safety policy:
+    bit-identical on both sides; no logs, whose libm could differ).
+
+    Distributed shape: per-batch (left, right) pair counts and unigram
+    counts pre-aggregate before their groupbys; the min-count filter
+    (n ≥ {5}) prunes the long tail BEFORE the two unigram hash joins; the
+    final sort sees only the surviving collocations.  At 100 TB the join
+    keys are vocabulary-sized, never corpus-sized."""
+    from .util import drop_empty_blocks, join_partitions
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = flat_tokens(batch["text"])
+        n = len(flat)
+        empty = pa.schema(
+            [("l", pa.string()), ("r", pa.string()), ("cnt", pa.int64())]
+        ).empty_table()
+        if n < 2:
+            return empty
+        valid = parent[: n - 1] == parent[1:]
+        if not valid.any():
+            return empty
+        t = pa.table(
+            {
+                "l": pc.filter(flat.slice(0, n - 1), pa.array(valid)),
+                "r": pc.filter(flat.slice(1, n - 1), pa.array(valid)),
+            }
+        )
+        g = t.group_by(["l", "r"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"l": g["l"], "r": g["r"], "cnt": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat, _parent = flat_tokens(batch["text"])
+        if len(flat) == 0:
+            return pa.schema(
+                [("term", pa.string()), ("ucnt", pa.int64())]
+            ).empty_table()
+        g = pa.table({"term": flat}).group_by("term").aggregate([([], "count_all")])
+        return pa.table(
+            {"term": g["term"], "ucnt": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    bg = (
+        docs.map_batches(bg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l", "r"])
+        .sum("cnt")
+    )
+
+    def keep_common(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["sum(cnt)"], _PMI_MIN_N))
+        return pa.table(
+            {"l": t["l"], "r": t["r"], "n": pc.cast(t["sum(cnt)"], pa.int64())}
+        )
+
+    bg = bg.map_batches(keep_common, batch_format="pyarrow", zero_copy_batch=True)
+
+    uni = (
+        docs.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("ucnt")
+    )
+    uni = uni.map_batches(
+        lambda t: pa.table(
+            {"term": t["term"], "un": pc.cast(t["sum(ucnt)"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    j1 = drop_empty_blocks(
+        bg.join(uni, join_type="inner",
+                num_partitions=join_partitions(bg, uni),
+                on=("l",), right_on=("term",)),
+        pa.schema([("l", pa.string()), ("r", pa.string()), ("n", pa.int64()),
+                   ("un", pa.int64())]),
+    )
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            [{"un": "n_l"}.get(c, c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j2 = drop_empty_blocks(
+        j1.join(uni, join_type="inner",
+                num_partitions=join_partitions(j1, uni),
+                on=("r",), right_on=("term",)),
+        pa.schema([("l", pa.string()), ("r", pa.string()), ("n", pa.int64()),
+                   ("n_l", pa.int64()), ("un", pa.int64())]),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        num = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        den = (
+            t["n_l"].to_numpy(zero_copy_only=False)
+            * t["un"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        bigram = pc.binary_join_element_wise(
+            pc.cast(t["l"], pa.string()), pc.cast(t["r"], pa.string()), " "
+        )
+        return pa.table(
+            {
+                "bigram": bigram,
+                "n": pc.cast(t["n"], pa.int64()),
+                "pmi_ratio": pa.array(num / den, pa.float64()),
+            }
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["pmi_ratio", "bigram"], descending=[True, False]).limit(
+        _PMI_TOP
+    )
+
+
+# ===========================================================================
 # Exact length deciles (distributed histogram quantiles)
 # ===========================================================================
 

@@ -237,3 +237,17 @@ def test_hash_sample_deterministic(ray_session):
         < _HASH_SAMPLE_PCT
     ]
     assert a == sorted(expected)
+
+
+def test_bigram_pmi_topk_properties(ray_session):
+    """PMI ranking invariants: every surviving bigram meets the min-count
+    bar, the score equals one exact division, and ordering is
+    (pmi_ratio desc, bigram asc)."""
+    from sharesci_ray.pipelines.ops_text import _PMI_MIN_N, _PMI_TOP, bigram_pmi_topk
+
+    df = bigram_pmi_topk("/root/testdata/sf0.001").to_pandas()
+    assert 0 < len(df) <= _PMI_TOP
+    assert (df["n"] >= _PMI_MIN_N).all()
+    assert df["bigram"].str.count(" ").eq(1).all()
+    s = df.sort_values(["pmi_ratio", "bigram"], ascending=[False, True])
+    assert list(s.index) == list(range(len(df)))
