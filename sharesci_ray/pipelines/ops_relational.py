@@ -2926,3 +2926,430 @@ def sessionize_events(sf_dir: str):
         .groupby("user_id")
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# market_share — TPC-H Q8 shape (nation market share in a region, by year)
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_7"
+_Q8_TYPE = "PROMO"
+
+
+@op(
+    "market_share",
+    f"""
+    WITH vol AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = nc.n_regionkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+      WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+    )
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_e4 ELSE 0 END)::BIGINT
+             AS nation_rev_e4,
+           sum(rev_e4)::BIGINT AS total_rev_e4,
+           CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev_e4 ELSE 0 END)
+                AS DOUBLE) / sum(rev_e4) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def market_share(sf_dir: str):
+    """TPC-H Q8 shape: of all revenue for parts of one type sold into one
+    region's customers, what fraction came from suppliers of one nation,
+    per order year.  Revenue is exact integer e4 units (cents x discount
+    percent); the share is ONE float division over two exact integers, so
+    engine and oracle agree bit-for-bit.
+
+    Scale shape: nation/region are driver lookups; part filters to the
+    target type AT THE SCAN (only keys leave), so the lineitem⋈part join
+    drops ~5/6 of lineitems first; supplier joins next (adds one int
+    column); per-(orderkey, supp_nation, year is unknown yet) partials
+    collapse lineitems to order granularity BEFORE the orders join; the
+    customer side is pre-filtered to the region's nations (1/5 of rows).
+    The final aggregate is <= years x 2 rows on the driver."""
+    from .util import drop_empty_blocks, join_partitions
+
+    nat = {
+        int(r["n_nationkey"]): (r["n_name"], int(r["n_regionkey"]))
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+        ).take_all()
+    }
+    regions = {
+        int(r["r_regionkey"]): r["r_name"]
+        for r in read_table(sf_dir, "region").take_all()
+    }
+    region_nations = pa.array(
+        [k for k, (_, rk) in nat.items() if regions[rk] == _Q8_REGION],
+        pa.int64(),
+    )
+    target_key = next(k for k, (n, _) in nat.items() if n == _Q8_NATION)
+
+    _OUT = pa.schema(
+        [("o_year", pa.int64()), ("nation_rev_e4", pa.int64()),
+         ("total_rev_e4", pa.int64()), ("mkt_share", pa.float64())]
+    )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], _Q8_TYPE)).select(["p_partkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    part = drop_empty_blocks(part, pa.schema([("p_partkey", pa.int64())]))
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    li_p = drop_empty_blocks(
+        li.join(
+            part,
+            join_type="inner",
+            num_partitions=join_partitions(li, part),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+             ("l_suppkey", pa.int64()), ("l_extendedprice", pa.float64()),
+             ("l_discount", pa.float64())]
+        ),
+    )
+    if li_p.count() == 0:
+        return _OUT.empty_table()
+    li_s = drop_empty_blocks(
+        li_p.join(
+            supp,
+            join_type="inner",
+            num_partitions=join_partitions(li_p, supp),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+             ("l_suppkey", pa.int64()), ("l_extendedprice", pa.float64()),
+             ("l_discount", pa.float64()), ("s_nationkey", pa.int64())]
+        ),
+    )
+
+    _LPART = pa.schema(
+        [("l_orderkey", pa.int64()), ("is_target", pa.int64()),
+         ("rev", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LPART.empty_table()
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        is_target = pc.cast(
+            pc.equal(t["s_nationkey"], pa.scalar(target_key, pa.int64())),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "is_target": is_target,
+                    "rev": pa.array(cents * (100 - disc), pa.int64()),
+                }
+            )
+            .group_by(["l_orderkey", "is_target"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "is_target", "rev"])
+
+    li_agg = li_s.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t, _k=region_nations: t.filter(
+            pc.is_in(t["c_nationkey"], value_set=_k)
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = drop_empty_blocks(cust, pa.schema([("c_custkey", pa.int64())]))
+    if cust.count() == 0:
+        return _OUT.empty_table()
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    ord_c = drop_empty_blocks(
+        orders.join(
+            cust,
+            join_type="inner",
+            num_partitions=join_partitions(orders, cust),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us"))]
+        ),
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    joined = drop_empty_blocks(
+        li_agg.join(
+            ord_c,
+            join_type="inner",
+            num_partitions=join_partitions(li_agg, ord_c),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("is_target", pa.int64()),
+             ("rev", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+    )
+
+    _GPART = pa.schema(
+        [("o_year", pa.int64()), ("is_target", pa.int64()), ("rev", pa.int64())]
+    )
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _GPART.empty_table()
+        g = (
+            pa.table(
+                {
+                    "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                    "is_target": t["is_target"],
+                    "rev": t["rev"],
+                }
+            )
+            .group_by(["o_year", "is_target"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["o_year", "is_target", "rev"])
+
+    agg = (
+        joined.map_batches(year_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_year", "is_target"])
+        .sum("rev")
+    ).to_pandas()  # <= years x 2 rows — bounded
+
+    if agg.empty:
+        return _OUT.empty_table()
+    years = sorted(agg["o_year"].unique())
+    nat_rev, tot_rev, shares = [], [], []
+    for y in years:
+        sub = agg[agg["o_year"] == y]
+        n = int(sub[sub["is_target"] == 1]["sum(rev)"].sum())
+        tot = int(sub["sum(rev)"].sum())
+        nat_rev.append(n)
+        tot_rev.append(tot)
+        shares.append(n / tot)
+    return pa.table(
+        {
+            "o_year": pa.array([int(y) for y in years], pa.int64()),
+            "nation_rev_e4": pa.array(nat_rev, pa.int64()),
+            "total_rev_e4": pa.array(tot_rev, pa.int64()),
+            "mkt_share": pa.array(shares, pa.float64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# late_sole_supplier — TPC-H Q21 shape (correlated EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q21_NATION = "NATION_9"
+_Q21_LATE_DAYS = 60
+_Q21_TOPN = 20
+
+
+@op(
+    "late_sole_supplier",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY 1, 2
+    ),
+    per_ord AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+             sum(l_suppkey * late) AS late_key
+      FROM li GROUP BY 1
+    )
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM per_ord
+    JOIN supplier ON s_suppkey = late_key
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE n_supp >= 2 AND n_late = 1 AND n_name = '{_Q21_NATION}'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {_Q21_TOPN}
+    """,
+)
+def late_sole_supplier(sf_dir: str):
+    """TPC-H Q21 shape (adapted to this schema's columns: `lateness` is
+    l_shipdate > o_orderdate + {_Q21_LATE_DAYS} days): suppliers from one
+    nation who were the ONLY late shipper on a finished ('F')
+    multi-supplier order — the classic correlated EXISTS (another supplier
+    on the order) + NOT EXISTS (another LATE supplier) pair, computed
+    without self-joins.
+
+    Plan: the EXISTS/NOT-EXISTS pair collapses to per-order counters over
+    per-(order, supplier) partials — n_supp >= 2 encodes EXISTS, n_late = 1
+    encodes NOT EXISTS, and sum(suppkey x late) recovers the culprit's key
+    exactly when n_late = 1.  One lineitem⋈orders join (orders pre-filtered
+    to 'F' at the scan), per-batch partials so only (order, supplier, late)
+    distinct rows shuffle into the single per-order groupby, then a tiny
+    per-supplier count joined to the 1/25-filtered supplier dimension on
+    the driver."""
+    from .util import drop_empty_blocks, join_partitions
+
+    nat_key = {
+        r["n_name"]: int(r["n_nationkey"])
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_name"]
+        ).take_all()
+    }[_Q21_NATION]
+    suppliers = {
+        int(r["s_suppkey"]): r["s_name"]
+        for r in read_table(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+        )
+        .map_batches(
+            lambda t, _k=nat_key: t.filter(
+                pc.equal(t["s_nationkey"], pa.scalar(_k, pa.int64()))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()  # 1/25 of an already-small dimension — driver-safe
+    }
+
+    _OUT = pa.schema([("s_name", pa.string()), ("numwait", pa.int64())])
+    if not suppliers:
+        return _OUT.empty_table()
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(
+            ["o_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = drop_empty_blocks(
+        orders,
+        pa.schema([("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]),
+    )
+    if orders.count() == 0:
+        return _OUT.empty_table()
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    li_o = drop_empty_blocks(
+        li.join(
+            orders,
+            join_type="inner",
+            num_partitions=join_partitions(li, orders),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("l_shipdate", pa.timestamp("us")), ("o_orderdate", pa.timestamp("us"))]
+        ),
+    )
+
+    _LPART = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("late", pa.int64())]
+    )
+    late_us = _Q21_LATE_DAYS * 86_400_000_000
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LPART.empty_table()
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        cutoff = pc.add(pc.cast(t["o_orderdate"], pa.int64()),
+                        pa.scalar(late_us, pa.int64()))
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "late": pc.cast(pc.greater(ship, cutoff), pa.int64()),
+                }
+            )
+            .group_by(["l_orderkey", "l_suppkey"])
+            .aggregate([("late", "max")])
+        )
+        return g.rename_columns(["l_orderkey", "l_suppkey", "late"])
+
+    _ORD = pa.schema([("s_suppkey", pa.int64()), ("one", pa.int64())])
+
+    def per_order(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _ORD.empty_table()
+        # Partials from different batches may repeat a (order, supplier)
+        # pair — reduce to per-supplier max(late) first, then apply the
+        # EXISTS / NOT-EXISTS counters.
+        supp = group["l_suppkey"].to_numpy(zero_copy_only=False)
+        late = group["late"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(supp, return_inverse=True)
+        lmax = np.zeros(uniq.size, np.int64)
+        np.maximum.at(lmax, inv, late)
+        if uniq.size >= 2 and int(lmax.sum()) == 1:
+            culprit = int(uniq[np.flatnonzero(lmax)[0]])
+            return pa.table(
+                {"s_suppkey": pa.array([culprit], pa.int64()),
+                 "one": pa.array([1], pa.int64())},
+                schema=_ORD,
+            )
+        return _ORD.empty_table()
+
+    counts = (
+        li_o.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .map_groups(per_order, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("one")
+    ).to_pandas()  # <= |suppliers| rows — bounded
+
+    counts = counts[counts["s_suppkey"].isin(suppliers)]
+    if counts.empty:
+        return _OUT.empty_table()
+    out = pa.table(
+        {
+            "s_name": pa.array(
+                [suppliers[int(k)] for k in counts["s_suppkey"]], pa.string()
+            ),
+            "numwait": pa.array(
+                counts["sum(one)"].round().astype("int64"), pa.int64()
+            ),
+        },
+        schema=_OUT,
+    )
+    idx = pc.sort_indices(
+        out, sort_keys=[("numwait", "descending"), ("s_name", "ascending")]
+    )
+    return out.take(idx[:_Q21_TOPN])
