@@ -3353,3 +3353,654 @@ def late_sole_supplier(sf_dir: str):
         out, sort_keys=[("numwait", "descending"), ("s_name", "ascending")]
     )
     return out.take(idx[:_Q21_TOPN])
+
+
+# ---------------------------------------------------------------------------
+# min_cost_supplier — TPC-H Q2 shape (argmin-per-group + join-back)
+# ---------------------------------------------------------------------------
+# This schema has no partsupp table, so a supplier's "offer price" for a
+# part is defined as its cheapest observed lineitem for that part
+# (min cents(l_extendedprice)) — exact integers, no division.
+
+_Q2_REGION = "ASIA"
+_Q2_TYPE = "STANDARD"
+_Q2_MAX_SIZE = 15
+_Q2_TOPN = 100
+
+
+@op(
+    "min_cost_supplier",
+    f"""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_e2
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = '{_Q2_REGION}'
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT l_partkey, min(cost_e2) AS min_cost FROM offers GROUP BY 1)
+    SELECT s_acctbal, s_name, p_partkey, p_name, o.cost_e2
+    FROM offers o
+    JOIN best ON best.l_partkey = o.l_partkey AND o.cost_e2 = best.min_cost
+    JOIN part     ON p_partkey = o.l_partkey
+    JOIN supplier ON s_suppkey = o.l_suppkey
+    WHERE p_type = '{_Q2_TYPE}' AND p_size <= {_Q2_MAX_SIZE}
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT {_Q2_TOPN}
+    """,
+)
+def min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape: for each part of one type/size class, the
+    region's supplier(s) offering it cheapest — the classic correlated
+    min subquery, computed as argmin-per-group + equality join-back
+    (all ties kept, like Q2).
+
+    Plan: supplier⋈nation⋈region collapses to a driver keyset (dimension
+    tables); the part filter collapses to a driver {key: name} map over
+    the ~1/12-filtered part dimension (at extreme |part| switch this
+    broadcast to a hash join — same trade as every broadcast op here).
+    ONE lineitem pass: is_in filters at the scan, per-batch
+    (part, supplier) min partials, one bounded groupby-min, then the
+    argmin join-back runs inside per-part map_groups.  Only
+    |offers| <= |filtered parts| x |region suppliers| rows ever shuffle.
+    """
+    from .util import drop_empty_blocks
+
+    nat = {
+        int(r["n_nationkey"]): int(r["n_regionkey"])
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]
+        ).take_all()
+    }
+    regions = {
+        int(r["r_regionkey"]): r["r_name"]
+        for r in read_table(sf_dir, "region").take_all()
+    }
+    supp = {
+        int(r["s_suppkey"]): (r["s_name"], float(r["s_acctbal"]))
+        for r in read_table(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]
+        ).take_all()
+        if regions[nat[int(r["s_nationkey"])]] == _Q2_REGION
+    }
+    parts = {
+        int(r["p_partkey"]): r["p_name"]
+        for r in read_table(
+            sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size"]
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t["p_type"], _Q2_TYPE),
+                    pc.less_equal(t["p_size"], _Q2_MAX_SIZE),
+                )
+            ).select(["p_partkey", "p_name"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()  # filtered part dimension — driver-safe at tested scales
+    }
+
+    _OUT = pa.schema(
+        [("s_acctbal", pa.float64()), ("s_name", pa.string()),
+         ("p_partkey", pa.int64()), ("p_name", pa.string()),
+         ("cost_e2", pa.int64())]
+    )
+    if not supp or not parts:
+        return _OUT.empty_table()
+
+    supp_keys = pa.array(sorted(supp), pa.int64())
+    part_keys = pa.array(sorted(parts), pa.int64())
+
+    _PART = pa.schema(
+        [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("cost_e2", pa.int64())]
+    )
+
+    def offer_partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["l_partkey"], value_set=part_keys),
+            pc.is_in(t["l_suppkey"], value_set=supp_keys),
+        )
+        k = t.filter(m)
+        if k.num_rows == 0:
+            return _PART.empty_table()
+        g = (
+            pa.table(
+                {
+                    "l_partkey": k["l_partkey"],
+                    "l_suppkey": k["l_suppkey"],
+                    "cost_e2": _cents(k["l_extendedprice"]),
+                }
+            )
+            .group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("cost_e2", "min")])
+        )
+        return g.rename_columns(["l_partkey", "l_suppkey", "cost_e2"])
+
+    offers = (
+        read_table(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(offer_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_partkey", "l_suppkey"])
+        .min("cost_e2")
+    )
+
+    _WIN = pa.schema(
+        [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("cost_e2", pa.int64())]
+    )
+
+    def argmin(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _WIN.empty_table()
+        cost = group["min(cost_e2)"]
+        best = pc.min(cost)
+        k = group.filter(pc.equal(cost, best))
+        return pa.table(
+            {
+                "l_partkey": k["l_partkey"],
+                "l_suppkey": k["l_suppkey"],
+                "cost_e2": k["min(cost_e2)"],
+            },
+            schema=_WIN,
+        )
+
+    winners = (
+        offers.groupby("l_partkey")
+        .map_groups(argmin, batch_format="pyarrow")
+        .take_all()  # <= |filtered parts| x ties — bounded
+    )
+    if not winners:
+        return _OUT.empty_table()
+    out = pa.table(
+        {
+            "s_acctbal": pa.array(
+                [supp[int(w["l_suppkey"])][1] for w in winners], pa.float64()
+            ),
+            "s_name": pa.array(
+                [supp[int(w["l_suppkey"])][0] for w in winners], pa.string()
+            ),
+            "p_partkey": pa.array(
+                [int(w["l_partkey"]) for w in winners], pa.int64()
+            ),
+            "p_name": pa.array(
+                [parts[int(w["l_partkey"])] for w in winners], pa.string()
+            ),
+            "cost_e2": pa.array([int(w["cost_e2"]) for w in winners], pa.int64()),
+        },
+        schema=_OUT,
+    )
+    idx = pc.sort_indices(
+        out,
+        sort_keys=[("s_acctbal", "descending"), ("p_partkey", "ascending"),
+                   ("s_name", "ascending")],
+    )
+    return out.take(idx[:_Q2_TOPN])
+
+
+# ---------------------------------------------------------------------------
+# product_profit — TPC-H Q9 shape (multi-join profit rollup by nation, year)
+# ---------------------------------------------------------------------------
+# No partsupp/ps_supplycost in this schema: unit cost is p_retailprice, so
+# profit_e4 = cents(extendedprice) x (100 - disc%) - cents(retailprice) x qty x 100
+# — every term an exact int64.
+
+_Q9_NAME_SUBSTR = "widget"
+
+
+@op(
+    "product_profit",
+    f"""
+    SELECT n_name AS nation,
+           year(o_orderdate) AS o_year,
+           sum(
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             - CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(round(l_quantity) AS BIGINT) * 100
+           )::BIGINT AS profit_e4
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%{_Q9_NAME_SUBSTR}%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def product_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit on a product line, by supplier nation and
+    order year.
+
+    Plan: part filters by name-substring to a broadcast {key: retail
+    cents} map; supplier+nation collapse to a {suppkey: nation} driver
+    map (dimension tables).  ONE lineitem pass computes per-row exact
+    profit and pre-aggregates to (l_orderkey, nation) partials, so the
+    only big join (with orders, for the year) sees order-granularity
+    rows; a second partial collapses to (nation, year) before the final
+    tiny groupby."""
+    from .util import drop_empty_blocks, join_partitions
+
+    nation_names = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_name"]
+        ).take_all()
+    }
+    supp_rows = read_table(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).take_all()
+    supp_keys = pa.array([int(r["s_suppkey"]) for r in supp_rows], pa.int64())
+    supp_nation = pa.array(
+        [nation_names[int(r["s_nationkey"])] for r in supp_rows], pa.string()
+    )
+    part_rows = (
+        read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.match_substring(t["p_name"], _Q9_NAME_SUBSTR)
+            ).select(["p_partkey", "p_retailprice"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()  # name-filtered part dimension — driver-safe
+    )
+    _OUT = pa.schema(
+        [("nation", pa.string()), ("o_year", pa.int64()),
+         ("profit_e4", pa.int64())]
+    )
+    if not part_rows:
+        return _OUT.empty_table()
+    part_keys = pa.array([int(r["p_partkey"]) for r in part_rows], pa.int64())
+    part_cost = pa.array(
+        [int(round(float(r["p_retailprice"]) * 100)) for r in part_rows],
+        pa.int64(),
+    )
+
+    _LPART = pa.schema(
+        [("l_orderkey", pa.int64()), ("nation", pa.string()),
+         ("profit_e4", pa.int64())]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.is_in(t["l_partkey"], value_set=part_keys))
+        if k.num_rows == 0:
+            return _LPART.empty_table()
+        cents = _cents(k["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc = _cents(k["l_discount"]).to_numpy(zero_copy_only=False)
+        qty = (
+            pc.cast(pc.round(k["l_quantity"]), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cost = (
+            pc.take(part_cost, pc.index_in(k["l_partkey"], value_set=part_keys))
+            .to_numpy(zero_copy_only=False)
+        )
+        profit = cents * (100 - disc) - cost * qty * 100
+        nation = pc.take(
+            supp_nation, pc.index_in(k["l_suppkey"], value_set=supp_keys)
+        )
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": k["l_orderkey"],
+                    "nation": nation,
+                    "profit_e4": pa.array(profit, pa.int64()),
+                }
+            )
+            .group_by(["l_orderkey", "nation"])
+            .aggregate([("profit_e4", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "nation", "profit_e4"])
+
+    li_agg = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    li_agg = drop_empty_blocks(li_agg, _LPART)
+    if li_agg.count() == 0:
+        return _OUT.empty_table()
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    joined = drop_empty_blocks(
+        li_agg.join(
+            orders,
+            join_type="inner",
+            num_partitions=join_partitions(li_agg, orders),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("nation", pa.string()),
+             ("profit_e4", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+    )
+
+    _GPART = pa.schema(
+        [("nation", pa.string()), ("o_year", pa.int64()),
+         ("profit_e4", pa.int64())]
+    )
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _GPART.empty_table()
+        g = (
+            pa.table(
+                {
+                    "nation": t["nation"],
+                    "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                    "profit_e4": t["profit_e4"],
+                }
+            )
+            .group_by(["nation", "o_year"])
+            .aggregate([("profit_e4", "sum")])
+        )
+        return g.rename_columns(["nation", "o_year", "profit_e4"])
+
+    agg = (
+        joined.map_batches(year_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nation", "o_year"])
+        .sum("profit_e4")
+    ).to_pandas()  # <= 25 nations x ~7 years — bounded
+    if agg.empty:
+        return _OUT.empty_table()
+    out = pa.table(
+        {
+            "nation": pa.array(agg["nation"], pa.string()),
+            "o_year": pa.array(agg["o_year"].astype("int64"), pa.int64()),
+            "profit_e4": pa.array(
+                agg["sum(profit_e4)"].astype("int64"), pa.int64()
+            ),
+        },
+        schema=_OUT,
+    )
+    idx = pc.sort_indices(
+        out, sort_keys=[("nation", "ascending"), ("o_year", "descending")]
+    )
+    return out.take(idx)
+
+
+# ---------------------------------------------------------------------------
+# important_parts — TPC-H Q11 shape (HAVING sum > fraction of a global sum)
+# ---------------------------------------------------------------------------
+# No partsupp: a part's "stock value" from one nation's suppliers is the
+# total cents of that nation's lineitems for it.  The Q11 HAVING threshold
+# (sum > FRACTION x global sum) is evaluated as value_e2 * 1000 > total —
+# a pure integer comparison, no float threshold on either side.
+
+_Q11_NATION = "NATION_3"
+_Q11_DENOM = 1000  # keep parts holding > 1/1000 of the nation's value
+
+
+@op(
+    "important_parts",
+    f"""
+    WITH v AS (
+      SELECT l_partkey AS p_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS value_e2
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = '{_Q11_NATION}'
+      GROUP BY 1
+    )
+    SELECT p_partkey, value_e2
+    FROM v
+    WHERE value_e2 * {_Q11_DENOM} > (SELECT sum(value_e2) FROM v)
+    ORDER BY value_e2 DESC, p_partkey
+    """,
+)
+def important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose value from one nation's suppliers
+    exceeds a fixed fraction of that nation's total — the scalar-subquery
+    HAVING, computed as (per-part aggregate) -> (global sum over the
+    aggregate, broadcast back as one int64) -> distributed filter.
+
+    Plan: supplier+nation collapse to a driver keyset; ONE lineitem pass
+    with per-batch (part, sum) partials; the per-part aggregate (bounded
+    by |part|) is materialized once and consumed twice — once for the
+    global total (streaming Sum), once for the threshold filter — so the
+    corpus-sized input is never re-read."""
+    nat_key = {
+        r["n_name"]: int(r["n_nationkey"])
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_name"]
+        ).take_all()
+    }[_Q11_NATION]
+    supp_keys = pa.array(
+        sorted(
+            int(r["s_suppkey"])
+            for r in read_table(
+                sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+            ).take_all()
+            if int(r["s_nationkey"]) == nat_key
+        ),
+        pa.int64(),
+    )
+    _OUT = pa.schema([("p_partkey", pa.int64()), ("value_e2", pa.int64())])
+    if len(supp_keys) == 0:
+        return _OUT.empty_table()
+
+    _PART = pa.schema([("p_partkey", pa.int64()), ("value_e2", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.is_in(t["l_suppkey"], value_set=supp_keys))
+        if k.num_rows == 0:
+            return _PART.empty_table()
+        g = (
+            pa.table(
+                {
+                    "p_partkey": k["l_partkey"],
+                    "value_e2": _cents(k["l_extendedprice"]),
+                }
+            )
+            .group_by(["p_partkey"])
+            .aggregate([("value_e2", "sum")])
+        )
+        return g.rename_columns(["p_partkey", "value_e2"])
+
+    per_part = (
+        read_table(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_partkey")
+        .sum("value_e2")
+        .materialize()  # bounded by |part| — consumed twice below
+    )
+    total = per_part.sum("sum(value_e2)")
+    if not total:
+        return _OUT.empty_table()
+    total = int(total)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["sum(value_e2)"]
+        k = t.filter(
+            pc.greater(
+                pc.multiply(pc.cast(v, pa.int64()), pa.scalar(_Q11_DENOM, pa.int64())),
+                pa.scalar(total, pa.int64()),
+            )
+        )
+        if k.num_rows == 0:
+            return _OUT.empty_table()
+        return pa.table(
+            {"p_partkey": k["p_partkey"], "value_e2": k["sum(value_e2)"]},
+            schema=_OUT,
+        )
+
+    out = pa.Table.from_pandas(
+        per_part.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas(),  # survivors: > 1/1000 shares => < 1000 rows — bounded
+        schema=_OUT,
+        preserve_index=False,
+    )
+    idx = pc.sort_indices(
+        out, sort_keys=[("value_e2", "descending"), ("p_partkey", "ascending")]
+    )
+    return out.take(idx)
+
+
+# ---------------------------------------------------------------------------
+# window_heavy_suppliers — TPC-H Q20 shape (nested aggregate semi-join)
+# ---------------------------------------------------------------------------
+# Testdata shipdates span 1995-2001 (~7 years), so Q20's literal ">1/2 of
+# all-time volume in one year" never fires; the same nested-aggregate shape
+# with ">1/6" (still integer-exact: qty_window*6 > qty_total) discriminates
+# at every driver scale (sf0.01: 3 of NATION_9's 10 qualifying suppliers).
+
+_Q20_NATION = "NATION_9"
+_Q20_NAME_SUBSTR = "ol"
+_Q20_LO = "1997-01-01"
+_Q20_HI = "1998-01-01"
+
+
+@op(
+    "window_heavy_suppliers",
+    f"""
+    WITH q AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '{_Q20_LO}'
+                       AND l_shipdate <  TIMESTAMP '{_Q20_HI}'
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+               AS qty_window,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS qty_total
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%{_Q20_NAME_SUBSTR}%'
+      GROUP BY 1
+    )
+    SELECT s_name, qty_window::BIGINT AS qty_window, qty_total::BIGINT AS qty_total
+    FROM q
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE n_name = '{_Q20_NATION}' AND qty_window * 6 > qty_total
+    ORDER BY s_name
+    """,
+)
+def window_heavy_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: one nation's suppliers who shipped more than a
+    sixth of their all-time volume of a product line inside one year —
+    the nested IN-with-aggregates, computed as conditional-sum partials +
+    one bounded groupby + an integer comparison (qty_window*6 >
+    qty_total; no fraction on either side).
+
+    Plan: part name-filter and the nation's supplier set are driver
+    keysets; since the predicate is per-supplier, the nation filter is
+    pushed BEFORE the aggregate (same result, 1/25 of the rows); one
+    lineitem pass, per-batch two conditional sums, final groupby
+    bounded by the nation's supplier count."""
+    import datetime as _dt
+
+    nat_key = {
+        r["n_name"]: int(r["n_nationkey"])
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_name"]
+        ).take_all()
+    }[_Q20_NATION]
+    supp = {
+        int(r["s_suppkey"]): r["s_name"]
+        for r in read_table(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+        ).take_all()
+        if int(r["s_nationkey"]) == nat_key
+    }
+    part_keys = pa.array(
+        sorted(
+            int(r["p_partkey"])
+            for r in read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+            .map_batches(
+                lambda t: t.filter(
+                    pc.match_substring(t["p_name"], _Q20_NAME_SUBSTR)
+                ).select(["p_partkey"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .take_all()  # name-filtered part dimension — driver-safe
+        ),
+        pa.int64(),
+    )
+    _OUT = pa.schema(
+        [("s_name", pa.string()), ("qty_window", pa.int64()),
+         ("qty_total", pa.int64())]
+    )
+    if not supp or len(part_keys) == 0:
+        return _OUT.empty_table()
+    supp_keys = pa.array(sorted(supp), pa.int64())
+    lo = _dt.datetime.fromisoformat(_Q20_LO)
+    hi = _dt.datetime.fromisoformat(_Q20_HI)
+
+    _PART = pa.schema(
+        [("l_suppkey", pa.int64()), ("qty_window", pa.int64()),
+         ("qty_total", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.filter(
+            pc.and_(
+                pc.is_in(t["l_partkey"], value_set=part_keys),
+                pc.is_in(t["l_suppkey"], value_set=supp_keys),
+            )
+        )
+        if k.num_rows == 0:
+            return _PART.empty_table()
+        qty = pc.cast(pc.round(k["l_quantity"]), pa.int64())
+        in_win = pc.cast(
+            pc.and_(
+                pc.greater_equal(k["l_shipdate"], pa.scalar(lo)),
+                pc.less(k["l_shipdate"], pa.scalar(hi)),
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "l_suppkey": k["l_suppkey"],
+                    "qty_window": pc.multiply(qty, in_win),
+                    "qty_total": qty,
+                }
+            )
+            .group_by(["l_suppkey"])
+            .aggregate([("qty_window", "sum"), ("qty_total", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "qty_window", "qty_total"])
+
+    rows = (
+        read_table(
+            sf_dir, "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(*_sum_cols("qty_window", "qty_total"))
+        .take_all()  # <= the nation's supplier count — bounded
+    )
+    keep = [
+        (supp[int(r["l_suppkey"])], int(r["sum(qty_window)"]),
+         int(r["sum(qty_total)"]))
+        for r in rows
+        if int(r["sum(qty_window)"]) * 6 > int(r["sum(qty_total)"])
+    ]
+    keep.sort()
+    return pa.table(
+        {
+            "s_name": pa.array([k[0] for k in keep], pa.string()),
+            "qty_window": pa.array([k[1] for k in keep], pa.int64()),
+            "qty_total": pa.array([k[2] for k in keep], pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+def _sum_cols(*names: str):
+    from ray.data.aggregate import Sum
+
+    return tuple(Sum(n) for n in names)
