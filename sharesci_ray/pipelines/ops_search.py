@@ -1118,3 +1118,90 @@ def hybrid_search_rrf(sf_dir: str):
             "doc_id": pa.array(out_d, pa.int64()),
         }
     )
+
+
+# ===========================================================================
+# Unordered proximity search (within-window match off the positional index)
+# ===========================================================================
+
+# (query text, window): a doc matches when ALL the query's distinct terms
+# occur with min cover span <= window in the filtered token stream.  The
+# last fixture's OOV term is the structural zero-match case.
+_PROX_QUERIES = [
+    ("hash join", 3),
+    ("table scan", 2),
+    ("hash join key", 6),
+    ("merge sort", 1),
+    ("dup spark", 2),
+    ("zzqx join", 3),
+]
+
+
+def _prox_sql() -> str:
+    selects = []
+    for q, w in _PROX_QUERIES:
+        terms = list(dict.fromkeys(tokenize(q)))
+        if len(terms) == 1:
+            sub = f"(SELECT count(DISTINCT doc_id) FROM pos WHERE tok = '{terms[0]}')"
+        else:
+            joins = " ".join(
+                f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.tok = '{t}'"
+                for i, t in enumerate(terms[1:], 1)
+            )
+            g = ", ".join(f"p{i}.p" for i in range(len(terms)))
+            sub = (
+                f"(SELECT count(DISTINCT p0.doc_id) FROM pos p0 {joins} "
+                f"WHERE p0.tok = '{terms[0]}' "
+                f"AND greatest({g}) - least({g}) <= {w})"
+            )
+        selects.append(
+            f"SELECT '{q}' AS query, CAST({w} AS BIGINT) AS win, "
+            f"CAST({sub} AS BIGINT) AS n_docs"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+      FROM toks
+    )
+    SELECT * FROM ({body}) ORDER BY query
+    """
+
+
+@op("proximity_match_counts", _prox_sql())
+def proximity_match_counts(sf_dir: str):
+    """Unordered proximity search ("all terms within W tokens") answered
+    from the POSITIONAL index: candidate docs come from the posting
+    doc-id intersection, the verify runs a min-cover-span two-pointer per
+    candidate (ScorerActor.proximity_count) — no corpus scan anywhere in
+    the Ray plan; the index build is amortized across every index-backed
+    op via the /tmp cache.  Emits exactly one row per fixture query
+    (zero-match rows included, mirroring the oracle's scalar subqueries),
+    sorted by query text.
+
+    Position bases differ (engine 0-based stream index, oracle 1-based
+    generate_subscripts) but only position DIFFERENCES enter the
+    predicate, so the two sides agree exactly."""
+    import ray.data
+
+    from .query import ProximityCounter
+
+    build_dir = _index_for(sf_dir, positions=True)
+    qs = ray.data.from_arrow(
+        pa.table(
+            {
+                "query": pa.array([q for q, _ in _PROX_QUERIES], pa.string()),
+                "win": pa.array([w for _, w in _PROX_QUERIES], pa.int64()),
+            }
+        )
+    )
+    res = qs.map_batches(
+        ProximityCounter,
+        fn_constructor_kwargs={"build_dir": build_dir},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=1,
+    )
+    t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+    return t.take(pc.sort_indices(t, sort_keys=[("query", "ascending")]))

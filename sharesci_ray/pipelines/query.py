@@ -395,6 +395,49 @@ class ScorerActor:
             np.array(out_n, dtype=np.int64),
         )
 
+    def proximity_count(self, text: str, window: int) -> int:
+        """Unordered within-window match: the number of docs containing
+        ALL of the query's distinct terms with min cover span (max chosen
+        position − min chosen position, positions in the same filtered
+        token stream the phrase verify uses) ≤ ``window``.
+
+        Candidates come from the posting doc-id intersection — never a
+        corpus scan; the verify runs the classic smallest-range-covering-
+        k-lists two-pointer per candidate doc, O(occurrences) each."""
+        terms = list(dict.fromkeys(self.tokenize_fn(text)))
+        if not terms:
+            return 0
+        plists = []
+        for term in terms:
+            p = self._postings_pos(term)
+            if p is None:
+                return 0
+            plists.append(p)
+        cand = plists[0][0]
+        for d, _, _ in plists[1:]:
+            pos = np.searchsorted(d, cand)
+            pos[pos == d.size] = 0
+            cand = cand[d[pos] == cand]
+            if cand.size == 0:
+                return 0
+        if len(plists) == 1:
+            return int(cand.size)  # single term: span 0 ≤ any window
+        n = 0
+        k = len(plists)
+        for doc in cand:
+            evs = []
+            for i, (d, off, flat) in enumerate(plists):
+                j = int(np.searchsorted(d, doc))
+                ps = flat[off[j] : off[j + 1]].astype(np.int64)
+                evs.append(
+                    np.stack([ps, np.full(ps.size, i, dtype=np.int64)], axis=1)
+                )
+            ev = np.concatenate(evs)
+            ev = ev[np.argsort(ev[:, 0], kind="stable")]
+            if _min_cover_span(ev, k) <= window:
+                n += 1
+        return n
+
     # ---- scoring ----------------------------------------------------------
     def _contrib(self, term: str):
         """term → (docids, per-posting score contribution) — contribution =
@@ -644,6 +687,64 @@ class ScorerActor:
                 "rank": pa.array(ranks, pa.int32()),
                 "doc_id": pa.array(docs, pa.int64()),
                 "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def _min_cover_span(ev: np.ndarray, k: int) -> int:
+    """Smallest window (max−min of positions) covering all ``k`` labels in
+    ``ev`` — rows (position, label), sorted ascending by position.  The
+    standard two-pointer sweep, O(len(ev))."""
+    counts = np.zeros(k, dtype=np.int64)
+    covered = 0
+    best = np.iinfo(np.int64).max
+    left = 0
+    for right in range(ev.shape[0]):
+        t = int(ev[right, 1])
+        if counts[t] == 0:
+            covered += 1
+        counts[t] += 1
+        while covered == k:
+            span = int(ev[right, 0] - ev[left, 0])
+            if span < best:
+                best = span
+            tl = int(ev[left, 1])
+            counts[tl] -= 1
+            if counts[tl] == 0:
+                covered -= 1
+            left += 1
+    return best
+
+
+class ProximityCounter:
+    """Actor-pool stage for unordered proximity queries over a POSITIONAL
+    index: (query, win) rows → (query, win, n_docs).  Emits exactly one
+    row per input row (zero-match queries included), so row parity with a
+    seeded oracle is structural.  Index state loads once per actor; a
+    query touches only its terms' buckets — no corpus scan in the plan."""
+
+    def __init__(self, build_dir: str, tokenize_fn=None):
+        with open(os.path.join(build_dir, "config.json")) as f:
+            if not json.load(f).get("positions"):
+                raise ValueError(
+                    "ProximityCounter needs a positional index — build with "
+                    "BuildConfig(positions=True)"
+                )
+        self.scorer = ScorerActor(
+            build_dir, k=1, scorer="daat", preload=False, tokenize_fn=tokenize_fn
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qs = batch["query"].to_pylist()
+        ws = [int(w) for w in batch["win"].to_pylist()]
+        counts = [
+            self.scorer.proximity_count(q or "", w) for q, w in zip(qs, ws)
+        ]
+        return pa.table(
+            {
+                "query": pa.array(qs, pa.string()),
+                "win": pa.array(ws, pa.int64()),
+                "n_docs": pa.array(counts, pa.int64()),
             }
         )
 

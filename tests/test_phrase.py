@@ -136,3 +136,72 @@ def test_merge_preserves_positions(ray_session, tmp_path_factory):
     # identical dense ids (same sort keys) → bit-equal phrase results
     assert (dm == dr).all() and (om == or_).all()
     assert dm.size > 0
+
+
+# ---------------------------------------------------------------------------
+# Unordered proximity (within-window) search
+# ---------------------------------------------------------------------------
+
+
+def _brute_proximity(corpus, text, window):
+    """Pure-python recount: docs where all distinct query terms occur with
+    min cover span <= window in the filtered token stream."""
+    from itertools import product
+
+    terms = list(dict.fromkeys(tokenize(text)))
+    n = 0
+    for row in range(corpus.num_rows):
+        dt = tokenize(corpus["content"][row].as_py())
+        pos = {t: [i for i, tk in enumerate(dt) if tk == t] for t in terms}
+        if any(not p for p in pos.values()):
+            continue
+        best = min(
+            max(combo) - min(combo)
+            for combo in product(*(pos[t] for t in terms))
+        )
+        if best <= window:
+            n += 1
+    return n
+
+
+def test_proximity_count_vs_brute(pos_index):
+    d, corpus = pos_index
+    s = ScorerActor(d, k=5, scorer="daat")
+    toks = tokenize(corpus["content"][11].as_py())
+    # queries drawn from a real token stream: near pair, far pair, triple
+    cases = [
+        (f"{toks[4]} {toks[6]}", 2),
+        (f"{toks[4]} {toks[6]}", 50),
+        (f"{toks[0]} {toks[9]} {toks[17]}", 8),
+        (f"{toks[0]} {toks[9]} {toks[17]}", 3),
+    ]
+    for text, w in cases:
+        assert s.proximity_count(text, w) == _brute_proximity(corpus, text, w), (
+            text,
+            w,
+        )
+
+
+def test_proximity_edges(pos_index):
+    d, corpus = pos_index
+    s = ScorerActor(d, k=5, scorer="daat")
+    # single-term query: every doc containing the term matches (span 0)
+    toks = tokenize(corpus["content"][2].as_py())
+    term = toks[0]
+    got = s._postings_pos(term)
+    assert s.proximity_count(term, 0) == got[0].size
+    # duplicate terms in the query collapse to the distinct set
+    assert s.proximity_count(f"{term} {term}", 0) == got[0].size
+    # OOV term and empty query → 0
+    assert s.proximity_count("zzzznope " + term, 99) == 0
+    assert s.proximity_count("", 5) == 0
+
+
+def test_proximity_counter_rejects_nonpositional(ray_session, tmp_path_factory):
+    from sharesci_ray.pipelines.query import ProximityCounter
+
+    corpus = make_corpus(20, seed=6)
+    d = str(tmp_path_factory.mktemp("noposprox"))
+    build_index(corpus_from_table(corpus), d, BuildConfig(n_buckets=4), resume=False)
+    with pytest.raises(ValueError, match="positional"):
+        ProximityCounter(d)
