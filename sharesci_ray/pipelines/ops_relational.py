@@ -2435,9 +2435,17 @@ def covisit_counts(sf_dir: str):
     windowed ops); pair counts pre-aggregate per batch before the small
     pair groupby, and the final top-k carries a full deterministic
     tie-break."""
-    from ray.data.aggregate import Sum
+    counts = _covisit_pair_counts(sf_dir)
+    return counts.sort(
+        ["n_users", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(_COVISIT_K)
 
-    from .util import drop_empty_blocks
+
+def _covisit_pair_counts(sf_dir: str):
+    """Shared covisitation kernel: distinct (user, item) → unordered item
+    pairs → (item_a, item_b, n_users) counts dataset (covisit_counts takes
+    the top-k of it; item_pagerank builds its graph from it)."""
+    from ray.data.aggregate import Sum
 
     ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "props"])
 
@@ -2494,16 +2502,192 @@ def covisit_counts(sf_dir: str):
         g = t.group_by(["item_a", "item_b"]).aggregate([("one", "sum")])
         return g.rename_columns(["item_a", "item_b", "one"])
 
-    counts = _rename(
+    return _rename(
         pairs.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["item_a", "item_b"])
         .aggregate(Sum("one")),
         {"sum(one)": "n_users"},
         int64_cols=("n_users",),
     )
-    return counts.sort(
-        ["n_users", "item_a", "item_b"], descending=[True, False, False]
-    ).limit(_COVISIT_K)
+
+
+# ---------------------------------------------------------------------------
+# item_pagerank — iterative graph algorithm over the covisitation graph
+# ---------------------------------------------------------------------------
+# Integer-exact damped PageRank: ranks live in fixed-point units (SCALE),
+# each neighbor contribution is ONE floor division (r*85) // (100*deg) and
+# the update is an integer sum — bit-identical on both sides regardless of
+# summation order (the repo's float-safety policy, ops.py docstring).
+# Edge set: covisit pairs whose weight exceeds the exact index-based p90 of
+# the weight multiset (value at index ((cnt-1)*9)//10 ascending — the same
+# exact-quantile definition length_deciles uses), so the fixture
+# discriminates at every testdata scale without a scale-tuned constant.
+
+_PR_SCALE = 1_000_000_000_000  # fixed-point unit for rank values
+_PR_BASE = (_PR_SCALE * 15) // 100  # (1-d)·SCALE with d = 0.85
+_PR_ITERS = 3
+_PR_TOPN = 20
+
+_PR_EDGES_SQL = """
+    WITH it AS (
+      SELECT DISTINCT user_id, item FROM (
+        SELECT user_id,
+               TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+        FROM events WHERE event_type = 'view'
+      ) WHERE item IS NOT NULL
+    ),
+    p AS (
+      SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS n
+      FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    wcnt AS (SELECT count(*) AS c FROM p),
+    thr AS (
+      SELECT n AS t FROM (
+        SELECT n, row_number() OVER (ORDER BY n) AS rn FROM p
+      ) q, wcnt WHERE rn - 1 = ((wcnt.c - 1) * 9) // 10
+    ),
+    keep AS (SELECT ia, ib FROM p, thr WHERE p.n > thr.t),
+    edges AS (
+      SELECT ia AS src, ib AS dst FROM keep
+      UNION ALL
+      SELECT ib AS src, ia AS dst FROM keep
+    ),
+    deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1)
+"""
+
+
+def _pagerank_sql() -> str:
+    iters = [f"r0 AS (SELECT src AS item, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)"]
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{k} AS (
+      SELECT e.dst AS item,
+             CAST({_PR_BASE} + sum((r.r * 85) // (100 * d.d)) AS BIGINT) AS r
+      FROM edges e
+      JOIN r{k - 1} r ON r.item = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY 1
+    )"""
+        )
+    return f"""
+    {_PR_EDGES_SQL},
+    {", ".join(iters)}
+    SELECT item, r AS rank_scaled FROM r{_PR_ITERS}
+    ORDER BY r DESC, item LIMIT {_PR_TOPN}
+    """
+
+
+@op("item_pagerank", _pagerank_sql())
+def item_pagerank(sf_dir: str):
+    """Damped PageRank ({_PR_ITERS} iterations, d=0.85) over the item
+    covisitation graph — the iterative-graph-algorithm class (recommender
+    item authority), exact by integer fixed-point arithmetic.
+
+    Scale shape: the pair counts reuse the covisit kernel (one groupby-by-
+    user shuffle); the weight-p90 threshold reduces to a tiny (weight →
+    count) histogram like length_deciles — the histogram, not the pair
+    set, reaches the driver.  Per iteration, the rank and degree maps are
+    BROADCAST (one ray.put, item catalogs are bounded — here ≤100, at web
+    scale the catalog still fits a worker heap) while the EDGE set stays
+    distributed: each batch computes its edges' contributions vectorized
+    and pre-aggregates by dst before the one small groupby-sum per
+    round.  No edge-sized state ever reaches the driver; per round only
+    |items| rows do (documented bounded take_all)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    pairs = _covisit_pair_counts(sf_dir)
+
+    # exact p90 of the weight multiset via a (weight → count) histogram
+    hist = (
+        pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": t["n_users"],
+                    "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("n")
+        .aggregate(Sum("c"))
+        .take_all()
+    )  # distinct-weight-sized, NOT pair-sized
+    _OUT = pa.schema([("item", pa.int64()), ("rank_scaled", pa.int64())])
+    if not hist:
+        return _OUT.empty_table()
+    vals = np.array(sorted((int(r["n"]), int(r["sum(c)"])) for r in hist))
+    cum = np.cumsum(vals[:, 1])
+    thr = int(vals[np.searchsorted(cum, (int(cum[-1]) - 1) * 9 // 10 + 1), 0])
+
+    _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_users"], thr))
+        if t.num_rows == 0:
+            return _EDGE.empty_table()
+        a = t["item_a"].to_numpy(zero_copy_only=False)
+        b = t["item_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+            },
+            schema=_EDGE,
+        )
+
+    edges = pairs.map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused every iteration; edge set ≪ input events
+
+    deg_rows = edges.groupby("src").count().take_all()  # ≤ |catalog| rows
+    if not deg_rows:
+        return _OUT.empty_table()
+    items = np.array(sorted(int(r["src"]) for r in deg_rows), dtype=np.int64)
+    deg = np.zeros(items.size, dtype=np.int64)
+    for r in deg_rows:
+        deg[np.searchsorted(items, int(r["src"]))] = int(r["count()"])
+    ranks = np.full(items.size, _PR_SCALE, dtype=np.int64)
+
+    for _ in range(_PR_ITERS):
+        state_ref = ray.put((items, ranks, deg))
+
+        def contrib(t: pa.Table, _ref=state_ref) -> pa.Table:
+            it, rk, dg = ray.get(_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            j = np.searchsorted(it, src)
+            c = (rk[j] * 85) // (100 * dg[j])
+            g = (
+                pa.table({"dst": t["dst"], "contrib": pa.array(c)})
+                .group_by("dst")
+                .aggregate([("contrib", "sum")])
+            )
+            return g.rename_columns(["dst", "contrib"])
+
+        rows = (
+            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("dst")
+            .aggregate(Sum("contrib"))
+            .take_all()  # ≤ |catalog| rows — bounded
+        )
+        new_ranks = np.zeros(items.size, dtype=np.int64)
+        for r in rows:
+            new_ranks[np.searchsorted(items, int(r["dst"]))] = int(
+                r["sum(contrib)"]
+            )
+        ranks = _PR_BASE + new_ranks
+
+    order = np.lexsort((items, -ranks))[:_PR_TOPN]
+    return pa.table(
+        {
+            "item": pa.array(items[order], pa.int64()),
+            "rank_scaled": pa.array(ranks[order], pa.int64()),
+        },
+        schema=_OUT,
+    )
 
 
 # ---------------------------------------------------------------------------
