@@ -1205,3 +1205,108 @@ def proximity_match_counts(sf_dir: str):
     )
     t = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
     return t.take(pc.sort_indices(t, sort_keys=[("query", "ascending")]))
+
+
+# ===========================================================================
+# Search-quality evaluation: rank of the first AND-relevant hit per query
+# ===========================================================================
+
+
+def _eval_sql() -> str:
+    from .ops import DOC_QUERIES, _bm25_sql
+
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    allq = ", ".join(f"({i})" for i in range(len(DOC_QUERIES)))
+    return f"""
+    WITH bm AS (SELECT * FROM ({_bm25_sql()})),
+    dtoks AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
+    q(query_id, term) AS (VALUES {values}),
+    qsz AS (SELECT query_id, count(*) AS nt FROM q GROUP BY 1),
+    rel AS (
+      SELECT q.query_id, t.doc_id
+      FROM q JOIN dtoks t ON t.term = q.term
+      GROUP BY 1, 2
+      HAVING count(*) = (SELECT nt FROM qsz WHERE qsz.query_id = q.query_id)
+    ),
+    fr AS (
+      SELECT bm.query_id, min(bm.rank) AS r
+      FROM bm JOIN rel ON rel.query_id = bm.query_id AND rel.doc_id = bm.doc_id
+      GROUP BY 1
+    ),
+    allq(query_id) AS (VALUES {allq})
+    SELECT allq.query_id::BIGINT AS query_id,
+           COALESCE(fr.r, 0)::BIGINT AS first_rel_rank
+    FROM allq LEFT JOIN fr ON fr.query_id = allq.query_id
+    ORDER BY query_id
+    """
+
+
+@op("first_relevant_rank", _eval_sql())
+def first_relevant_rank(sf_dir: str):
+    """IR evaluation over the engine's own ranking: for every fixture
+    query, the rank of the FIRST result that is AND-relevant (contains
+    every query term — the same pseudo-label boolean_and_counts counts),
+    0 when no top-10 hit qualifies.  Integer-exact (ranks only — no MRR
+    float ever crosses the compare).
+
+    Plan: the BM25 ranking is the flagship pipeline's bounded k·|queries|
+    result; the relevance check is ONE column-pruned pass over documents
+    filtered to the ≤ k·|queries| candidate doc ids at the batch level —
+    per batch a token-set containment test against the fixture term sets
+    (both fixture-bounded).  Only candidate-doc rows are ever tokenized;
+    the join back to ranks happens on the driver over the bounded result
+    set."""
+    from .ops import DOC_QUERIES, bm25_topk
+
+    ranked = [
+        (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]))
+        for r in bm25_topk(sf_dir)
+        .select_columns(["query_id", "rank", "doc_id"])
+        .take_all()  # k·|queries| rows — bounded
+    ]
+    cand = pa.array(sorted({d for _, _, d in ranked}), pa.int64())
+    qterms = [sorted(set(tokenize(q))) for q in DOC_QUERIES]
+
+    _REL = pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64())])
+
+    def check(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=cand))
+        if t.num_rows == 0:
+            return _REL.empty_table()
+        out_q, out_d = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = set(tokenize(x or ""))
+            for qid, ts in enumerate(qterms):
+                if all(tm in toks for tm in ts):
+                    out_q.append(qid)
+                    out_d.append(int(d))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            },
+            schema=_REL,
+        )
+
+    rel = {
+        (int(r["query_id"]), int(r["doc_id"]))
+        for r in read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # ≤ |queries| × |candidates| — bounded
+    }
+    first = {}
+    for qid, rank, doc in ranked:
+        if (qid, doc) in rel and rank < first.get(qid, 1 << 30):
+            first[qid] = rank
+    return pa.table(
+        {
+            "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+            "first_rel_rank": pa.array(
+                [first.get(i, 0) for i in range(len(DOC_QUERIES))], pa.int64()
+            ),
+        }
+    )
