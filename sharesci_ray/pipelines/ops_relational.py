@@ -4188,3 +4188,157 @@ def _sum_cols(*names: str):
     from ray.data.aggregate import Sum
 
     return tuple(Sum(n) for n in names)
+
+
+# ---------------------------------------------------------------------------
+# daily_value_ffill — date-spine + forward-fill (gap-filled daily series)
+# ---------------------------------------------------------------------------
+# The missing windowed shape: build a complete daily spine per series and
+# carry the last observation forward across gap days (the time-series
+# normalization step before any resample/rolling model input).  The carried
+# value is copied bit-for-bit from ONE deterministically-chosen event (max
+# (ts, event_id) within the day) — no float arithmetic, so the double
+# survives the compare exactly.
+
+
+@op(
+    "daily_value_ffill",
+    """
+    WITH ev AS (
+      SELECT ts, event_id, event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    days AS (
+      SELECT unnest(generate_series(
+        date_trunc('day', (SELECT min(ts) FROM ev)),
+        date_trunc('day', (SELECT max(ts) FROM ev)),
+        INTERVAL 1 DAY)) AS day
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    lastobs AS (
+      SELECT event_type, day, value FROM (
+        SELECT event_type, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ),
+    spine AS (SELECT t.event_type, d.day FROM types t CROSS JOIN days d),
+    filled AS (
+      SELECT s.event_type, s.day,
+             last_value(l.value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM spine s
+      LEFT JOIN lastobs l ON l.event_type = s.event_type AND l.day = s.day
+    )
+    SELECT event_type, day, value FROM filled WHERE value IS NOT NULL
+    ORDER BY event_type, day
+    """,
+)
+def daily_value_ffill(sf_dir: str):
+    """Gap-filled daily series per event_type: the last observed event
+    value of each day (deterministic pick: max (ts, event_id)), carried
+    forward over days with no observation, starting at each series' first
+    observed day.
+
+    Scale shape: per-batch partials keep ONE candidate row per
+    (event_type, day) via a vectorized lexsort + last-of-run pick, so the
+    groupby shuffle moves ≤ |series|·|days|·|blocks| tiny rows; the final
+    per-cell argmax runs in map_groups over those candidates.  The filled
+    spine itself is |series| × |days| — bounded (a daily series is small
+    by construction; the corpus-sized event stream never leaves the
+    partials)."""
+    ev = read_table(
+        sf_dir, "events", columns=["ts", "event_id", "event_type", "value"]
+    )
+
+    _CAND = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.int64()),  # epoch days (int64 survives the shuffle)
+            ("ts_us", pa.int64()),
+            ("event_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    _US_PER_DAY = 86_400_000_000
+
+    def _pick_last(
+        etype: np.ndarray,
+        day: np.ndarray,
+        ts: np.ndarray,
+        eid: np.ndarray,
+    ) -> np.ndarray:
+        """Indices of the max-(ts, event_id) row per (event_type, day) —
+        one vectorized lexsort, then the last element of each key run."""
+        codes, inv = np.unique(etype, return_inverse=True)
+        key = inv.astype(np.int64) * 1_000_000 + day  # day ≪ 1e6
+        order = np.lexsort((eid, ts, key))
+        k = key[order]
+        last = np.flatnonzero(np.append(k[1:] != k[:-1], True))
+        return order[last]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        if t.num_rows == 0:
+            return _CAND.empty_table()
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        etype = np.asarray(t["event_type"].to_pylist())
+        day = ts // _US_PER_DAY
+        idx = _pick_last(etype, day, ts, eid)
+        return pa.table(
+            {
+                "event_type": pa.array(etype[idx], pa.string()),
+                "day": pa.array(day[idx], pa.int64()),
+                "ts_us": pa.array(ts[idx], pa.int64()),
+                "event_id": pa.array(eid[idx], pa.int64()),
+                "value": t["value"].take(pa.array(idx)),
+            },
+            schema=_CAND,
+        )
+
+    def reduce_cell(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        j = int(np.lexsort((eid, ts))[-1])
+        return group.slice(j, 1).select(["event_type", "day", "value"])
+
+    rows = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .map_groups(reduce_cell, batch_format="pyarrow")
+        .take_all()  # |series| × |observed days| — bounded
+    )
+    _OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.timestamp("us")),
+            ("value", pa.float64()),
+        ]
+    )
+    if not rows:
+        return _OUT.empty_table()
+    obs = {(r["event_type"], int(r["day"])): float(r["value"]) for r in rows}
+    days = sorted({d for _, d in obs})
+    lo, hi = days[0], days[-1]
+    types = sorted({t for t, _ in obs})
+    out_t, out_d, out_v = [], [], []
+    for t in types:
+        carried = None
+        for d in range(lo, hi + 1):
+            v = obs.get((t, d))
+            if v is not None:
+                carried = v
+            if carried is not None:
+                out_t.append(t)
+                out_d.append(d * _US_PER_DAY)
+                out_v.append(carried)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "day": pa.array(out_d, pa.timestamp("us")),
+            "value": pa.array(out_v, pa.float64()),
+        },
+        schema=_OUT,
+    )

@@ -603,3 +603,67 @@ def test_distinct_parts_mass(ray_session):
             FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"""
     ).df().set_index("l_suppkey")
     assert got["n_parts"].to_dict() == exp["n"].to_dict()
+
+
+def test_daily_value_ffill_gaps_parity(ray_session):
+    """Testdata has no empty (type, day) cells, so the carry-forward branch
+    is vacuous there — exercise it on a synthetic gapped series: gaps
+    inside the range take the last observation, days before a series'
+    first observation emit nothing, and the within-day argmax picks the
+    max-(ts, event_id) event on both sides."""
+    import os
+    import tempfile
+
+    import duckdb as _dd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from sharesci_ray.pipelines.ops_relational import daily_value_ffill
+
+    def us(day, sec=0):
+        return (day * 86_400 + sec) * 1_000_000
+
+    rows = pa.table(
+        {
+            # series "a": days 0, 1, 4 (gap 2-3); two events on day 1 share
+            # the max ts → event_id breaks the tie.  series "b": starts day 3.
+            "ts": pa.array(
+                [us(0), us(1, 10), us(1, 10), us(4), us(3), us(5)],
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "a", "b", "b"]),
+            "value": pa.array([1.5, 2.5, 3.5, 4.5, 7.25, 8.25], pa.float64()),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="ffill_gaps_")
+    pq.write_table(rows, os.path.join(d, "events.parquet"))
+
+    got = (
+        daily_value_ffill(d)
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    truth = (
+        con.execute(e.oracle_sql()["daily_value_ffill"])
+        .df()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    assert list(got["event_type"]) == list(truth["event_type"])
+    assert list(got["day"]) == list(truth["day"])
+    assert list(got["value"]) == list(truth["value"])
+    # explicit semantics, not just parity: series a fills the day-2/3 gap
+    # with day-1's tie-broken value (event_id 3 → 3.5); series b starts at
+    # day 3 (no leading rows) and carries 7.25 into day 4
+    a = got[got["event_type"] == "a"]["value"].tolist()
+    assert a == [1.5, 3.5, 3.5, 3.5, 4.5, 4.5]
+    b = got[got["event_type"] == "b"]["value"].tolist()
+    assert b == [7.25, 7.25, 8.25]
