@@ -22,6 +22,33 @@ def read_corpus(paths: str | list[str], **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(paths, columns=CORPUS_COLUMNS, **kwargs)
 
 
+def read_corpus_any(path: str | list[str], **kwargs) -> ray.data.Dataset:
+    """S1 variant: corpus ingest from Parquet, JSON-lines or CSV, detected
+    by file extension.  Parquet stays the fast path (column pruning at the
+    read); the text formats are row-major, so the projection to
+    CORPUS_COLUMNS happens in the first map instead, and every column is
+    normalized to string (CSV readers infer ints for numeric-looking
+    commits/paths, JSON readers can emit nulls for missing keys — both
+    would poison the docvec sort keys downstream)."""
+    first = path[0] if isinstance(path, list) else path
+    if first.endswith((".json", ".jsonl")):
+        ds = ray.data.read_json(path, **kwargs)
+    elif first.endswith(".csv"):
+        ds = ray.data.read_csv(path, **kwargs)
+    else:
+        return read_corpus(path, **kwargs)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pc.fill_null(pc.cast(t[c], pa.string()), "")
+                for c in CORPUS_COLUMNS
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
     """S2: read one driver testdata table."""
     return ray.data.read_parquet(
