@@ -2403,18 +2403,27 @@ def weekly_retention(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _COVISIT_K = 50
+# Hyperactive users (bots/crawlers) make pair emission quadratic in their
+# distinct-item count and concentrate weight on junk pairs; the standard
+# covisit safeguard drops them.  20 bites at sf0.1 (max 24, p99 21) and is
+# vacuous below, so both the capped and uncapped paths stay driver-tested.
+_COVISIT_USER_CAP = 20
 
 
 @op(
     "covisit_counts",
     f"""
-    WITH it AS (
+    WITH it0 AS (
       SELECT DISTINCT user_id, item FROM (
         SELECT user_id,
                TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
         FROM events WHERE event_type = 'view'
       ) WHERE item IS NOT NULL
-    )
+    ),
+    uc AS (
+      SELECT user_id FROM it0 GROUP BY 1 HAVING count(*) <= {_COVISIT_USER_CAP}
+    ),
+    it AS (SELECT it0.* FROM it0 JOIN uc ON uc.user_id = it0.user_id)
     SELECT item_a, item_b, n_users FROM (
       SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_users
       FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
@@ -2482,7 +2491,8 @@ def _covisit_pair_counts(sf_dir: str):
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         items = np.unique(group["item"].to_numpy(zero_copy_only=False))
-        if items.size < 2:
+        if items.size < 2 or items.size > _COVISIT_USER_CAP:
+            # hyperactive user: dropped, mirroring the oracle's HAVING cap
             return _PAIRS.empty_table()
         ia, ib = np.triu_indices(items.size, k=1)
         return pa.table(
@@ -2528,14 +2538,18 @@ _PR_BASE = (_PR_SCALE * 15) // 100  # (1-d)·SCALE with d = 0.85
 _PR_ITERS = 3
 _PR_TOPN = 20
 
-_PR_EDGES_SQL = """
-    WITH it AS (
+_PR_EDGES_SQL = f"""
+    WITH it0 AS (
       SELECT DISTINCT user_id, item FROM (
         SELECT user_id,
                TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
         FROM events WHERE event_type = 'view'
       ) WHERE item IS NOT NULL
     ),
+    uc AS (
+      SELECT user_id FROM it0 GROUP BY 1 HAVING count(*) <= {_COVISIT_USER_CAP}
+    ),
+    it AS (SELECT it0.* FROM it0 JOIN uc ON uc.user_id = it0.user_id),
     p AS (
       SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS n
       FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
