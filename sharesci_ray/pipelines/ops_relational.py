@@ -2592,6 +2592,39 @@ def _pagerank_sql() -> str:
     """
 
 
+def _covisit_graph_pairs(sf_dir: str):
+    """Shared covisit GRAPH edge source: the pair-counts dataset plus the
+    exact index-based p90 weight threshold (keep n_users > thr — the
+    `keep` CTE of _PR_EDGES_SQL).  Returns (pairs_dataset, thr), or
+    (None, 0) on an empty pair set.  The threshold reduces to a tiny
+    (weight → count) histogram like length_deciles — the histogram, not
+    the pair set, reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    pairs = _covisit_pair_counts(sf_dir)
+    hist = (
+        pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": t["n_users"],
+                    "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("n")
+        .aggregate(Sum("c"))
+        .take_all()
+    )  # distinct-weight-sized, NOT pair-sized
+    if not hist:
+        return None, 0
+    vals = np.array(sorted((int(r["n"]), int(r["sum(c)"])) for r in hist))
+    cum = np.cumsum(vals[:, 1])
+    thr = int(vals[np.searchsorted(cum, (int(cum[-1]) - 1) * 9 // 10 + 1), 0])
+    return pairs, thr
+
+
 @op("item_pagerank", _pagerank_sql())
 def item_pagerank(sf_dir: str):
     """Damped PageRank ({_PR_ITERS} iterations, d=0.85) over the item
@@ -2612,30 +2645,10 @@ def item_pagerank(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    pairs = _covisit_pair_counts(sf_dir)
-
-    # exact p90 of the weight multiset via a (weight → count) histogram
-    hist = (
-        pairs.map_batches(
-            lambda t: pa.table(
-                {
-                    "n": t["n_users"],
-                    "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("n")
-        .aggregate(Sum("c"))
-        .take_all()
-    )  # distinct-weight-sized, NOT pair-sized
+    pairs, thr = _covisit_graph_pairs(sf_dir)
     _OUT = pa.schema([("item", pa.int64()), ("rank_scaled", pa.int64())])
-    if not hist:
+    if pairs is None:
         return _OUT.empty_table()
-    vals = np.array(sorted((int(r["n"]), int(r["sum(c)"])) for r in hist))
-    cum = np.cumsum(vals[:, 1])
-    thr = int(vals[np.searchsorted(cum, (int(cum[-1]) - 1) * 9 // 10 + 1), 0])
 
     _EDGE = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
@@ -2699,6 +2712,125 @@ def item_pagerank(sf_dir: str):
         {
             "item": pa.array(items[order], pa.int64()),
             "rank_scaled": pa.array(ranks[order], pa.int64()),
+        },
+        schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# covisit_triangles — motif counting on the covisit graph
+# ---------------------------------------------------------------------------
+
+_TRI_TOPN = 10
+
+
+def _tri_sql() -> str:
+    # reuses _PR_EDGES_SQL verbatim (single source of truth for the graph);
+    # its edges/deg CTEs go unused here, which DuckDB permits
+    return f"""
+    {_PR_EDGES_SQL},
+    tri AS (
+      SELECT k1.ia AS a, k1.ib AS b, k2.ib AS c
+      FROM keep k1
+      JOIN keep k2 ON k2.ia = k1.ib
+      JOIN keep k3 ON k3.ia = k1.ia AND k3.ib = k2.ib
+    ),
+    m AS (
+      SELECT a AS item FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT item, count(*)::BIGINT AS n_triangles
+    FROM m GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT {_TRI_TOPN}
+    """
+
+
+@op("covisit_triangles", _tri_sql())
+def covisit_triangles(sf_dir: str):
+    """Per-item triangle participation in the thresholded covisit graph
+    (top-{10}) — motif counting, the community-density signal recommender
+    pipelines use next to raw covisitation.
+
+    Scale shape: same graph source as item_pagerank (one covisit shuffle +
+    histogram threshold).  The adjacency matrix of the BOUNDED item
+    catalog is built once on the driver from the kept pair list (≤
+    |catalog|²/2 rows — documented bounded take_all, the same catalog
+    assumption as the pagerank broadcast; a web-scale unbounded vertex
+    set would need the vertex-partitioned variant instead) and broadcast
+    via ray.put; the EDGE list stays distributed — each batch counts its
+    edges\' triangles as one vectorized boolean matrix reduction
+    ("common neighbors above b", enumerating each triangle exactly once
+    at its lexicographically-least edge) and pre-aggregates per-item
+    counts before the one catalog-bounded groupby-sum."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    pairs, thr = _covisit_graph_pairs(sf_dir)
+    _OUT = pa.schema([("item", pa.int64()), ("n_triangles", pa.int64())])
+    if pairs is None:
+        return _OUT.empty_table()
+
+    keep = pairs.map_batches(
+        lambda t, _th=thr: t.filter(pc.greater(t["n_users"], _th)).select(
+            ["item_a", "item_b"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # scanned twice: adjacency build + distributed count
+
+    kp = keep.take_all()  # ≤ |catalog|²/2 — bounded by the item catalog
+    if not kp:
+        return _OUT.empty_table()
+    ia = np.array([int(r["item_a"]) for r in kp], dtype=np.int64)
+    ib = np.array([int(r["item_b"]) for r in kp], dtype=np.int64)
+    items = np.unique(np.concatenate([ia, ib]))
+    n = items.size
+    adj = np.zeros((n, n), dtype=bool)
+    ja, jb = np.searchsorted(items, ia), np.searchsorted(items, ib)
+    adj[ja, jb] = True
+    adj[jb, ja] = True
+    state_ref = ray.put((items, adj))
+
+    _PART = pa.schema([("item", pa.int64()), ("cnt", pa.int64())])
+
+    def tri_partial(t: pa.Table, _ref=state_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        it, A = ray.get(_ref)
+        u = np.searchsorted(it, t["item_a"].to_numpy(zero_copy_only=False))
+        v = np.searchsorted(it, t["item_b"].to_numpy(zero_copy_only=False))
+        # triangle (a<b<c) counted once at edge (a,b): common neighbors c>b
+        gt = np.arange(A.shape[0])[None, :] > v[:, None]
+        common = A[u] & A[v] & gt  # (edges_in_batch × |catalog|) bool
+        per_edge = common.sum(axis=1).astype(np.int64)
+        w_counts = common.sum(axis=0).astype(np.int64)
+        cnt = w_counts.copy()
+        np.add.at(cnt, u, per_edge)
+        np.add.at(cnt, v, per_edge)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "item": pa.array(it[nz], pa.int64()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    rows = (
+        keep.map_batches(tri_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("item")
+        .aggregate(Sum("cnt"))
+        .take_all()  # ≤ |catalog| rows — bounded
+    )
+    got = sorted(
+        ((int(r["sum(cnt)"]), int(r["item"])) for r in rows),
+        key=lambda x: (-x[0], x[1]),
+    )[:_TRI_TOPN]
+    return pa.table(
+        {
+            "item": pa.array([i for _, i in got], pa.int64()),
+            "n_triangles": pa.array([c for c, _ in got], pa.int64()),
         },
         schema=_OUT,
     )
