@@ -4062,12 +4062,16 @@ def product_profit(sf_dir: str):
 # important_parts — TPC-H Q11 shape (HAVING sum > fraction of a global sum)
 # ---------------------------------------------------------------------------
 # No partsupp: a part's "stock value" from one nation's suppliers is the
-# total cents of that nation's lineitems for it.  The Q11 HAVING threshold
-# (sum > FRACTION x global sum) is evaluated as value_e2 * 1000 > total —
-# a pure integer comparison, no float threshold on either side.
+# total cents of that nation's lineitems for it.  TPC-H scales Q11's
+# FRACTION by 1/SF because a fixed share of the total can't survive a
+# growing part count (a fixed 1/1000 rule left ZERO survivors at sf0.1);
+# the self-normalizing equivalent keeps parts worth more than K x the MEAN
+# part value — value_e2 * n_parts > K * total, a pure integer comparison
+# with no scale-tuned constant (K=3 keeps 1/22/193 parts at the three
+# testdata scales).
 
 _Q11_NATION = "NATION_3"
-_Q11_DENOM = 1000  # keep parts holding > 1/1000 of the nation's value
+_Q11_MEAN_MULT = 3  # keep parts holding > 3x the mean per-part value
 
 
 @op(
@@ -4084,15 +4088,16 @@ _Q11_DENOM = 1000  # keep parts holding > 1/1000 of the nation's value
     )
     SELECT p_partkey, value_e2
     FROM v
-    WHERE value_e2 * {_Q11_DENOM} > (SELECT sum(value_e2) FROM v)
+    WHERE value_e2 * (SELECT count(*) FROM v)
+          > {_Q11_MEAN_MULT} * (SELECT sum(value_e2) FROM v)
     ORDER BY value_e2 DESC, p_partkey
     """,
 )
 def important_parts(sf_dir: str):
     """TPC-H Q11 shape: parts whose value from one nation's suppliers
-    exceeds a fixed fraction of that nation's total — the scalar-subquery
-    HAVING, computed as (per-part aggregate) -> (global sum over the
-    aggregate, broadcast back as one int64) -> distributed filter.
+    exceeds {_Q11_MEAN_MULT}x the mean per-part value — the scalar-subquery
+    HAVING, computed as (per-part aggregate) -> (global sum + count over
+    the aggregate, broadcast back as two int64s) -> distributed filter.
 
     Plan: supplier+nation collapse to a driver keyset; ONE lineitem pass
     with per-batch (part, sum) partials; the per-part aggregate (bounded
@@ -4151,13 +4156,14 @@ def important_parts(sf_dir: str):
     if not total:
         return _OUT.empty_table()
     total = int(total)
+    n_parts = int(per_part.count())
 
     def keep(t: pa.Table) -> pa.Table:
         v = t["sum(value_e2)"]
         k = t.filter(
             pc.greater(
-                pc.multiply(pc.cast(v, pa.int64()), pa.scalar(_Q11_DENOM, pa.int64())),
-                pa.scalar(total, pa.int64()),
+                pc.multiply(pc.cast(v, pa.int64()), pa.scalar(n_parts, pa.int64())),
+                pa.scalar(_Q11_MEAN_MULT * total, pa.int64()),
             )
         )
         if k.num_rows == 0:
@@ -4167,11 +4173,15 @@ def important_parts(sf_dir: str):
             schema=_OUT,
         )
 
-    out = pa.Table.from_pandas(
-        per_part.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas(),  # survivors: > 1/1000 shares => < 1000 rows — bounded
+    surv = per_part.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # survivors: > Kx-mean shares => < n_parts/K rows — bounded
+    out = pa.table(
+        {
+            "p_partkey": pa.array([int(r["p_partkey"]) for r in surv], pa.int64()),
+            "value_e2": pa.array([int(r["value_e2"]) for r in surv], pa.int64()),
+        },
         schema=_OUT,
-        preserve_index=False,
     )
     idx = pc.sort_indices(
         out, sort_keys=[("value_e2", "descending"), ("p_partkey", "ascending")]
