@@ -4498,3 +4498,204 @@ def daily_value_ffill(sf_dir: str):
         },
         schema=_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_rfm_segments — RFM segmentation (multi-dim exact-quantile bucketing)
+# ---------------------------------------------------------------------------
+# Classic marketing/recommender feature: each customer scored 1-4 on
+# Recency (days since last order, vs the global max order day), Frequency
+# (order count) and Monetary (total cents), where the quartile thresholds
+# are EXACT index-based quantiles of each dimension's multiset (the same
+# definition length_deciles uses: value at index ((n-1)*q)//4 ascending).
+# bucket(v) = 1 + (v > t1) + (v > t2) + (v > t3) — pure integer compares.
+
+_RFM_US_PER_DAY = 86_400_000_000
+
+
+def _rfm_sql() -> str:
+    def thr(col: str, q: int) -> str:
+        return (
+            f"(SELECT v FROM (SELECT {col} AS v, row_number() OVER (ORDER BY {col}) AS rn "
+            f"FROM cust) x, n WHERE x.rn - 1 = ((n.c - 1) * {q}) // 4)"
+        )
+
+    def bucket(col: str) -> str:
+        return (
+            f"1 + (({col} > {thr(col, 1)})::INT + ({col} > {thr(col, 2)})::INT"
+            f" + ({col} > {thr(col, 3)})::INT)"
+        )
+
+    return f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             (CAST(epoch_us((SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+               // {_RFM_US_PER_DAY})
+             - (CAST(epoch_us(max(o_orderdate)) AS BIGINT)
+               // {_RFM_US_PER_DAY}) AS rec,
+             count(*)::BIGINT AS freq,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS mon
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS c FROM cust)
+    SELECT {bucket('rec')}::BIGINT AS r_bucket,
+           {bucket('freq')}::BIGINT AS f_bucket,
+           {bucket('mon')}::BIGINT AS m_bucket,
+           count(*)::BIGINT AS n_customers
+    FROM cust GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+@op("orders_rfm_segments", _rfm_sql())
+def orders_rfm_segments(sf_dir: str):
+    """RFM segmentation: customers bucketed 1-4 per dimension by exact
+    index-based quartiles, reported as (r, f, m) → customer count (≤64
+    rows).
+
+    Scale shape: ONE orders pass with per-batch (custkey → max-day,
+    count, cents) partials before the customer-keyed groupby; the
+    per-customer aggregate is materialized once and consumed four times
+    (three value HISTOGRAMS — distinct-value-sized, the same trick as
+    length_deciles — plus the bucket-assignment scan).  The nine
+    thresholds broadcast as plain ints; assignment emits per-batch
+    (r, f, m) partial counts so the final shuffle is ≤ 64 rows × blocks.
+    The monetary histogram's distinct-value count approaches |customer|
+    in the worst case — swap for a sort + split_at_indices quantile pass
+    at extreme customer cardinality (annotated trade, same as the
+    pagerank catalog bound)."""
+    from ray.data.aggregate import Max, Sum
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    _P = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("last_day", pa.int64()),
+            ("cnt", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), _RFM_US_PER_DAY)
+        g = (
+            pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "last_day": day,
+                    "cnt": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "cents": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by(["o_custkey"])
+            .aggregate([("last_day", "max"), ("cnt", "sum"), ("cents", "sum")])
+        )
+        return g.rename_columns(["o_custkey", "last_day", "cnt", "cents"]).cast(_P)
+
+    cust = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Max("last_day"), Sum("cnt"), Sum("cents"))
+        .materialize()  # |customer|-bounded; consumed 4x below
+    )
+    gmax = cust.max("max(last_day)")
+    _OUT = pa.schema(
+        [
+            ("r_bucket", pa.int64()),
+            ("f_bucket", pa.int64()),
+            ("m_bucket", pa.int64()),
+            ("n_customers", pa.int64()),
+        ]
+    )
+    if gmax is None:
+        return _OUT.empty_table()
+    gmax = int(gmax)
+
+    dims = {  # output column → (source column, transform to the scored value)
+        "rec": ("max(last_day)", lambda v: gmax - v),
+        "freq": ("sum(cnt)", lambda v: v),
+        "mon": ("sum(cents)", lambda v: v),
+    }
+
+    def _histogram(col: str, fn) -> np.ndarray:
+        rows = (
+            cust.map_batches(
+                lambda t, _c=col, _f=fn: pa.table(
+                    {
+                        "v": pa.array(
+                            _f(
+                                pc.cast(t[_c], pa.int64()).to_numpy(
+                                    zero_copy_only=False
+                                )
+                            ),
+                            pa.int64(),
+                        ),
+                        "c": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                )
+                .group_by("v")
+                .aggregate([("c", "sum")])
+                .rename_columns(["v", "c"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("v")
+            .sum("c")
+            .take_all()
+        )  # distinct-value-sized
+        return np.array(sorted((int(r["v"]), int(r["sum(c)"])) for r in rows))
+
+    thresholds = {}
+    for name, (col, fn) in dims.items():
+        vals = _histogram(col, fn)
+        cum = np.cumsum(vals[:, 1])
+        n = int(cum[-1])
+        thresholds[name] = [
+            int(vals[np.searchsorted(cum, ((n - 1) * q) // 4 + 1), 0])
+            for q in (1, 2, 3)
+        ]
+
+    def assign(t: pa.Table) -> pa.Table:
+        out = {}
+        for name, (col, fn) in dims.items():
+            v = fn(pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False))
+            t1, t2, t3 = thresholds[name]
+            out[name] = 1 + (v > t1) + (v > t2) + (v > t3)
+        g = (
+            pa.table(
+                {
+                    "r_bucket": out["rec"].astype(np.int64),
+                    "f_bucket": out["freq"].astype(np.int64),
+                    "m_bucket": out["mon"].astype(np.int64),
+                    "n_customers": np.ones(t.num_rows, dtype=np.int64),
+                }
+            )
+            .group_by(["r_bucket", "f_bucket", "m_bucket"])
+            .aggregate([("n_customers", "sum")])
+        )
+        return g.rename_columns(
+            ["r_bucket", "f_bucket", "m_bucket", "n_customers"]
+        )
+
+    rows = (
+        cust.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["r_bucket", "f_bucket", "m_bucket"])
+        .sum("n_customers")
+        .take_all()  # ≤ 64 rows
+    )
+    got = sorted(
+        (int(r["r_bucket"]), int(r["f_bucket"]), int(r["m_bucket"]),
+         int(r["sum(n_customers)"]))
+        for r in rows
+    )
+    return pa.table(
+        {
+            "r_bucket": pa.array([g[0] for g in got], pa.int64()),
+            "f_bucket": pa.array([g[1] for g in got], pa.int64()),
+            "m_bucket": pa.array([g[2] for g in got], pa.int64()),
+            "n_customers": pa.array([g[3] for g in got], pa.int64()),
+        },
+        schema=_OUT,
+    )
