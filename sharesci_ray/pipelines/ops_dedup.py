@@ -1587,6 +1587,38 @@ def near_dup_survivors(sf_dir: str):
     return agg.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _family_sizes_sql() -> str:
+    return f"""
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters
+    FROM ( {_survivors_sql()} ) GROUP BY 1 ORDER BY 1
+    """
+
+
+@op("dedup_family_sizes", _family_sizes_sql())
+def dedup_family_sizes(sf_dir: str):
+    """Duplicate-family size distribution: how many near-dup clusters have
+    1, 2, 3, … members — the dedup health report a data engineer reads
+    before trusting a keep-set (a fat tail means the similarity threshold
+    or the shingle rule is wrong).
+
+    Composition: near_dup_survivors' (representative, cluster_size) rows →
+    one histogram groupby; the output is bounded by the largest family
+    size, and nothing new reaches the driver."""
+    surv = near_dup_survivors(sf_dir)
+    agg = surv.groupby("cluster_size").count()
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster_size": pc.cast(t["cluster_size"], pa.int64()),
+                "n_clusters": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    out = agg.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort("cluster_size")
+
+
 # ===========================================================================
 # clean_corpus — the full dedup+quality decision per document
 # ===========================================================================
