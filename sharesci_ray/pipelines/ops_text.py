@@ -1407,3 +1407,96 @@ def source_quality_report(sf_dir: str):
             "mean_doc_chars": pa.array(chars / docs_n, pa.float64()),
         }
     )
+
+
+# ===========================================================================
+# Hot n-gram report (memorization / boilerplate hotspots)
+# ===========================================================================
+
+_HOT_NGRAM_K = 5
+_HOT_NGRAM_TOPN = 25
+
+
+def _hot_ngram_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest({dd.sql_shingles('t', k=_HOT_NGRAM_K)}) AS gram
+      FROM toks WHERE len(t) >= {_HOT_NGRAM_K}
+    ),
+    g AS (
+      SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs,
+             count(*)::BIGINT AS n_occurrences
+      FROM sh GROUP BY 1
+    )
+    SELECT gram, n_docs, n_occurrences
+    FROM g ORDER BY n_occurrences DESC, gram LIMIT {_HOT_NGRAM_TOPN}
+    """
+
+
+@op("hot_ngram_report", _hot_ngram_sql())
+def hot_ngram_report(sf_dir: str):
+    """The {_HOT_NGRAM_TOPN} most-repeated {_HOT_NGRAM_K}-gram shingles
+    across the corpus, with document reach — the memorization/boilerplate
+    hotspot report an LLM training pipeline reads next to its dedup stats
+    (license headers, templated pages, benchmark leaks all surface here).
+
+    Scale shape: per-batch vectorized shingling (token_shingles — the
+    minhash kernel's shingle rule), then a per-batch (gram, doc) dedup +
+    per-gram partial (n_docs, n_occurrences); docs live in exactly one
+    batch, so batch-level distinct-doc counts sum to the global distinct
+    count.  The one shuffle moves distinct-gram-sized partial rows (the
+    vocabulary, not the corpus), and only the global top-{_HOT_NGRAM_TOPN}
+    with a full (count desc, gram asc) tie-break reaches the driver."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _PART = pa.schema(
+        [("gram", pa.string()), ("n_docs", pa.int64()), ("n_occurrences", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams, parent = dd.token_shingles(t["text"], k=_HOT_NGRAM_K)
+        if not len(grams):
+            return _PART.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[parent]
+        per_doc = (
+            pa.table({"gram": grams, "doc_id": pa.array(ids)})
+            .group_by(["gram", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        g = (
+            pa.table(
+                {
+                    "gram": per_doc["gram"],
+                    "n_docs": pa.array(
+                        np.ones(per_doc.num_rows, dtype=np.int64)
+                    ),
+                    "n_occurrences": pc.cast(per_doc["count_all"], pa.int64()),
+                }
+            )
+            .group_by("gram")
+            .aggregate([("n_docs", "sum"), ("n_occurrences", "sum")])
+        )
+        return g.rename_columns(["gram", "n_docs", "n_occurrences"]).cast(_PART)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(Sum("n_docs"), Sum("n_occurrences"))
+    )
+    top = agg.sort(
+        ["sum(n_occurrences)", "gram"], descending=[True, False]
+    ).limit(_HOT_NGRAM_TOPN)
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gram": t["gram"],
+                "n_docs": pc.cast(t["sum(n_docs)"], pa.int64()),
+                "n_occurrences": pc.cast(t["sum(n_occurrences)"], pa.int64()),
+            }
+        )
+
+    return top.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
