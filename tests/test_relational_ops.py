@@ -667,3 +667,61 @@ def test_daily_value_ffill_gaps_parity(ray_session):
     assert a == [1.5, 3.5, 3.5, 3.5, 4.5, 4.5]
     b = got[got["event_type"] == "b"]["value"].tolist()
     assert b == [7.25, 7.25, 8.25]
+
+
+def test_covisit_graph_ops_planted_triangle(ray_session):
+    """Planted structure: 27 distinct noise pairs (weight 1) + one K3 on
+    items {1,2,3} (weight 4).  The exact-p90 threshold must keep exactly
+    the K3, item_pagerank must rank its three (symmetric) nodes equally,
+    and covisit_triangles must count one triangle per node — engine ==
+    oracle == hand-derived structure."""
+    import os
+    import tempfile
+
+    import duckdb as _dd
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from sharesci_ray.pipelines.ops_relational import (
+        covisit_triangles,
+        item_pagerank,
+    )
+
+    users, props = [], []
+    uid = 0
+    for _ in range(4):  # 4 users view {1,2,3} → K3 pairs at weight 4
+        for item in (1, 2, 3):
+            users.append(uid)
+            props.append(f'{{"k": {item}}}')
+        uid += 1
+    for i in range(27):  # 27 single-user noise pairs at weight 1
+        for item in (100 + 2 * i, 101 + 2 * i):
+            users.append(uid)
+            props.append(f'{{"k": {item}}}')
+        uid += 1
+    rows = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * len(users)),
+            "props": pa.array(props),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="covisit_k3_")
+    pq.write_table(rows, os.path.join(d, "events.parquet"))
+
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+
+    pr = item_pagerank(d).to_pandas()
+    truth_pr = con.execute(e.oracle_sql()["item_pagerank"]).df()
+    assert list(pr["item"]) == list(truth_pr["item"]) == [1, 2, 3]
+    assert list(pr["rank_scaled"]) == list(truth_pr["rank_scaled"])
+    # symmetric K3 → all three ranks identical
+    assert len(set(pr["rank_scaled"])) == 1
+
+    tri = covisit_triangles(d).to_pandas()
+    truth_tri = con.execute(e.oracle_sql()["covisit_triangles"]).df()
+    assert list(tri["item"]) == list(truth_tri["item"]) == [1, 2, 3]
+    assert list(tri["n_triangles"]) == list(truth_tri["n_triangles"]) == [1, 1, 1]
