@@ -4346,6 +4346,23 @@ def _sum_cols(*names: str):
     return tuple(Sum(n) for n in names)
 
 
+def _pick_last(
+    etype: "np.ndarray",
+    day: "np.ndarray",
+    ts: "np.ndarray",
+    eid: "np.ndarray",
+) -> "np.ndarray":
+    """Indices of the max-(ts, event_id) row per (event_type, day) — one
+    vectorized lexsort, then the last element of each key run (shared by
+    daily_value_ffill and the hypothesis property test)."""
+    codes, inv = np.unique(etype, return_inverse=True)
+    key = inv.astype(np.int64) * 1_000_000 + day  # day ≪ 1e6
+    order = np.lexsort((eid, ts, key))
+    k = key[order]
+    last = np.flatnonzero(np.append(k[1:] != k[:-1], True))
+    return order[last]
+
+
 # ---------------------------------------------------------------------------
 # daily_value_ffill — date-spine + forward-fill (gap-filled daily series)
 # ---------------------------------------------------------------------------
@@ -4418,21 +4435,6 @@ def daily_value_ffill(sf_dir: str):
         ]
     )
     _US_PER_DAY = 86_400_000_000
-
-    def _pick_last(
-        etype: np.ndarray,
-        day: np.ndarray,
-        ts: np.ndarray,
-        eid: np.ndarray,
-    ) -> np.ndarray:
-        """Indices of the max-(ts, event_id) row per (event_type, day) —
-        one vectorized lexsort, then the last element of each key run."""
-        codes, inv = np.unique(etype, return_inverse=True)
-        key = inv.astype(np.int64) * 1_000_000 + day  # day ≪ 1e6
-        order = np.lexsort((eid, ts, key))
-        k = key[order]
-        last = np.flatnonzero(np.append(k[1:] != k[:-1], True))
-        return order[last]
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["value"]))

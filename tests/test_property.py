@@ -168,3 +168,78 @@ def test_chunk_explode_matches_python_slicing(texts):
         assert sorted(got[i]) == list(range(n)), (i, len(t))
         for j in range(n):
             assert got[i][j] == t[j * CHUNK_STRIDE : j * CHUNK_STRIDE + CHUNK_W]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(  # k position lists, each nonempty, values in a small range
+        st.lists(st.integers(0, 40), min_size=1, max_size=8),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_min_cover_span_matches_bruteforce(pos_lists):
+    """query.py:_min_cover_span == exhaustive min over the cartesian
+    product of one position per list (the definition)."""
+    from itertools import product
+
+    from sharesci_ray.pipelines.query import _min_cover_span
+
+    uniq = [sorted(set(p)) for p in pos_lists]
+    ev = np.concatenate(
+        [
+            np.stack(
+                [np.array(p, dtype=np.int64), np.full(len(p), i, dtype=np.int64)],
+                axis=1,
+            )
+            for i, p in enumerate(uniq)
+        ]
+    )
+    ev = ev[np.argsort(ev[:, 0], kind="stable")]
+    got = _min_cover_span(ev, len(uniq))
+    expect = min(max(c) - min(c) for c in product(*uniq))
+    assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(  # (etype, day, ts, eid) events; eids deduped below
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 5),
+            st.integers(0, 100),
+            st.integers(0, 10**6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ffill_pick_last_matches_pandas(rows):
+    """daily_value_ffill's lexsort last-of-run pick == pandas idxmax over
+    the (ts, eid) tuple per (etype, day) — with unique eids, as in the
+    events table."""
+    import pandas as pd
+
+    from sharesci_ray.pipelines.ops_relational import _pick_last as pick_last
+
+    # dedupe eids (events have unique event_id)
+    seen, uniq_rows = set(), []
+    for r in rows:
+        if r[3] not in seen:
+            seen.add(r[3])
+            uniq_rows.append(r)
+    etype = np.array([r[0] for r in uniq_rows])
+    day = np.array([r[1] for r in uniq_rows], dtype=np.int64)
+    ts = np.array([r[2] for r in uniq_rows], dtype=np.int64)
+    eid = np.array([r[3] for r in uniq_rows], dtype=np.int64)
+
+    idx = pick_last(etype, day, ts, eid)
+    got = {(etype[i], int(day[i])): (int(ts[i]), int(eid[i])) for i in idx}
+
+    df = pd.DataFrame({"e": etype, "d": day, "t": ts, "i": eid})
+    expect = {
+        (e, int(d)): (int(g["t"].iloc[-1]), int(g["i"].iloc[-1]))
+        for (e, d), g in df.sort_values(["t", "i"]).groupby(["e", "d"])
+    }
+    assert got == expect
+    assert len(idx) == len(expect)
