@@ -4701,3 +4701,266 @@ def orders_rfm_segments(sf_dir: str):
         },
         schema=_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# priority_split_by_status — TPC-H Q12 shape (two-way conditional counts
+# after a fact-to-fact join)
+# ---------------------------------------------------------------------------
+
+_Q12_LO = "1996-01-01"
+_Q12_HI = "1997-01-01"
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+@op(
+    "priority_split_by_status",
+    f"""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_count,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS low_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q12_HI}'
+    GROUP BY 1
+    """,
+)
+def priority_split_by_status(sf_dir: str):
+    """TPC-H Q12 shape (adapted: testdata lineitem has no l_shipmode /
+    receipt dates, so the split key is l_linestatus and the window is the
+    1996 ship year): per line status, how many shipped lineitems belonged
+    to high-priority (URGENT/HIGH) orders vs everything else — the
+    join-then-two-way-conditional-count plan.
+
+    Scale shape: lineitem is filtered to the ship-year at the scan task
+    and projected to (l_orderkey, l_linestatus) before its only shuffle;
+    orders — scale-proportional, NOT broadcastable — collapses to
+    (o_orderkey, is_high∈{0,1}) so the hash join carries one int flag,
+    not the priority strings; after the join a per-batch partial
+    (status → Σis_high, count) reduces every block to ≤|statuses| rows
+    before the final tiny groupby.  low = count − high needs no second
+    CASE pass."""
+    import datetime as _dt
+
+    from .util import drop_empty_blocks, join_partitions
+
+    lo = _dt.datetime.fromisoformat(_Q12_LO)
+    hi = _dt.datetime.fromisoformat(_Q12_HI)
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        )
+        return t.select(["l_orderkey", "l_linestatus"])
+
+    li_w = drop_empty_blocks(
+        li.map_batches(window, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("l_orderkey", pa.int64()), ("l_linestatus", pa.string())]),
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        is_high = pc.cast(
+            pc.is_in(t["o_orderpriority"], value_set=pa.array(_HIGH_PRIORITIES)),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": t["o_orderkey"], "is_high": is_high})
+
+    ord_f = orders.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = drop_empty_blocks(
+        li_w.join(
+            ord_f,
+            join_type="inner",
+            num_partitions=join_partitions(li_w, ord_f),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("l_linestatus", pa.string()),
+             ("o_orderkey", pa.int64()), ("is_high", pa.int64())]
+        ),
+    )
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"l_linestatus": t["l_linestatus"],
+                 "high": t["is_high"],
+                 "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            )
+            .group_by("l_linestatus")
+            .aggregate([("high", "sum"), ("n", "sum")])
+        )
+        return g.rename_columns(["l_linestatus", "high", "n"])
+
+    agg = (
+        joined.map_batches(split_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_linestatus")
+        .sum(["high", "n"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        high = pc.cast(t["sum(high)"], pa.int64())
+        return pa.table(
+            {
+                "l_linestatus": t["l_linestatus"],
+                "high_count": high,
+                "low_count": pc.subtract(pc.cast(t["sum(n)"], pa.int64()), high),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# part_supplier_variety — TPC-H Q16 shape (supplier variety per part
+# attribute, excluding a derived supplier blocklist)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "part_supplier_variety",
+    """
+    WITH stat AS (
+      SELECT sum(CAST(round(s_acctbal * 100) AS BIGINT))::BIGINT AS total_cents,
+             count(*)::BIGINT AS n
+      FROM supplier
+    ),
+    bad AS (
+      SELECT s_suppkey FROM supplier, stat
+      WHERE CAST(round(s_acctbal * 100) AS BIGINT) * stat.n < stat.total_cents
+    )
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY 1, 2
+    """,
+)
+def part_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape (adapted: testdata has no partsupp, so the
+    part↔supplier relation is the distinct (l_partkey, l_suppkey) pairs
+    observed in lineitem; the excluded-supplier predicate is
+    below-mean account balance — self-normalizing at every scale,
+    unlike Q16's fixed comment pattern, and exact via the integer
+    cross-multiplication cents·n < Σcents, no float mean): distinct
+    supplier count per (brand, size), skipping blocklisted suppliers.
+
+    Scale shape: the supplier mean needs only two integer scalars (one
+    streaming aggregate); the blocklist is an int64 key set broadcast
+    once via ray.put and applied with a vectorized is_in at the lineitem
+    scan (at extreme supplier cardinality swap this broadcast for a hash
+    anti-join — same output); lineitem then collapses per batch to
+    distinct (partkey, suppkey) pairs, so the pair-dedup groupby and the
+    part join carry only distinct pairs, never raw lineitems; the final
+    COUNT(DISTINCT) is a second dedup on (brand, size, suppkey) triples
+    followed by per-batch count partials — the same two-stage exact
+    grouped-distinct plan as distinct_parts_per_supplier."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .util import drop_empty_blocks, join_partitions
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def sup_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s_suppkey": t["s_suppkey"], "cents": _cents(t["s_acctbal"])}
+        )
+
+    sup_c = sup.map_batches(sup_cents, batch_format="pyarrow", zero_copy_batch=True)
+    stat = sup_c.aggregate(Count(), Sum("cents"))  # two scalars
+    total_cents = int(stat["sum(cents)"] or 0)
+    n_sup = int(stat["count()"])
+
+    def bad_keys(t: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(pc.cast(t["cents"], pa.int64()), pa.scalar(n_sup, pa.int64())),
+            pa.scalar(total_cents, pa.int64()),
+        )
+        return t.filter(keep).select(["s_suppkey"])
+
+    bad = (
+        sup_c.map_batches(bad_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .unique("s_suppkey")
+    )  # blocklist-sized (≈ half the suppliers' int64 keys)
+    bad_ref = ray.put(np.asarray(sorted(bad), dtype=np.int64))
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ks = ray.get(bad_ref)
+        t = t.filter(pc.invert(pc.is_in(t["l_suppkey"], value_set=pa.array(ks))))
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = drop_empty_blocks(
+        li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_partkey", "l_suppkey"])
+        .count()
+        .select_columns(["l_partkey", "l_suppkey"]),
+        pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]),
+    )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    joined = drop_empty_blocks(
+        pairs.join(
+            part,
+            join_type="inner",
+            num_partitions=join_partitions(pairs, part),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        ),
+        pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("p_partkey", pa.int64()), ("p_brand", pa.string()),
+             ("p_size", pa.int64())]
+        ),
+    )
+
+    def triple_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["p_brand", "p_size", "l_suppkey"])
+            .group_by(["p_brand", "p_size", "l_suppkey"])
+            .aggregate([])
+        )
+
+    triples = (
+        joined.map_batches(triple_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .count()
+        .select_columns(["p_brand", "p_size", "l_suppkey"])
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["p_brand", "p_size"])
+            .group_by(["p_brand", "p_size"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"p_brand": g["p_brand"],
+             "p_size": pc.cast(g["p_size"], pa.int64()),
+             "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    return _rename(
+        triples.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "p_size"])
+        .sum("n"),
+        {"sum(n)": "supplier_cnt"},
+        int64_cols=("supplier_cnt",),
+    )
