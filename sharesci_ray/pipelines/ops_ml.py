@@ -530,3 +530,130 @@ def balance_sources(sf_dir: str):
         return batch.filter(pa.array(h % n < m))
 
     return docs.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# knn_label_vote — k-NN majority-vote classification over the embeddings
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "knn_label_vote",
+    f"""
+    WITH nn AS (
+      SELECT query_id, label FROM (
+        SELECT a.vec_id AS query_id, b.label::BIGINT AS label,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) DESC,
+                          b.vec_id
+               ) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < {dd.ANN_NQ}
+      ) WHERE rank <= {dd.ANN_K}
+    ),
+    votes AS (
+      SELECT query_id, label, count(*)::BIGINT AS votes
+      FROM nn GROUP BY 1, 2
+    )
+    SELECT query_id, label AS pred_label, votes FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def knn_label_vote(sf_dir: str):
+    """k-NN classification by majority vote: for each fixture query
+    vector (vec_id < ANN_NQ), the predicted label is the most frequent
+    label among its ANN_K exact cosine nearest neighbors (self excluded);
+    vote ties break to the smallest label — the standard weak-labeling /
+    label-propagation primitive a training pipeline uses to label
+    unlabeled data from a seed set.
+
+    Scale shape: identical to ann_topk_cosine — the query matrix is
+    broadcast once via ray.put, each batch computes one float64 matmul
+    and emits only its per-query partial top-k (now carrying the int64
+    neighbor label), and the per-query merge + vote runs in map_groups
+    over ≤ n_batches·k candidate rows per query.  The output is
+    ANN_NQ rows; ranks/votes only (no float scores), same rank-identity
+    policy as ann_topk_cosine."""
+    import ray
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    q_rows = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], dd.ANN_NQ)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded by the query sample (ANN_NQ rows)
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = vx.normalize(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    )
+    ref = ray.put((q_ids, q_mat))
+
+    _PARTIAL = pa.schema(
+        [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+         ("label", pa.int64()), ("score", pa.float64())]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        b_lab = (
+            pc.cast(batch["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        b_mat = vx.normalize(vx.embedding_matrix(batch))
+        sims = qm @ b_mat.T
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for r in range(qi.size):
+            s = sims[r]
+            idx = np.flatnonzero(b_ids != qi[r])
+            if idx.size == 0:
+                continue
+            order = idx[np.lexsort((b_ids[idx], -s[idx]))][: dd.ANN_K]
+            out_q.extend([qi[r]] * order.size)
+            out_n.extend(b_ids[order])
+            out_l.extend(b_lab[order])
+            out_s.extend(s[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "label": pa.array(out_l, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=_PARTIAL,
+        )
+
+    _OUT = pa.schema(
+        [("query_id", pa.int64()), ("pred_label", pa.int64()),
+         ("votes", pa.int64())]
+    )
+
+    def vote(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _OUT.empty_table()
+        s = group["score"].to_numpy(zero_copy_only=False)
+        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        lab = group["label"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s))[: dd.ANN_K]  # exact top-k merge
+        labs, counts = np.unique(lab[order], return_counts=True)
+        # majority; ties -> smallest label (np.unique sorts labels asc,
+        # argmax takes the first max — exactly votes DESC, label ASC)
+        win = int(np.argmax(counts))
+        return pa.table(
+            {
+                "query_id": pa.array([int(group["query_id"][0].as_py())], pa.int64()),
+                "pred_label": pa.array([int(labs[win])], pa.int64()),
+                "votes": pa.array([int(counts[win])], pa.int64()),
+            },
+            schema=_OUT,
+        )
+
+    partials = emb.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(vote, batch_format="pyarrow")

@@ -4964,3 +4964,148 @@ def part_supplier_variety(sf_dir: str):
         {"sum(n)": "supplier_cnt"},
         int64_cols=("supplier_cnt",),
     )
+
+
+# ---------------------------------------------------------------------------
+# sales_rollup — GROUP BY ROLLUP grouping-sets shape (nation, year)
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "sales_rollup",
+    """
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+           COALESCE(yr, -1)::BIGINT AS year,
+           COALESCE(sum(cents), 0)::BIGINT AS rev_cents,
+           count(*)::BIGINT AS n_orders
+    FROM (
+      SELECT n.n_name, EXTRACT(year FROM o.o_orderdate)::BIGINT AS yr,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    GROUP BY ROLLUP (n_name, yr)
+    """,
+)
+def sales_rollup(sf_dir: str):
+    """Grouping-sets / ROLLUP shape: revenue and order counts at three
+    granularities — (nation, year), (nation), grand total — the OLAP
+    cube slice every warehouse rollup report needs, with 'ALL' / -1
+    sentinel keys standing in for SQL's rollup NULLs (hash-stable and
+    NULL-free on both sides).
+
+    Scale shape: the fact stream is aggregated ONCE to the finest level —
+    customer (scale-proportional) collapses to (custkey → nationkey) for
+    the only fact-sized hash join, nation names broadcast as a 25-entry
+    dict, and per-batch partials reduce each block to ≤ |nations×years|
+    rows before the single groupby.  The two coarser levels are then
+    aggregates OF the base aggregate (≤ nations×years rows — bounded,
+    annotated), so the fact table is scanned exactly once for all three
+    levels; counts and integer-cent sums add across levels exactly."""
+    import ray
+
+    from .util import drop_empty_blocks, join_partitions
+
+    nation = read_table(sf_dir, "nation").take_all()  # 25-row dimension
+    name_of = {int(r["n_nationkey"]): str(r["n_name"]) for r in nation}
+    names_ref = ray.put(name_of)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def order_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": _cents(t["o_totalprice"]),
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    ord_p = orders.map_batches(order_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = drop_empty_blocks(
+        ord_p.join(
+            cust,
+            join_type="inner",
+            num_partitions=join_partitions(ord_p, cust),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ),
+        pa.schema(
+            [("o_custkey", pa.int64()), ("cents", pa.int64()), ("yr", pa.int64()),
+             ("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]
+        ),
+    )
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        nk = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        nation_col = pa.array([names[int(k)] for k in nk], pa.string())
+        g = (
+            pa.table(
+                {"nation": nation_col, "year": t["yr"], "rev": t["cents"],
+                 "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            )
+            .group_by(["nation", "year"])
+            .aggregate([("rev", "sum"), ("n", "sum")])
+        )
+        return g.rename_columns(["nation", "year", "rev", "n"])
+
+    base = _rename(
+        joined.map_batches(base_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nation", "year"])
+        .sum(["rev", "n"]),
+        {"sum(rev)": "rev_cents", "sum(n)": "n_orders"},
+        int64_cols=("rev_cents", "n_orders"),
+    )
+
+    _OUT = pa.schema(
+        [("nation", pa.string()), ("year", pa.int64()),
+         ("rev_cents", pa.int64()), ("n_orders", pa.int64())]
+    )
+    # the base aggregate is bounded (≤ |nations| × |years| ≈ 25×7 rows at
+    # any corpus size — grouping keys, not data size), so the two coarser
+    # rollup levels are computed from it driver-side:
+    rows = base.take_all()
+    if not rows:
+        return pa.table(
+            {"nation": ["ALL"], "year": pa.array([-1], pa.int64()),
+             "rev_cents": pa.array([0], pa.int64()),
+             "n_orders": pa.array([0], pa.int64())},
+            schema=_OUT,
+        )
+    per_nation: dict[str, list[int]] = {}
+    total = [0, 0]
+    out = {c: [] for c in ("nation", "year", "rev_cents", "n_orders")}
+    for r in rows:
+        out["nation"].append(str(r["nation"]))
+        out["year"].append(int(r["year"]))
+        out["rev_cents"].append(int(r["rev_cents"]))
+        out["n_orders"].append(int(r["n_orders"]))
+        agg = per_nation.setdefault(str(r["nation"]), [0, 0])
+        agg[0] += int(r["rev_cents"])
+        agg[1] += int(r["n_orders"])
+        total[0] += int(r["rev_cents"])
+        total[1] += int(r["n_orders"])
+    for nat, (rev, n) in per_nation.items():
+        out["nation"].append(nat)
+        out["year"].append(-1)
+        out["rev_cents"].append(rev)
+        out["n_orders"].append(n)
+    out["nation"].append("ALL")
+    out["year"].append(-1)
+    out["rev_cents"].append(total[0])
+    out["n_orders"].append(total[1])
+    return pa.table(
+        {
+            "nation": pa.array(out["nation"], pa.string()),
+            "year": pa.array(out["year"], pa.int64()),
+            "rev_cents": pa.array(out["rev_cents"], pa.int64()),
+            "n_orders": pa.array(out["n_orders"], pa.int64()),
+        },
+        schema=_OUT,
+    )
