@@ -183,11 +183,17 @@ def final_topk_dedupe(group: pa.Table, k: int) -> pa.Table:
     )
 
 
-def ivf_sql() -> str:
+def ivf_sql(
+    q_pred: str | None = None, probe: int = IVF_PROBE, k: int = ANN_K
+) -> str:
     """Replay quantization, all n×C integer centroid dots, argmax list
-    assignment, top-P probe and exact cosine re-ranking in SQL — the
-    shared oracle of ann_ivf_topk AND ann_ivf_persisted (identical
-    assignment/probe math by construction)."""
+    assignment, top-``probe`` probe and exact cosine re-ranking in SQL —
+    the shared oracle of ann_ivf_topk AND ann_ivf_persisted (identical
+    assignment/probe math by construction).  ``q_pred`` selects the query
+    rows (default: the fixture sample ``vec_id < ANN_NQ``; knn_graph_ivf
+    passes ``TRUE`` — every vector is a query)."""
+    if q_pred is None:
+        q_pred = f"vec_id < {ANN_NQ}"
     dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(VEC_DIM))
     return f"""
     WITH emb AS (
@@ -215,8 +221,8 @@ def ivf_sql() -> str:
       SELECT vec_id AS qid, cid FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-        FROM dots WHERE vec_id < {ANN_NQ}
-      ) WHERE rn <= {IVF_PROBE}
+        FROM dots WHERE {q_pred}
+      ) WHERE rn <= {probe}
     ),
     cand AS (
       SELECT p.qid, a.vec_id
@@ -236,5 +242,5 @@ def ivf_sql() -> str:
                PARTITION BY query_id ORDER BY score DESC, neighbor_id
              ) AS rank
       FROM scored
-    ) WHERE rank <= {ANN_K}
+    ) WHERE rank <= {k}
     """

@@ -1122,3 +1122,140 @@ def ann_ivf_persisted(sf_dir: str):
     output to ann_ivf_topk (same integer-exact assignment and probe sets),
     so it shares that op's full SQL oracle."""
     return query_vector_index(_vector_index_for(sf_dir))
+
+
+# ===========================================================================
+# knn_graph_ivf — the full k-NN graph, IVF-bucketed (no all-pairs stage)
+# ===========================================================================
+
+KNN_GRAPH_K = 5      # graph out-degree
+KNN_GRAPH_PROBE = 2  # lists probed per vector (tighter than query-time
+                     # IVF_PROBE=8: graph construction touches EVERY vector,
+                     # so the probe width is the whole cost knob)
+
+
+def _knn_graph_sql() -> str:
+    """Shared IVF oracle with every vector as a query: probe TOP-2 lists,
+    exact cosine within the probed lists, top-5 per vector."""
+    return vx.ivf_sql(q_pred="TRUE", probe=KNN_GRAPH_PROBE, k=KNN_GRAPH_K)
+
+
+@op("knn_graph_ivf", _knn_graph_sql)
+def knn_graph_ivf(sf_dir: str):
+    """k-NN graph over ALL embeddings — the diversity-sampling / dedup /
+    label-propagation substrate a training pipeline builds once per corpus
+    — restricted to IVF probe lists so NO stage is all-pairs: each vector's
+    candidates are the members of its top-KNN_GRAPH_PROBE centroid lists
+    (the same integer-exact assignment/probe math as ann_ivf_persisted,
+    read from the persisted artifact), scored by exact float64 cosine,
+    top-KNN_GRAPH_K kept per vector.
+
+    Scale shape: the corpus enters once from the artifact's committed list
+    files; each vector is exploded into 1 member row (its own list — free,
+    ``list_id`` is already in the file) + KNN_GRAPH_PROBE prober rows, so
+    the ONE shuffle is a linear groupby(cid) carrying (1+P)·N rows; each
+    group is a single inverted list (members ≈ N/C + its probers) and
+    computes one probers×members matmul emitting ≤ k rows per prober — the
+    per-group cost is the IVF graph-construction cost itself, not an
+    artifact of the plan.  Skewed lists are the degenerate shape; C scales
+    with N (√N lists keeps groups √N-sized) and hot lists can be salted by
+    stripe exactly like the LSH fold buckets.  The per-query merge is
+    bounded at P·k candidate rows per vector."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    idx = _vector_index_for(sf_dir)
+    cent_t = pq.read_table(os.path.join(idx, "centroids.parquet"))
+    cent_q = _quantize(
+        _embedding_matrix(cent_t.rename_columns(["vec_id", "embedding"]))
+    )
+    cent_ref = ray.put(cent_q)
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    paths = [
+        os.path.join(idx, "lists", f"cid={c}", name)
+        for c, names in meta["files"].items()
+        for name in names
+    ]
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "list_id"])
+
+    def explode_roles(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [
+                    ("cid", pa.int64()),
+                    ("role", pa.int64()),
+                    ("vec_id", pa.int64()),
+                    ("embedding", batch.schema.field("embedding").type),
+                ]
+            ).empty_table()
+        n = batch.num_rows
+        dots = _quantize(_embedding_matrix(batch)) @ ray.get(cent_ref).T
+        # ties -> smaller cid: stable argsort on -dots (SQL: d DESC, cid)
+        probe = np.argsort(-dots, axis=1, kind="stable")[:, :KNN_GRAPH_PROBE]
+        ids = pc.cast(batch["vec_id"], pa.int64()).combine_chunks()
+        emb = batch["embedding"].combine_chunks()
+        rep = pa.array(np.repeat(np.arange(n), KNN_GRAPH_PROBE))
+        member = pa.table(
+            {
+                "cid": pc.cast(batch["list_id"], pa.int64()),
+                "role": pa.array(np.zeros(n, np.int64)),
+                "vec_id": ids,
+                "embedding": emb,
+            }
+        )
+        prober = pa.table(
+            {
+                "cid": pa.array(probe.ravel(), pa.int64()),
+                "role": pa.array(np.ones(n * KNN_GRAPH_PROBE, np.int64)),
+                "vec_id": ids.take(rep),
+                "embedding": emb.take(rep),
+            }
+        )
+        return pa.concat_tables([member, prober])
+
+    def pair_scores(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        role = group["role"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        mem = np.flatnonzero(role == 0)
+        prb = np.flatnonzero(role == 1)
+        if mem.size == 0 or prb.size == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        mat = _normalize(_embedding_matrix(group))
+        sims = mat[prb] @ mat[mem].T  # (probers, members) — one matmul
+        m_ids = ids[mem]
+        out_q, out_n, out_s = [], [], []
+        for r in range(prb.size):
+            q = int(ids[prb[r]])
+            s = sims[r]
+            idx_ = np.flatnonzero(m_ids != q)
+            if idx_.size == 0:
+                continue
+            order = idx_[np.lexsort((m_ids[idx_], -s[idx_]))][:KNN_GRAPH_K]
+            out_q.extend([q] * order.size)
+            out_n.extend(m_ids[order])
+            out_s.extend(s[order])
+        if not out_q:
+            return _PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    partials = (
+        ds.map_batches(explode_roles, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cid")
+        .map_groups(pair_scores, batch_format="pyarrow")
+    )
+    # a neighbor lives in exactly one list, so (query, neighbor) candidates
+    # are globally unique — plain merge, no dedupe needed
+    return partials.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, KNN_GRAPH_K), batch_format="pyarrow"
+    )

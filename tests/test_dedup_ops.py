@@ -143,11 +143,15 @@ def test_simhash_pairs_subset_of_low_hamming(ray_session):
     ids = sims.index.to_numpy()
     vals = sims.to_numpy()
     brute = set()
+    # canonicalize (min, max): `ids` rides to_pandas() block order, which
+    # is not deterministic — the raw (ids[i], ids[i+1+j]) orientation
+    # would encode that order into the expectation
     for i in range(len(ids)):
         x = vals[i] ^ vals[i + 1 :]
         for j in np.flatnonzero(np.array([bin(int(v)).count("1") for v in x]) <= 3):
-            brute.add((ids[i], ids[i + 1 + j]))
-    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+            a, b = int(ids[i]), int(ids[i + 1 + j])
+            brute.add((min(a, b), max(a, b)))
+    got = {(min(a, b), max(a, b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert got == brute
 
 
