@@ -1310,3 +1310,134 @@ def first_relevant_rank(sf_dir: str):
             ),
         }
     )
+
+
+# ===========================================================================
+# Pseudo-relevance-feedback query expansion (RM1-style, integer weights)
+# ===========================================================================
+
+_EXPANSION_K = 5       # expansion terms kept per query
+_FEEDBACK_DEPTH = 10   # feedback docs = the engine's own top-10 (== bm25 k)
+
+
+def _expansion_sql() -> str:
+    """Twin: replay the BM25 ranking (shared builder), per-(doc, term)
+    tf with multiplicity, sum tf over each query's feedback docs, exclude
+    the query's own terms, top-_EXPANSION_K by (tf_total DESC, term)."""
+    from .ops import _bm25_sql
+
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH bm AS (SELECT * FROM ({_bm25_sql()})),
+    dtoks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM dtoks GROUP BY 1, 2),
+    qt(query_id, term) AS (VALUES {values}),
+    agg AS (
+      SELECT bm.query_id, tf.term, sum(tf.tf)::BIGINT AS tf_total
+      FROM bm JOIN tf ON tf.doc_id = bm.doc_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM qt
+        WHERE qt.query_id = bm.query_id AND qt.term = tf.term
+      )
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, term, tf_total FROM (
+      SELECT query_id, term, tf_total,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY tf_total DESC, term
+             ) AS rank
+      FROM agg
+    ) WHERE rank <= {_EXPANSION_K}
+    """
+
+
+@op("query_expansion_terms", _expansion_sql)
+def query_expansion_terms(sf_dir: str):
+    """Pseudo-relevance-feedback expansion (RM1 shape, Lavrenko & Croft
+    SIGIR 2001, integer-weighted per the ops.py float-safety policy): for
+    each fixture query, rank every term of its top-{_FEEDBACK_DEPTH} BM25
+    feedback docs by TOTAL term frequency across those docs, drop the
+    query's own terms, keep the top {_EXPANSION_K} — the classic automatic
+    query-expansion loop a search engine runs between two index passes.
+
+    Plan: the feedback ranking is the flagship pipeline's bounded
+    k·|queries| result; the tf pass is ONE column-pruned corpus scan with
+    an is_in batch filter (only feedback docs are ever tokenized), emitting
+    (doc_id, term, tf) for ≤ k·|queries| docs; the per-query accumulation
+    and top-k run on the driver over that bounded set (≤ feedback docs ×
+    doc length rows — fixture-bounded, never corpus-sized)."""
+    from collections import defaultdict
+
+    from ..functions.text import flat_tokens
+    from .ops import bm25_topk
+
+    ranked = [
+        (int(r["query_id"]), int(r["doc_id"]))
+        for r in bm25_topk(sf_dir)
+        .select_columns(["query_id", "doc_id"])
+        .take_all()  # k·|queries| rows — bounded
+    ]
+    cand = pa.array(sorted({d for _, d in ranked}), pa.int64())
+    docs_of: dict[int, list[int]] = defaultdict(list)
+    for qid, d in ranked:
+        docs_of[qid].append(d)
+    own_terms = [set(tokenize(q)) for q in DOC_QUERIES]
+
+    _TF = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+    )
+
+    def doc_tf(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=cand))
+        if t.num_rows == 0:
+            return _TF.empty_table()
+        toks, parent = flat_tokens(t["text"])
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"doc_id": pa.array(ids[parent], pa.int64()), "term": toks})
+            .group_by(["doc_id", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "term": g["term"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            },
+            schema=_TF,
+        )
+
+    tf_rows = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(doc_tf, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # ≤ |feedback docs| × doc length — fixture-bounded
+    )
+    by_doc: dict[int, list[tuple[str, int]]] = defaultdict(list)
+    for r in tf_rows:
+        by_doc[int(r["doc_id"])].append((str(r["term"]), int(r["tf"])))
+
+    out = {c: [] for c in ("query_id", "rank", "term", "tf_total")}
+    for qid in sorted(docs_of):
+        total: dict[str, int] = defaultdict(int)
+        for d in docs_of[qid]:
+            for term, tf in by_doc.get(d, ()):
+                if term not in own_terms[qid]:
+                    total[term] += tf
+        top = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:_EXPANSION_K]
+        for rank, (term, tf_total) in enumerate(top, 1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["term"].append(term)
+            out["tf_total"].append(tf_total)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "term": pa.array(out["term"], pa.string()),
+            "tf_total": pa.array(out["tf_total"], pa.int64()),
+        }
+    )
