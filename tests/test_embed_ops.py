@@ -305,3 +305,73 @@ def test_build_vector_index_rebuild_overwrites(ray_session, tmp_path):
     build_vector_index(emb, out)
     assert not os.path.exists(marker)
     assert os.path.exists(os.path.join(out, "meta.json"))
+
+
+def test_knn_graph_ivf_matches_numpy_reference(ray_session):
+    """Full-output check vs an independent numpy replay of the candidate
+    rule (quantized argmax assignment, top-P probe, exact cosine within
+    probed lists, top-k by score desc / id asc)."""
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.functions import vectors as vx
+    from sharesci_ray.functions.dedup import ANN_NQ
+    from sharesci_ray.pipelines.ops_embed import (
+        KNN_GRAPH_K,
+        KNN_GRAPH_PROBE,
+        knn_graph_ivf,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = vx.quantize(mat)
+    cent = q[np.argsort(ids)][ANN_NQ : ANN_NQ + vx.IVF_C]
+    dots = q @ cent.T
+    assign = np.argmax(dots, axis=1)
+    order = np.argsort(-dots, axis=1, kind="stable")[:, :KNN_GRAPH_PROBE]
+    normed = vx.normalize(mat)
+    want = {}
+    for i in range(ids.size):
+        cand = np.flatnonzero(np.isin(assign, order[i]) & (ids != ids[i]))
+        s = normed[cand] @ normed[i]
+        top = cand[np.lexsort((ids[cand], -s))][:KNN_GRAPH_K]
+        want[int(ids[i])] = [int(x) for x in ids[top]]
+
+    got = {}
+    for r in knn_graph_ivf(SF).take_all():
+        got.setdefault(int(r["query_id"]), {})[int(r["rank"])] = int(
+            r["neighbor_id"]
+        )
+    got_lists = {
+        qid: [ranks[k] for k in sorted(ranks)] for qid, ranks in got.items()
+    }
+    assert got_lists == {k: v for k, v in want.items() if v}
+
+
+def test_knn_label_vote_matches_numpy_reference(ray_session):
+    """Predicted label == majority label of the exact top-k cosine
+    neighbors (self excluded), ties to the smallest label."""
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.functions import vectors as vx
+    from sharesci_ray.functions.dedup import ANN_K, ANN_NQ
+    from sharesci_ray.pipelines.ops_ml import knn_label_vote
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    lab = t["label"].to_numpy().astype(np.int64)
+    normed = vx.normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    want = {}
+    for i in np.flatnonzero(ids < ANN_NQ):
+        others = np.flatnonzero(ids != ids[i])
+        s = normed[others] @ normed[i]
+        top = others[np.lexsort((ids[others], -s))][:ANN_K]
+        labs, counts = np.unique(lab[top], return_counts=True)
+        w = int(np.argmax(counts))
+        want[int(ids[i])] = (int(labs[w]), int(counts[w]))
+
+    got = {
+        int(r["query_id"]): (int(r["pred_label"]), int(r["votes"]))
+        for r in knn_label_vote(SF).take_all()
+    }
+    assert got == want

@@ -725,3 +725,21 @@ def test_covisit_graph_ops_planted_triangle(ray_session):
     truth_tri = con.execute(e.oracle_sql()["covisit_triangles"]).df()
     assert list(tri["item"]) == list(truth_tri["item"]) == [1, 2, 3]
     assert list(tri["n_triangles"]) == list(truth_tri["n_triangles"]) == [1, 1, 1]
+
+
+def test_sales_rollup_levels_are_consistent(ray_session):
+    """The three rollup granularities must add up exactly: per-nation rows
+    equal the sum of that nation's (nation, year) rows, and the grand
+    total equals the sum of all per-nation rows."""
+    from sharesci_ray.pipelines.ops_relational import sales_rollup
+
+    df = sales_rollup(SF).to_pandas()
+    base = df[(df["nation"] != "ALL") & (df["year"] != -1)]
+    per_nation = df[(df["nation"] != "ALL") & (df["year"] == -1)]
+    total = df[df["nation"] == "ALL"]
+    assert len(total) == 1
+    for col in ("rev_cents", "n_orders"):
+        by_nat = base.groupby("nation")[col].sum()
+        got = per_nation.set_index("nation")[col]
+        assert got.sort_index().equals(by_nat.sort_index())
+        assert int(total[col].iloc[0]) == int(base[col].sum())
