@@ -26,6 +26,12 @@ QSCALE = 1 << 20    # embedding quantization: q = floor(x · 2^20)
 IVF_C = 16          # number of inverted lists (centroids)
 IVF_PROBE = 8       # lists probed per query
 
+# knn_graph_ivf (ops_embed) — graph out-degree and probe width; leaf-module
+# residents so ops_ml's label propagation can embed the graph SQL without
+# importing another op module
+KNN_GRAPH_K = 5
+KNN_GRAPH_PROBE = 2
+
 # Hyperplane LSH (ops_dedup's ann_lsh_topk + ops_embed's persisted variant).
 # Tuned on the testdata distribution, which is ADVERSARIAL for LSH (near-
 # uniform embeddings); see ops_dedup for the full parameter rationale.

@@ -1128,10 +1128,12 @@ def ann_ivf_persisted(sf_dir: str):
 # knn_graph_ivf — the full k-NN graph, IVF-bucketed (no all-pairs stage)
 # ===========================================================================
 
-KNN_GRAPH_K = 5      # graph out-degree
-KNN_GRAPH_PROBE = 2  # lists probed per vector (tighter than query-time
-                     # IVF_PROBE=8: graph construction touches EVERY vector,
-                     # so the probe width is the whole cost knob)
+# graph out-degree and probe width — leaf-module constants (vectors.py)
+# so ops_ml's label propagation can embed the graph SQL; the probe is
+# tighter than query-time IVF_PROBE=8 because graph construction touches
+# EVERY vector, so probe width is the whole cost knob
+KNN_GRAPH_K = vx.KNN_GRAPH_K
+KNN_GRAPH_PROBE = vx.KNN_GRAPH_PROBE
 
 
 def _knn_graph_sql() -> str:

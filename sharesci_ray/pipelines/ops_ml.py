@@ -657,3 +657,194 @@ def knn_label_vote(sf_dir: str):
         partial_topk, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("query_id").map_groups(vote, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_knn — semi-supervised weak labeling over the k-NN graph
+# ---------------------------------------------------------------------------
+
+LP_SEEDS = 100   # vec_id < LP_SEEDS are the labeled seed set (clamped)
+LP_ROUNDS = 2    # synchronous propagation rounds (fixed → SQL-unrollable)
+
+
+def _lp_sql() -> str:
+    """Twin: embed the knn_graph_ivf oracle as the edge set, then unroll
+    both synchronous rounds — per-round vote counts, majority with ties to
+    the smallest label, seeds clamped; labeled_round via n2 ⟕ n1."""
+    graph = vx.ivf_sql(q_pred="TRUE", probe=vx.KNN_GRAPH_PROBE, k=vx.KNN_GRAPH_K)
+    return f"""
+    WITH edges AS (SELECT query_id, neighbor_id FROM ({graph})),
+    seeds AS (
+      SELECT vec_id, label::BIGINT AS label FROM embeddings
+      WHERE vec_id < {LP_SEEDS}
+    ),
+    c1 AS (
+      SELECT e.query_id AS vec_id, s.label, count(*)::BIGINT AS votes
+      FROM edges e JOIN seeds s ON s.vec_id = e.neighbor_id
+      WHERE e.query_id >= {LP_SEEDS}
+      GROUP BY 1, 2
+    ),
+    n1 AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY votes DESC, label
+               ) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ),
+    lab1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM n1),
+    c2 AS (
+      SELECT e.query_id AS vec_id, l.label, count(*)::BIGINT AS votes
+      FROM edges e JOIN lab1 l ON l.vec_id = e.neighbor_id
+      WHERE e.query_id >= {LP_SEEDS}
+      GROUP BY 1, 2
+    ),
+    n2 AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY votes DESC, label
+               ) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, label, CAST(0 AS BIGINT) AS labeled_round FROM seeds
+    UNION ALL
+    SELECT n2.vec_id, n2.label,
+           CAST(CASE WHEN n1.vec_id IS NULL THEN 2 ELSE 1 END AS BIGINT)
+             AS labeled_round
+    FROM n2 LEFT JOIN n1 ON n1.vec_id = n2.vec_id
+    """
+
+
+@op("label_propagation_knn", _lp_sql)
+def label_propagation_knn(sf_dir: str):
+    """Semi-supervised label propagation (Zhu & Ghahramani CMU-CALD-02-107)
+    over the IVF k-NN graph: vec_id < LP_SEEDS are clamped labeled seeds;
+    two synchronous rounds give every other node the majority label of its
+    out-neighbors' current labels (ties → smallest label; nodes with no
+    labeled neighbor stay unlabeled).  Output: every labeled node with its
+    final label and the round it FIRST became labeled (0 = seed) — the
+    standard "grow a seed taxonomy over the corpus" weak-labeling step,
+    composed end-to-end on the engine's own graph op.
+
+    Scale shape: the graph comes from knn_graph_ivf (no all-pairs stage)
+    and is checkpointed once (both rounds read it); each round is one
+    linear hash join (edges ⋈ current labels on neighbor) + a groupby
+    whose groups are ≤ k rows (one node's out-edges); the labeled_round
+    tag is a (vec_id, round) groupby-min, never a driver pass.  Rounds are
+    a fixed constant, so the whole plan is a static dataflow."""
+    from .ops_embed import knn_graph_ivf  # lazy: op modules never import
+    from .util import drop_empty_blocks, join_partitions  # each other at module level
+
+    _LAB = pa.schema([("vec_id", pa.int64()), ("label", pa.int64())])
+
+    edges = (
+        knn_graph_ivf(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["query_id"], LP_SEEDS)).select(
+                ["query_id", "neighbor_id"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()  # both rounds read the edge set
+    )
+    seeds = read_table(sf_dir, "embeddings", columns=["vec_id", "label"]).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
+            },
+            schema=_LAB,
+        ).filter(pc.less(t["vec_id"], LP_SEEDS)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def majority(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _LAB.empty_table()
+        lab = group["label"].to_numpy(zero_copy_only=False)
+        labs, counts = np.unique(lab, return_counts=True)
+        # np.unique sorts labels asc, argmax takes the first max —
+        # exactly votes DESC, label ASC
+        w = int(np.argmax(counts))
+        return pa.table(
+            {
+                "vec_id": pa.array([int(group["query_id"][0].as_py())], pa.int64()),
+                "label": pa.array([int(labs[w])], pa.int64()),
+            },
+            schema=_LAB,
+        )
+
+    def lp_round(labels):
+        joined = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=join_partitions(edges, labels),
+            on=("neighbor_id",),
+            right_on=("vec_id",),
+        ).map_batches(
+            lambda t: t.select(["query_id", "label"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = drop_empty_blocks(
+            joined, pa.schema([("query_id", pa.int64()), ("label", pa.int64())])
+        )
+        return joined.groupby("query_id").map_groups(
+            majority, batch_format="pyarrow"
+        )
+
+    n1 = lp_round(seeds).materialize()       # (round-1 labels; read twice)
+    n2 = lp_round(seeds.union(n1)).materialize()
+
+    def tag(ds, r):
+        return ds.map_batches(
+            lambda t, _r=r: pa.table(
+                {
+                    "vec_id": t["vec_id"],
+                    "labeled_round": pa.array(
+                        np.full(t.num_rows, _r, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    rounds = (
+        tag(n1, 1).union(tag(n2, 2)).groupby("vec_id").min("labeled_round")
+    )
+    non_seed = drop_empty_blocks(
+        n2.join(
+            rounds,
+            join_type="inner",
+            num_partitions=join_partitions(n2, rounds),
+            on=("vec_id",),
+        ),
+        pa.schema(
+            [("vec_id", pa.int64()), ("label", pa.int64()),
+             ("min(labeled_round)", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "label": t["label"],
+                "labeled_round": pc.cast(t["min(labeled_round)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    seeds0 = seeds.map_batches(
+        lambda t: t.append_column(
+            "labeled_round", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return seeds0.union(non_seed)
