@@ -172,3 +172,36 @@ def test_balance_sources_mix_bound(ray_session):
         # expectation m * (n_full/n_full) = m; allow 4 sigma binomial slack
         sigma = (m * max(1 - m / n_full, 0.0)) ** 0.5
         assert abs(k - m) <= max(4 * sigma, 8), (s, k, m)
+
+
+def test_label_propagation_clamps_seeds_and_grows_monotonically(ray_session):
+    """Seeds keep their table labels with labeled_round 0; every labeled
+    node is a seed or labeled in round 1 or 2; round-1 nodes must have a
+    seed out-neighbor in the graph."""
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.pipelines.ops_embed import knn_graph_ivf
+    from sharesci_ray.pipelines.ops_ml import LP_SEEDS, label_propagation_knn
+
+    truth = {
+        int(r["vec_id"]): int(r["label"])
+        for r in pq.read_table(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "label"]
+        ).to_pylist()
+    }
+    rows = label_propagation_knn(SF).take_all()
+    by_id = {int(r["vec_id"]): r for r in rows}
+    assert len(by_id) == len(rows)  # one row per node
+    seeds = {v for v in by_id if v < LP_SEEDS}
+    assert seeds == {v for v in truth if v < LP_SEEDS}
+    for v in seeds:
+        assert int(by_id[v]["label"]) == truth[v]
+        assert int(by_id[v]["labeled_round"]) == 0
+    edges = {}
+    for r in knn_graph_ivf(SF).take_all():
+        edges.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    for v, r in by_id.items():
+        rd = int(r["labeled_round"])
+        assert rd in (0, 1, 2)
+        if rd == 1:
+            assert edges[v] & seeds, f"round-1 node {v} has no seed neighbor"
