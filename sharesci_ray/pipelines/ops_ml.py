@@ -848,3 +848,92 @@ def label_propagation_knn(sf_dir: str):
         zero_copy_batch=True,
     )
     return seeds0.union(non_seed)
+
+
+def _lp_acc_sql() -> str:
+    """Twin: embed the propagation oracle, join ground truth, count exact
+    matches per round."""
+    return f"""
+    WITH lp AS (SELECT * FROM ({_lp_sql()}))
+    SELECT lp.labeled_round, count(*)::BIGINT AS n_nodes,
+           sum(CASE WHEN lp.label = e.label::BIGINT THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct
+    FROM lp JOIN embeddings e ON e.vec_id = lp.vec_id
+    GROUP BY 1
+    """
+
+
+@op("label_propagation_accuracy", _lp_acc_sql)
+def label_propagation_accuracy(sf_dir: str):
+    """Close the weak-labeling loop: score label_propagation_knn against
+    the embeddings table's ground-truth labels, per propagation round —
+    the "is the grown taxonomy any good" report a pipeline runs before
+    trusting propagated labels downstream.  Integer counts only (callers
+    divide; ops.py float-safety policy).
+
+    Plan: one hash join of the propagation output against the
+    column-pruned (vec_id, label) truth stream, then per-batch partial
+    (round, n, correct) triples into a ≤ 3-row groupby — nothing here is
+    corpus-materializing."""
+    from .util import drop_empty_blocks, join_partitions
+
+    lp = label_propagation_knn(sf_dir).map_batches(
+        lambda t: t.rename_columns(["vec_id", "pred", "labeled_round"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    truth = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+    joined = drop_empty_blocks(
+        lp.join(
+            truth,
+            join_type="inner",
+            num_partitions=join_partitions(lp, truth),
+            on=("vec_id",),
+        ),
+        pa.schema(
+            [("vec_id", pa.int64()), ("pred", pa.int64()),
+             ("labeled_round", pa.int64()),
+             ("label", pa.int64())]
+        ),
+    )
+
+    _PART = pa.schema(
+        [("labeled_round", pa.int64()), ("n_nodes", pa.int64()),
+         ("n_correct", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        ok = pc.cast(
+            pc.equal(t["pred"], pc.cast(t["label"], pa.int64())), pa.int64()
+        )
+        g = (
+            pa.table(
+                {
+                    "labeled_round": t["labeled_round"],
+                    "n_nodes": pa.array(np.ones(t.num_rows, np.int64)),
+                    "n_correct": ok,
+                }
+            )
+            .group_by("labeled_round")
+            .aggregate([("n_nodes", "sum"), ("n_correct", "sum")])
+        )
+        return g.rename_columns(["labeled_round", "n_nodes", "n_correct"])
+
+    agg = (
+        joined.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("labeled_round")
+        .sum(["n_nodes", "n_correct"])
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "labeled_round": t["labeled_round"],
+                "n_nodes": pc.cast(t["sum(n_nodes)"], pa.int64()),
+                "n_correct": pc.cast(t["sum(n_correct)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
