@@ -250,3 +250,34 @@ def ivf_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# Product quantization (ann_pq_topk, ops_embed): M subspaces × K codes,
+# codebooks trained by the same integer-lattice Lloyd's rounds as
+# kmeans_embeddings so the DuckDB oracle replays training bit-for-bit.
+# 64 dims → 8 codes of 3 bits each: 64×8B float64 → 8×3bit ≈ 85× smaller
+# vectors at serving time (the ADC memory story at 100 TB).
+PQ_M = 8                      # subspaces
+PQ_SUB = VEC_DIM // PQ_M      # dims per subspace
+PQ_K = 8                      # codes per subspace
+PQ_ROUNDS = 2                 # Lloyd iterations per subspace (fixed)
+
+
+def fdiv_sql(s: str, n: str) -> str:
+    """Exact FLOOR division in BIGINT (DuckDB ``//`` truncates toward
+    zero; numpy floor_divide floors): subtract the positive mod first so
+    the remaining quotient is exact under either rounding rule.  Shared
+    by the kmeans and PQ oracles (one definition — ADVICE r3's
+    drift-containment rule for cross-module twins)."""
+    return f"(({s}) - ((({s}) % ({n})) + ({n})) % ({n})) // ({n})"
+
+
+def pq_encode(quant: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, VEC_DIM) int64 lattice rows → (n, PQ_M) int64 codes: per
+    subspace, argmax integer inner product against that subspace's
+    codebook (ties → smallest code; SQL twin orders d DESC, cid ASC)."""
+    codes = np.empty((quant.shape[0], PQ_M), np.int64)
+    for m in range(PQ_M):
+        sub = quant[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        codes[:, m] = np.argmax(sub @ cb[m].T, axis=1)
+    return codes

@@ -1261,3 +1261,290 @@ def knn_graph_ivf(sf_dir: str):
     return partials.groupby("query_id").map_groups(
         lambda g: _final_topk(g, KNN_GRAPH_K), batch_format="pyarrow"
     )
+
+
+# ===========================================================================
+# ann_pq_topk — product-quantization ANN (compressed-domain / ADC serving)
+# ===========================================================================
+#
+# The memory-compression serving path for web-scale ANN (Jégou, Douze,
+# Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+# train PQ_M per-subspace codebooks of PQ_K centroids with the same
+# integer-lattice Lloyd's rounds as kmeans_embeddings, encode every vector
+# to PQ_M small codes (here 8 × 3 bits ≈ 85× smaller than the float64
+# rows), and answer queries by Asymmetric Distance Computation — one tiny
+# query→codebook lookup table, then a pure table-gather per database
+# vector.  Everything is exact int64 (quantized dots, floor-div means,
+# integer LUT sums) so the DuckDB oracle replays training, encoding AND
+# scoring bit-for-bit — including the ranking.
+
+_PQ_PART_COLS = [f"s{d}" for d in range(vx.PQ_SUB)]
+
+
+def _pq_train(sf_dir: str) -> np.ndarray:
+    """Train the (PQ_M, PQ_K, PQ_SUB) integer codebooks: seeds are the
+    first PQ_K quantized vectors' subvectors; each round streams the
+    embeddings once and shuffles only ≤ PQ_M×PQ_K partial rows per block
+    (count + per-dim int sums) — constant in corpus size, like kmeans."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["vec_id"], vx.PQ_K))
+
+    seed = emb.map_batches(seed_rows, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    seed.sort(key=lambda r: r["vec_id"])
+    assert len(seed) == vx.PQ_K, f"need vec_ids 0..{vx.PQ_K - 1} as PQ seeds"
+    seed_q = np.floor(
+        np.array([r["embedding"] for r in seed], np.float64) * vx.QSCALE
+    ).astype(np.int64)
+    cb = np.stack(
+        [seed_q[:, m * vx.PQ_SUB:(m + 1) * vx.PQ_SUB] for m in range(vx.PQ_M)]
+    )  # (M, K, SUB)
+
+    aggs = [Sum("n")] + [Sum(c) for c in _PQ_PART_COLS]
+    for _ in range(vx.PQ_ROUNDS):
+        cb_now = cb
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema(
+                    [("m", pa.int64()), ("cid", pa.int64()), ("n", pa.int64())]
+                    + [(c, pa.int64()) for c in _PQ_PART_COLS]
+                ).empty_table()
+            quant = vx.quantize(_embedding_matrix(t))
+            codes = vx.pq_encode(quant, cb_now)
+            out_m, out_c, out_n = [], [], []
+            sums = []
+            for m in range(vx.PQ_M):
+                sub = quant[:, m * vx.PQ_SUB:(m + 1) * vx.PQ_SUB]
+                for c in np.unique(codes[:, m]):
+                    mask = codes[:, m] == c
+                    out_m.append(m)
+                    out_c.append(int(c))
+                    out_n.append(int(mask.sum()))
+                    sums.append(sub[mask].sum(axis=0))
+            sums_arr = np.asarray(sums, np.int64)
+            cols = {
+                "m": pa.array(out_m, pa.int64()),
+                "cid": pa.array(out_c, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+            for d, name in enumerate(_PQ_PART_COLS):
+                cols[name] = pa.array(sums_arr[:, d], pa.int64())
+            return pa.table(cols)
+
+        rows = (
+            read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["m", "cid"])
+            .aggregate(*aggs)
+            .take_all()  # ≤ M×K rows — the per-round reduce is constant-size
+        )
+        new = cb.copy()  # empty codes keep their previous centroid
+        for r in rows:
+            n = int(r["sum(n)"])
+            s = np.array([r[f"sum({c})"] for c in _PQ_PART_COLS], np.int64)
+            new[int(r["m"]), int(r["cid"])] = np.floor_divide(s, n)
+        cb = new
+    return cb
+
+
+def _pq_sql() -> str:
+    """Replay PQ end-to-end in SQL: per-subspace Lloyd rounds (chained
+    CTEs, exactly the kmeans_embeddings pattern), final code assignment
+    for every vector, the query→codebook LUT, and the ADC integer sum."""
+    M, K, SUB, R = vx.PQ_M, vx.PQ_K, vx.PQ_SUB, vx.PQ_ROUNDS
+
+    def dotq(m: int, lhs: str, rhs: str) -> str:
+        return " + ".join(
+            f"{lhs}.q[{m * SUB + d + 1}]*{rhs}.cq[{d + 1}]" for d in range(SUB)
+        )
+
+    parts = [
+        f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {vx.QSCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    )"""
+    ]
+    for m in range(M):
+        parts.append(
+            f"""
+    cent0_{m} AS (
+      SELECT vec_id AS cid, q[{m * SUB + 1}:{(m + 1) * SUB}] AS cq
+      FROM emb WHERE vec_id < {K}
+    )"""
+        )
+        for r in range(1, R + 1):
+            mean_list = ", ".join(
+                vx.fdiv_sql(f"sum(e.q[{m * SUB + d + 1}])", "count(*)")
+                for d in range(SUB)
+            )
+            parts.append(
+                f"""
+    dots{r}_{m} AS (
+      SELECT e.vec_id, c.cid, {dotq(m, 'e', 'c')} AS d
+      FROM emb e CROSS JOIN cent{r - 1}_{m} c
+    ),
+    asg{r}_{m} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM dots{r}_{m}
+      ) WHERE rn = 1
+    ),
+    upd{r}_{m} AS (
+      SELECT a.cid, [{mean_list}] AS cq
+      FROM asg{r}_{m} a JOIN emb e USING (vec_id) GROUP BY a.cid
+    ),
+    cent{r}_{m} AS (
+      SELECT c.cid, COALESCE(u.cq, c.cq) AS cq
+      FROM cent{r - 1}_{m} c LEFT JOIN upd{r}_{m} u USING (cid)
+    )"""
+            )
+        parts.append(
+            f"""
+    codes_{m} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id ORDER BY {dotq(m, 'e', 'c')} DESC, c.cid
+               ) AS rn
+        FROM emb e CROSS JOIN cent{R}_{m} c
+      ) WHERE rn = 1
+    ),
+    lut_{m} AS (
+      SELECT qe.vec_id AS qid, c.cid, {dotq(m, 'qe', 'c')} AS d
+      FROM (SELECT vec_id, q FROM emb WHERE vec_id < {dd.ANN_NQ}) qe
+      CROSS JOIN cent{R}_{m} c
+    )"""
+        )
+    codes_union = " UNION ALL ".join(
+        f"SELECT {m} AS m, vec_id, cid FROM codes_{m}" for m in range(M)
+    )
+    lut_union = " UNION ALL ".join(
+        f"SELECT {m} AS m, qid, cid, d FROM lut_{m}" for m in range(M)
+    )
+    parts.append(
+        f"""
+    codes AS ({codes_union}),
+    lut AS ({lut_union}),
+    scored AS (
+      SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+             sum(l.d)::BIGINT AS score_q
+      FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+      WHERE c.vec_id != l.qid
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, neighbor_id, score_q FROM (
+      SELECT query_id, neighbor_id, score_q,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {dd.ANN_K}"""
+    )
+    return ",".join(parts)
+
+
+_PQ_PARTIAL_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("score_q", pa.int64())]
+)
+_PQ_OUT_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("rank", pa.int64()),
+     ("neighbor_id", pa.int64()), ("score_q", pa.int64())]
+)
+
+
+@op("ann_pq_topk", _pq_sql)
+def ann_pq_topk(sf_dir: str):
+    """PQ/ADC top-k: queries = vec_id < {NQ}, k = {K}, score = Σ_m
+    LUT[q, m, code_m(v)] (exact int64 — ranks AND scores are
+    hash-comparable, unlike the float cosine ops).
+
+    Scale shape: training shuffles ≤ M×K partial rows per block per round;
+    the broadcast state is the (M, K, SUB) codebook + the (NQ, M, K) LUT —
+    constant in corpus size (ray.put once, read per task).  The scoring
+    pass streams the corpus once: per batch one encode (M small matmuls)
+    + one LUT gather per query, then a partial top-k so only k rows per
+    query leave each block.  At serving scale the codes table (M bytes a
+    vector) replaces the raw float rows entirely — that 85× compression
+    is why PQ exists.
+    """
+    import ray
+
+    cb = _pq_train(sf_dir)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # LUT from the bounded query rows (vec_id < NQ — fixture, not data)
+    def q_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["vec_id"], _ANN_NQ))
+
+    qrows = emb.map_batches(q_rows, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], np.int64)
+    q_quant = np.floor(
+        np.array([r["embedding"] for r in qrows], np.float64) * vx.QSCALE
+    ).astype(np.int64)
+    lut = np.empty((q_ids.size, vx.PQ_M, vx.PQ_K), np.int64)
+    for m in range(vx.PQ_M):
+        qsub = q_quant[:, m * vx.PQ_SUB:(m + 1) * vx.PQ_SUB]
+        lut[:, m, :] = qsub @ cb[m].T
+    ref = ray.put((q_ids, cb, lut))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PQ_PARTIAL_SCHEMA.empty_table()
+        qi, cbk, lt = ray.get(ref)
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = vx.pq_encode(vx.quantize(_embedding_matrix(batch)), cbk)
+        # ADC: scores[q, v] = Σ_m LUT[q, m, codes[v, m]]
+        scores = np.zeros((qi.size, b_ids.size), np.int64)
+        for m in range(vx.PQ_M):
+            scores += lt[:, m, codes[:, m]]
+        out_q, out_n, out_s = [], [], []
+        for r in range(qi.size):
+            s = scores[r]
+            idx = np.flatnonzero(b_ids != qi[r])
+            if idx.size == 0:
+                continue
+            order = idx[np.lexsort((b_ids[idx], -s[idx]))][:_ANN_K]
+            out_q.extend([qi[r]] * order.size)
+            out_n.extend(b_ids[order])
+            out_s.extend(s[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score_q": pa.array(out_s, pa.int64()),
+            },
+            schema=_PQ_PARTIAL_SCHEMA,
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _PQ_OUT_SCHEMA.empty_table()
+        s = group["score_q"].to_numpy(zero_copy_only=False)
+        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s))[:_ANN_K]
+        return pa.table(
+            {
+                "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
+                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+                "neighbor_id": pa.array(n[order], pa.int64()),
+                "score_q": pa.array(s[order], pa.int64()),
+            },
+            schema=_PQ_OUT_SCHEMA,
+        )
+
+    partials = emb.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

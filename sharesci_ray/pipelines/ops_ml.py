@@ -57,11 +57,8 @@ KMEANS_ROUNDS = 3   # Lloyd iterations (fixed → SQL-replayable)
 _DIM = vx.VEC_DIM
 
 
-def _fdiv_sql(s: str, n: str) -> str:
-    """Exact FLOOR division in BIGINT (DuckDB ``//`` truncates toward
-    zero; numpy floor_divide floors): subtract the positive mod first so
-    the remaining quotient is exact under either rounding rule."""
-    return f"(({s}) - ((({s}) % ({n})) + ({n})) % ({n})) // ({n})"
+# exact BIGINT floor division, shared with the PQ oracle (vectors.fdiv_sql)
+_fdiv_sql = vx.fdiv_sql
 
 
 def _kmeans_sql() -> str:

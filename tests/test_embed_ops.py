@@ -375,3 +375,57 @@ def test_knn_label_vote_matches_numpy_reference(ray_session):
         for r in knn_label_vote(SF).take_all()
     }
     assert got == want
+
+
+def test_pq_adc_scores_match_direct_reconstruction(ray_session):
+    """The ADC lookup-table score must equal the direct integer dot of the
+    quantized query against the RECONSTRUCTED (codebook) vector — the PQ
+    identity score(q,v) = <q, decode(encode(v))> — replayed here with an
+    independent numpy path over every (query, neighbor) the op emitted."""
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.functions import vectors as vx
+    from sharesci_ray.functions.dedup import ANN_NQ
+    from sharesci_ray.pipelines.ops_embed import _pq_train, ann_pq_topk
+
+    cb = _pq_train(SF)
+    assert cb.shape == (vx.PQ_M, vx.PQ_K, vx.PQ_SUB)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    quant = vx.quantize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    codes = vx.pq_encode(quant, cb)
+    assert codes.min() >= 0 and codes.max() < vx.PQ_K
+    by_id = {int(i): k for k, i in enumerate(ids)}
+
+    out = ann_pq_topk(SF).to_pandas()
+    assert len(out) > 0
+    for r in out.itertuples(index=False):
+        q_row = quant[by_id[int(r.query_id)]]
+        v_codes = codes[by_id[int(r.neighbor_id)]]
+        recon = np.concatenate([cb[m, v_codes[m]] for m in range(vx.PQ_M)])
+        assert int(q_row @ recon) == int(r.score_q)
+    # ranks dense per query, self never a neighbor
+    for qid, grp in out.groupby("query_id"):
+        assert list(grp.sort_values("rank")["rank"]) == list(range(1, len(grp) + 1))
+        assert qid not in set(grp["neighbor_id"])
+    assert out["query_id"].nunique() == ANN_NQ
+
+
+def test_pq_training_rounds_change_codebook(ray_session):
+    """Lloyd's rounds must actually move the codebooks off the seed rows
+    (guards against a silent no-op training loop)."""
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.functions import vectors as vx
+    from sharesci_ray.pipelines.ops_embed import _pq_train
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    quant = vx.quantize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    seed = quant[np.argsort(ids)][: vx.PQ_K]
+    seed_cb = np.stack(
+        [seed[:, m * vx.PQ_SUB:(m + 1) * vx.PQ_SUB] for m in range(vx.PQ_M)]
+    )
+    cb = _pq_train(SF)
+    assert not np.array_equal(cb, seed_cb)
