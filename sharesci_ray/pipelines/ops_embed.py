@@ -472,12 +472,12 @@ def build_vector_index(
     return meta
 
 
-def _list_files(index_dir: str) -> dict[str, list[str]]:
-    """{cid: [parquet basenames]} from the lists/ tree."""
+def _list_files(index_dir: str, subdir: str = "lists") -> dict[str, list[str]]:
+    """{cid: [parquet basenames]} from the hive-partitioned ``subdir`` tree."""
     import glob as _glob
 
     out: dict[str, list[str]] = {}
-    for d in sorted(_glob.glob(os.path.join(index_dir, "lists", "cid=*"))):
+    for d in sorted(_glob.glob(os.path.join(index_dir, subdir, "cid=*"))):
         cid = os.path.basename(d).split("=", 1)[1]
         out[cid] = sorted(
             os.path.basename(f) for f in _glob.glob(os.path.join(d, "*.parquet"))
@@ -1353,10 +1353,21 @@ def _pq_train(sf_dir: str) -> np.ndarray:
     return cb
 
 
-def _pq_sql() -> str:
-    """Replay PQ end-to-end in SQL: per-subspace Lloyd rounds (chained
-    CTEs, exactly the kmeans_embeddings pattern), final code assignment
-    for every vector, the query→codebook LUT, and the ADC integer sum."""
+_PQ_EMB_CTE = f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {vx.QSCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    )"""
+
+
+def _pq_chain_sql() -> str:
+    """The shared PQ CTE chain over the ``emb`` CTE: per-subspace Lloyd
+    rounds (exactly the kmeans_embeddings pattern), final code assignment
+    for every vector (``codes``), and the query→codebook LUT (``lut``).
+    Shared verbatim by the ann_pq_topk and ann_ivfpq_persisted oracles —
+    one definition, no drift (ADVICE r3 containment rule)."""
     M, K, SUB, R = vx.PQ_M, vx.PQ_K, vx.PQ_SUB, vx.PQ_ROUNDS
 
     def dotq(m: int, lhs: str, rhs: str) -> str:
@@ -1364,15 +1375,7 @@ def _pq_sql() -> str:
             f"{lhs}.q[{m * SUB + d + 1}]*{rhs}.cq[{d + 1}]" for d in range(SUB)
         )
 
-    parts = [
-        f"""
-    WITH emb AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * {vx.QSCALE}) AS BIGINT)) AS q
-      FROM embeddings
-    )"""
-    ]
+    parts = []
     for m in range(M):
         parts.append(
             f"""
@@ -1434,7 +1437,15 @@ def _pq_sql() -> str:
     parts.append(
         f"""
     codes AS ({codes_union}),
-    lut AS ({lut_union}),
+    lut AS ({lut_union})"""
+    )
+    return ",".join(parts)
+
+
+def _pq_sql() -> str:
+    """ann_pq_topk oracle: emb + the shared PQ chain + the exhaustive ADC
+    sum over every (query, vector) pair."""
+    return f"""{_PQ_EMB_CTE},{_pq_chain_sql()},
     scored AS (
       SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
              sum(l.d)::BIGINT AS score_q
@@ -1449,8 +1460,6 @@ def _pq_sql() -> str:
              ) AS rank
       FROM scored
     ) WHERE rank <= {dd.ANN_K}"""
-    )
-    return ",".join(parts)
 
 
 _PQ_PARTIAL_SCHEMA = pa.schema(
@@ -1548,3 +1557,330 @@ def ann_pq_topk(sf_dir: str):
         partial_topk, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ===========================================================================
+# ann_ivfpq_persisted — the web-scale serving index: IVF lists × PQ codes
+# ===========================================================================
+#
+# The canonical 100 TB ANN artifact (FAISS's IVFADC, Jégou et al. TPAMI
+# 2011 §IV): vectors are bucketed into IVF lists AND stored as PQ codes —
+# a query probes top-P lists and ADC-scores ONLY the codes in them.  The
+# serving artifact holds no raw embeddings at all: the hot path reads
+# PQ_M int8-sized codes per vector (here materialized as int64 columns
+# for Arrow simplicity; the information content is PQ_M × 3 bits), so the
+# working set is ~85× smaller than the float rows and the probed
+# partitions are the only bytes that leave storage.
+
+_PQ_CODE_COLS = [f"code{m}" for m in range(vx.PQ_M)]
+
+
+def _ivfpq_sql() -> str:
+    """emb + IVF assignment/probe (ann_ivf_topk's integer-exact rule) +
+    the shared PQ chain, ADC-summed over probed candidates only."""
+    ivf_dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(vx.VEC_DIM))
+    return f"""{_PQ_EMB_CTE},
+    ivfcent AS (
+      SELECT vec_id - {dd.ANN_NQ} AS cid, q AS cq FROM emb
+      WHERE vec_id >= {dd.ANN_NQ} AND vec_id < {dd.ANN_NQ + vx.IVF_C}
+    ),
+    ivfdots AS (
+      SELECT e.vec_id, c.cid, {ivf_dot} AS d FROM emb e CROSS JOIN ivfcent c
+    ),
+    ivfassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM ivfdots
+      ) WHERE rn = 1
+    ),
+    ivfprobe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM ivfdots WHERE vec_id < {dd.ANN_NQ}
+      ) WHERE rn <= {vx.IVF_PROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM ivfprobe p JOIN ivfassign a ON a.cid = p.cid
+      WHERE a.vec_id != p.qid
+    ),{_pq_chain_sql()},
+    scored AS (
+      SELECT cd.qid AS query_id, cd.vec_id AS neighbor_id,
+             sum(l.d)::BIGINT AS score_q
+      FROM cand cd
+      JOIN codes c ON c.vec_id = cd.vec_id
+      JOIN lut l ON l.m = c.m AND l.cid = c.cid AND l.qid = cd.qid
+      GROUP BY 1, 2
+    )
+    SELECT query_id, rank, neighbor_id, score_q FROM (
+      SELECT query_id, neighbor_id, score_q,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score_q DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {dd.ANN_K}"""
+
+
+def build_pq_index(
+    sf_dir: str,
+    out_dir: str,
+    n_queries: int = _ANN_NQ,
+    n_lists: int = _IVF_C,
+) -> dict:
+    """Build-once IVF×PQ artifact over the embeddings table:
+
+      out_dir/codebooks.parquet   (m, cid, c0..c{SUB-1}) — the trained
+                                  integer PQ codebooks (M×K rows)
+      out_dir/centroids.parquet   the IVF coarse centroids (cid, embedding)
+      out_dir/queries.parquet     the fixture query rows (kept out of the
+                                  hot path, as in build_vector_index)
+      out_dir/codes/cid=K/...     PQ CODES ONLY per vector, hive-
+                                  partitioned by IVF list — the serving
+                                  files carry no raw embeddings
+      out_dir/meta.json           dims/counts + committed file set.
+
+    Training streams the corpus once per Lloyd round (≤ M×K partial rows
+    per block shuffle); encode+write is one more pass.  Crash-safe via
+    tmp-dir + atomic rename, like build_vector_index."""
+    import ray
+    import pyarrow.parquet as pqt
+
+    cb = _pq_train(sf_dir)
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(tmp)
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries + n_lists)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded fixture rows
+    head.sort(key=lambda r: int(r["vec_id"]))
+    if len(head) != n_queries + n_lists:
+        raise ValueError(
+            f"build_pq_index: expected vec_ids [0, {n_queries + n_lists}), "
+            f"got {len(head)} rows"
+        )
+    dim = len(head[0]["embedding"])
+    q_raw = np.array([r["embedding"] for r in head[:n_queries]], np.float64)
+    cent_raw = np.array([r["embedding"] for r in head[n_queries:]], np.float64)
+    cent_q = _quantize(cent_raw)
+
+    def emb_list(mat: np.ndarray) -> pa.ListArray:
+        n = mat.shape[0]
+        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+        return pa.ListArray.from_arrays(offs, pa.array(mat.ravel(), pa.float64()))
+
+    cb_rows = {"m": [], "cid": []}
+    cb_cols = {f"c{d}": [] for d in range(vx.PQ_SUB)}
+    for m in range(vx.PQ_M):
+        for c in range(vx.PQ_K):
+            cb_rows["m"].append(m)
+            cb_rows["cid"].append(c)
+            for d in range(vx.PQ_SUB):
+                cb_cols[f"c{d}"].append(int(cb[m, c, d]))
+    pqt.write_table(
+        pa.table(
+            {
+                "m": pa.array(cb_rows["m"], pa.int64()),
+                "cid": pa.array(cb_rows["cid"], pa.int64()),
+                **{k: pa.array(v, pa.int64()) for k, v in cb_cols.items()},
+            }
+        ),
+        os.path.join(tmp, "codebooks.parquet"),
+    )
+    pqt.write_table(
+        pa.table(
+            {"cid": pa.array(np.arange(n_lists, dtype=np.int64)),
+             "embedding": emb_list(cent_raw)}
+        ),
+        os.path.join(tmp, "centroids.parquet"),
+    )
+    pqt.write_table(
+        pa.table(
+            {"vec_id": pa.array(np.arange(n_queries, dtype=np.int64)),
+             "embedding": emb_list(q_raw)}
+        ),
+        os.path.join(tmp, "queries.parquet"),
+    )
+
+    refs = ray.put((cent_q, cb))
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("vec_id", pa.int64())]
+                + [(c, pa.int64()) for c in _PQ_CODE_COLS]
+                + [("cid", pa.int64()), ("list_id", pa.int64())]
+            ).empty_table()
+        cq, cbk = ray.get(refs)
+        quant = _quantize(_embedding_matrix(t))
+        lists = _ivf_assign(quant, cq)
+        codes = vx.pq_encode(quant, cbk)
+        cols = {"vec_id": pc.cast(t["vec_id"], pa.int64())}
+        for m, name in enumerate(_PQ_CODE_COLS):
+            cols[name] = pa.array(codes[:, m], pa.int64())
+        cols["cid"] = pa.array(lists, pa.int64())
+        cols["list_id"] = pa.array(lists, pa.int64())
+        return pa.table(cols)
+
+    n_rows = emb.count()
+    emb.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        os.path.join(tmp, "codes"), partition_cols=["cid"]
+    )
+
+    meta = {
+        "dim": dim,
+        "n_lists": n_lists,
+        "n_queries": n_queries,
+        "n_vectors": int(n_rows),
+        "pq_m": vx.PQ_M,
+        "pq_k": vx.PQ_K,
+        "qscale_log2": 20,
+        "files": _list_files(tmp, "codes"),
+    }
+    _write_meta(tmp, meta)
+    os.rename(tmp, out_dir)
+    return meta
+
+
+def query_pq_index(
+    index_dir: str, k: int = _ANN_K, n_probe: int = _IVF_PROBE
+) -> "ray.data.Dataset":
+    """Serve the fixture query set from the PQ artifact ALONE: sidecars →
+    per-query LUT + probe set → scan ONLY the probed ``cid=`` code
+    partitions (no raw embeddings anywhere in the plan) → ADC partial
+    top-k per block → tiny per-query merge."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pqt
+
+    cb_t = pqt.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    cent_t = pqt.read_table(os.path.join(index_dir, "centroids.parquet"))
+    q_t = pqt.read_table(os.path.join(index_dir, "queries.parquet"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    M, K, SUB = int(meta["pq_m"]), int(meta["pq_k"]), vx.PQ_SUB
+
+    cb = np.zeros((M, K, SUB), np.int64)
+    ms = cb_t["m"].to_numpy(zero_copy_only=False)
+    cs = cb_t["cid"].to_numpy(zero_copy_only=False)
+    for d in range(SUB):
+        cb[ms, cs, d] = cb_t[f"c{d}"].to_numpy(zero_copy_only=False)
+
+    cent_q = _quantize(_embedding_matrix(cent_t.rename_columns(["vec_id", "embedding"])))
+    q_ids = q_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_quant = _quantize(_embedding_matrix(q_t))
+    n_lists = cent_t.num_rows
+
+    lut = np.empty((q_ids.size, M, K), np.int64)
+    for m in range(M):
+        lut[:, m, :] = q_quant[:, m * SUB:(m + 1) * SUB] @ cb[m].T
+
+    q_dots = q_quant @ cent_q.T
+    probe = np.argsort(-q_dots, axis=1, kind="stable")[:, :n_probe]
+    probe_masks = np.zeros((q_ids.size, n_lists), dtype=bool)
+    for r in range(q_ids.size):
+        probe_masks[r, probe[r]] = True
+    probed_cids = sorted(set(int(c) for c in probe.ravel()))
+
+    paths = [
+        os.path.join(index_dir, "codes", f"cid={c}", name)
+        for c in probed_cids
+        for name in meta["files"].get(str(c), [])
+    ]
+    if not paths:
+        return ray.data.from_arrow(_PQ_OUT_SCHEMA.empty_table())
+    ds = ray.data.read_parquet(paths, columns=["vec_id", *_PQ_CODE_COLS, "list_id"])
+    ref = ray.put((q_ids, lut, probe_masks))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PQ_PARTIAL_SCHEMA.empty_table()
+        qi, lt, pm = ray.get(ref)
+        b_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lids = batch["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in _PQ_CODE_COLS], axis=1
+        ).astype(np.int64)
+        scores = np.zeros((qi.size, b_ids.size), np.int64)
+        for m in range(lt.shape[1]):
+            scores += lt[:, m, codes[:, m]]
+        out_q, out_n, out_s = [], [], []
+        for r in range(qi.size):
+            mask = pm[r][lids] & (b_ids != qi[r])
+            idx = np.flatnonzero(mask)
+            if idx.size == 0:
+                continue
+            s = scores[r]
+            order = idx[np.lexsort((b_ids[idx], -s[idx]))][:k]
+            out_q.extend([qi[r]] * order.size)
+            out_n.extend(b_ids[order])
+            out_s.extend(s[order])
+        if not out_q:
+            return _PQ_PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score_q": pa.array(out_s, pa.int64()),
+            },
+            schema=_PQ_PARTIAL_SCHEMA,
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _PQ_OUT_SCHEMA.empty_table()
+        s = group["score_q"].to_numpy(zero_copy_only=False)
+        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
+                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+                "neighbor_id": pa.array(n[order], pa.int64()),
+                "score_q": pa.array(s[order], pa.int64()),
+            },
+            schema=_PQ_OUT_SCHEMA,
+        )
+
+    partials = ds.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+_PQINDEX_CACHE: dict[str, str] = {}
+
+
+def _pq_index_for(sf_dir: str) -> str:
+    """Build (or reuse) the persisted IVF×PQ artifact — same amortization
+    + source-fingerprint salting as _vector_index_for."""
+    if sf_dir in _PQINDEX_CACHE:
+        return _PQINDEX_CACHE[sf_dir]
+    import inspect
+    import sys
+
+    src = inspect.getsource(sys.modules[__name__]) + inspect.getsource(vx)
+    tag = hashlib.sha256(f"pq:{sf_dir}:{src}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"sharesci_pqidx_{tag}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        build_pq_index(sf_dir, out)
+    _PQINDEX_CACHE[sf_dir] = out
+    return out
+
+
+@op("ann_ivfpq_persisted", _ivfpq_sql)
+def ann_ivfpq_persisted(sf_dir: str):
+    """IVF×PQ serving from the persisted artifact: probe top-{P} lists,
+    ADC-score ONLY their code rows, exact integer ranking — the shape a
+    256-node cluster actually serves 100 TB of vectors with.  The query
+    plan touches sidecars + probed ``cid=`` partitions of PQ codes; raw
+    embeddings appear nowhere after the build.  The SQL twin replays IVF
+    assignment/probing AND the full PQ training chain bit-for-bit."""
+    return query_pq_index(_pq_index_for(sf_dir))

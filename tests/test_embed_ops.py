@@ -429,3 +429,90 @@ def test_pq_training_rounds_change_codebook(ray_session):
     )
     cb = _pq_train(SF)
     assert not np.array_equal(cb, seed_cb)
+
+
+def test_ivfpq_persisted_artifact_only_and_codes_exact(ray_session, tmp_path):
+    """The IVF×PQ artifact: stored codes match an independent pq_encode
+    recompute; serving never re-reads the corpus (sidecars + probed cid=
+    code partitions only); low n_probe actually prunes partitions; and the
+    registry op's cached-artifact output equals a fresh tmp-dir build."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import sharesci_ray.pipelines.ops_embed as E
+    from sharesci_ray.functions import vectors as vx
+    from sharesci_ray.functions.dedup import ANN_K, ANN_NQ
+
+    out = str(tmp_path / "pqidx")
+    meta = E.build_pq_index(SF, out)
+    assert meta["files"] == E._list_files(out, "codes")
+    assert len(meta["files"]) == vx.IVF_C  # every list materialized
+
+    # stored codes ≡ pq_encode over the raw embeddings (independent path)
+    codes_t = pq.read_table(os.path.join(out, "codes"))
+    emb_t = pq.read_table(f"{SF}/embeddings.parquet")
+    quant = vx.quantize(np.array(emb_t["embedding"].to_pylist(), np.float64))
+    want = vx.pq_encode(quant, E._pq_train(SF))
+    by_id = {int(i): k for k, i in enumerate(emb_t["vec_id"].to_numpy())}
+    got_ids = codes_t["vec_id"].to_numpy().astype(np.int64)
+    got = np.stack(
+        [codes_t[f"code{m}"].to_numpy().astype(np.int64) for m in range(vx.PQ_M)],
+        axis=1,
+    )
+    assert len(got_ids) == emb_t.num_rows
+    rows = np.array([by_id[int(i)] for i in got_ids])
+    assert np.array_equal(got, want[rows])
+
+    # serving is artifact-only: poison the corpus reader
+    real = E.read_table
+
+    def poisoned(*a, **k):
+        raise AssertionError("PQ persisted query path re-scanned the corpus")
+
+    E.read_table = poisoned
+    try:
+        res = (
+            E.query_pq_index(out)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        E.read_table = real
+    assert res["query_id"].nunique() == ANN_NQ
+    for qid, grp in res.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= ANN_K
+        assert qid not in set(grp["neighbor_id"])
+
+    # registry op (cached /tmp artifact) ≡ this fresh build's ranking
+    ref = (
+        E.ann_ivfpq_persisted(SF)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert res.astype("int64").equals(ref.astype("int64"))
+
+    # n_probe=1 must scan strictly fewer code partitions than probe=8
+    seen: list[list[str]] = []
+    real_rp = ray.data.read_parquet
+
+    def spy(paths, **k):
+        seen.append(list(paths) if isinstance(paths, list) else [paths])
+        return real_rp(paths, **k)
+
+    ray.data.read_parquet = spy
+    try:
+        E.query_pq_index(out, n_probe=1).materialize()
+        E.query_pq_index(out, n_probe=vx.IVF_PROBE).materialize()
+    finally:
+        ray.data.read_parquet = real_rp
+
+    def cids(paths):
+        return {p.split("cid=")[1].split(os.sep)[0] for p in paths if "cid=" in p}
+
+    assert len(cids(seen[0])) < len(cids(seen[1]))
+    assert cids(seen[0]) <= cids(seen[1])
