@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 from ..functions import dedup as dd
 from ..functions import vectors as vx
-from ..functions.text import SQL_TOKENIZE
+from ..functions.text import SQL_TOKENIZE, flat_tokens
 from ..sources.corpus import read_table
 from .ops import op
 from .util import join_partitions
@@ -1995,3 +1995,251 @@ def ann_topk_filtered(sf_dir: str):
     return partials.groupby("query_id").map_groups(
         lambda g: _final_topk(g, _ANN_K), batch_format="pyarrow"
     )
+
+
+# ===========================================================================
+# dedup_spans — duplicated-substring removal (sub-document exact dedup)
+# ===========================================================================
+#
+# The ExactSubstr shape (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL 2022 §4.1, adapted from suffix-array byte
+# spans to token windows): a token is *duplicated* iff it is covered by at
+# least one K-token window whose exact text occurs in ≥2 distinct
+# documents.  Unlike the doc-level ops above, this removes the repeated
+# SPANS (license headers, navigation chrome, templated boilerplate) while
+# keeping each document's unique remainder in the corpus.
+
+_SPAN_K = 5
+
+
+def _dedup_spans_sql() -> str:
+    K = _SPAN_K
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    win AS (
+      SELECT doc_id, s, {dd.SQL_H60.format(s='gram')} AS gh FROM (
+        SELECT doc_id, unnest(range(1, len(t) - {K - 2})) AS s,
+               unnest({dd.sql_shingles('t', k=K)}) AS gram
+        FROM toks WHERE len(t) >= {K})
+    ),
+    dup AS (SELECT gh FROM win GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, i FROM (
+        SELECT w.doc_id, unnest(range(w.s, w.s + {K})) AS i
+        FROM win w JOIN dup USING (gh))
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS i
+      FROM toks
+    ),
+    kept AS (
+      SELECT tp.doc_id,
+             count(*) FILTER (WHERE c.i IS NULL)::BIGINT AS n_kept,
+             coalesce(string_agg(tp.tok, ' ' ORDER BY tp.i)
+                      FILTER (WHERE c.i IS NULL), '') AS text_clean
+      FROM tokpos tp
+      LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.i = tp.i
+      GROUP BY 1
+    )
+    SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+           (len(t.t) - coalesce(k.n_kept, 0))::BIGINT AS n_dup_tokens,
+           coalesce(k.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """
+
+
+# windows carry the 60-bit gram HASH, not the string: the df shuffle and
+# the dup join move vocabulary-scale rows, and 8-byte keys make both ~3×
+# cheaper than ~25-byte gram text — the same md5-int60 rule every other
+# dedup op (and its SQL twin) already keys on, so "duplicated" means the
+# identical thing on both sides, collisions included
+_SPAN_WIN = pa.schema(
+    [("doc_id", pa.int64()), ("s", pa.int64()), ("gh", pa.int64())]
+)
+_SPAN_DFP = pa.schema([("gh", pa.int64()), ("nd", pa.int64())])
+# covered positions ride the doc_id join as ONE comma-joined string row —
+# acero hash joins reject list<> payload columns, and the string round-trips
+# through split_pattern/cast fully vectorized on the other side
+_SPAN_COV = pa.schema([("doc_id", pa.int64()), ("cov", pa.string())])
+_SPAN_OUT = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+     ("n_dup_tokens", pa.int64()), ("text_clean", pa.string())]
+)
+
+
+def _row_firsts(parent: np.ndarray, n_rows: int) -> np.ndarray:
+    """First flat-token index per batch row (parent is sorted ascending;
+    rows with no tokens keep 0, which no consumer dereferences)."""
+    first = np.zeros(n_rows, dtype=np.int64)
+    rows, firsts = np.unique(parent, return_index=True)
+    first[rows] = firsts
+    return first
+
+
+def _span_windows(t: pa.Table) -> pa.Table:
+    """(doc_id, text) batch → one row per K-token window: (doc_id,
+    1-based start, gram text) — token_shingles' windowing with the
+    in-document start position retained (the SQL twin's ``s``)."""
+    if t.num_rows == 0:
+        return _SPAN_WIN.empty_table()
+    K = _SPAN_K
+    flat, parent = flat_tokens(t["text"])
+    n = len(flat)
+    if n < K:
+        return _SPAN_WIN.empty_table()
+    valid = parent[: n - K + 1] == parent[K - 1 :]
+    joined = flat.slice(0, n - K + 1)
+    for j in range(1, K):
+        joined = pc.binary_join_element_wise(joined, flat.slice(j, n - K + 1), " ")
+    grams = pc.filter(joined, pa.array(valid))
+    par = parent[: n - K + 1][valid]
+    starts = np.flatnonzero(valid) - _row_firsts(parent, t.num_rows)[par] + 1
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[par]),
+            "s": pa.array(starts),
+            "gh": pa.array(dd.hash_strings(grams)),
+        },
+        schema=_SPAN_WIN,
+    )
+
+
+@op("dedup_spans", _dedup_spans_sql())
+def dedup_spans(sf_dir: str):
+    """Duplicated-substring removal (sub-document exact dedup): every
+    token covered by a 5-token window whose exact text appears in ≥2
+    distinct documents is dropped; one row per document with its token
+    count, duplicated-token count and the cleaned text (kept tokens in
+    original order, space-joined).  The span-level complement to
+    dedup_exact/dedup_minhash_lsh: repeated boilerplate is removed while
+    each document's unique remainder survives.
+
+    Scale shape (100 TB): window df runs as per-batch (gram, doc)-distinct
+    partials → one vocabulary-sized groupby (docs live in exactly one
+    batch, so batch distincts sum to global df; the hot_ngram_report
+    rule).  The duplicated-gram set is corpus-proportional, so it is
+    JOINED against the window stream (hash join keyed on gram), never
+    broadcast; hot grams pass through the join without per-group compute.
+    Coverage folds to ≤1 row per affected document (sorted unique covered
+    positions), and the final left_outer join streams the corpus once
+    more to rebuild the cleaned text fully vectorized (offset-gathered
+    keep mask → ListArray → binary_join) — no per-row Python anywhere.
+    The corpus is scanned three times (df pre-pass, window join, rebuild)
+    rather than any stage materializing it."""
+    from ray.data.aggregate import Sum
+
+    K = _SPAN_K
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        w = _span_windows(t)
+        if w.num_rows == 0:
+            return _SPAN_DFP.empty_table()
+        per_doc = (
+            pa.table({"gh": w["gh"], "doc_id": w["doc_id"]})
+            .group_by(["gh", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        g = (
+            pa.table(
+                {
+                    "gh": per_doc["gh"],
+                    "nd": pa.array(np.ones(per_doc.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("gh")
+            .aggregate([("nd", "sum")])
+        )
+        return g.rename_columns(["gh", "nd"]).cast(_SPAN_DFP)
+
+    def only_dup(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t["sum(nd)"], 2))
+        return keep.select(["gh"])
+
+    from .util import drop_empty_blocks
+
+    # drop_empty_blocks: sparse-keyed shuffles emit schema-less 0-row
+    # blocks that kill the downstream joins (see util.py) — both join
+    # right sides are healed; only block refs pass through the driver
+    dupg = drop_empty_blocks(
+        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gh")
+        .aggregate(Sum("nd"))
+        .map_batches(only_dup, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("gh", pa.int64())]),
+    )
+
+    wins = docs.map_batches(
+        _span_windows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    _jp = join_partitions(wins)
+    dupwins = wins.join(dupg, join_type="inner", num_partitions=_jp, on=("gh",))
+
+    def cover(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SPAN_COV.empty_table()
+        s = g["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.unique((s[:, None] + np.arange(K, dtype=np.int64)[None, :]).ravel())
+        return pa.table(
+            {
+                "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+                "cov": pa.array([",".join(map(str, pos))], pa.string()),
+            },
+            schema=_SPAN_COV,
+        )
+
+    cov = drop_empty_blocks(
+        dupwins.groupby("doc_id").map_groups(cover, batch_format="pyarrow"),
+        _SPAN_COV,
+    )
+    joined = docs.join(
+        cov, join_type="left_outer", num_partitions=_jp, on=("doc_id",)
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SPAN_OUT.empty_table()
+        n_rows = t.num_rows
+        flat, parent = flat_tokens(t["text"])
+        n_tok = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(n_tok, parent, 1)
+        first = _row_firsts(parent, n_rows)
+        covcol = pc.fill_null(t["cov"], "")
+        if isinstance(covcol, pa.ChunkedArray):
+            covcol = covcol.combine_chunks()
+        keep = np.ones(len(flat), dtype=bool)
+        lists = pc.split_pattern(covcol, ",")
+        flat_cov_s = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        cov_parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens.astype(np.int64))
+        nonempty = pc.greater(pc.utf8_length(flat_cov_s), 0).to_numpy(
+            zero_copy_only=False
+        )
+        if nonempty.any():
+            flat_cov = (
+                pc.cast(pc.filter(flat_cov_s, pa.array(nonempty)), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            keep[first[cov_parent[nonempty]] + flat_cov - 1] = False
+        n_kept = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(n_kept, parent[keep], 1)
+        kept_flat = pc.filter(flat, pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        offs = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=offs[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), kept_flat
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(n_tok),
+                "n_dup_tokens": pa.array(n_tok - n_kept),
+                "text_clean": pc.binary_join(kept_list, " "),
+            },
+            schema=_SPAN_OUT,
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -502,3 +502,55 @@ def test_ann_filtered_subset_semantics(ray_session):
             f = got[got["query_id"] == qid].sort_values("rank")
             s = sub.sort_values("rank")
             assert list(f["neighbor_id"]) == list(s["neighbor_id"]), qid
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans: planted boilerplate span — exact coverage accounting and
+# cleaned-text reconstruction, engine ≡ oracle on the planted corpus
+# ---------------------------------------------------------------------------
+
+def test_dedup_spans_planted_boilerplate(ray_session, tmp_path):
+    """A 7-token license span shared by docs 0, 1 and 3 must be removed
+    from each (3 duplicated 5-windows → exactly the 7 span tokens
+    covered); the boundary windows leaking into each doc's unique text
+    occur in one doc only, so unique tokens survive untouched."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.pipelines.ops_dedup import _dedup_spans_sql, dedup_spans
+
+    span = "licensed under the apache license version two"
+    texts = [
+        f"alphaone alphatwo alphathree {span} betaone betatwo betathree betafour",
+        f"gammaone gammatwo {span} deltaone deltatwo deltathree",
+        "ceeone ceetwo ceethree ceefour ceefive ceesix",
+        span,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "spans"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    sf = str(d)
+
+    got = dedup_spans(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["n_tokens"]) == [14, 12, 6, 7]
+    assert list(got["n_dup_tokens"]) == [7, 7, 0, 7]
+    assert got["text_clean"][0] == (
+        "alphaone alphatwo alphathree betaone betatwo betathree betafour"
+    )
+    assert got["text_clean"][1] == "gammaone gammatwo deltaone deltatwo deltathree"
+    assert got["text_clean"][2] == texts[2]
+    assert got["text_clean"][3] == ""
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ora = con.execute(_dedup_spans_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    for c in ["n_tokens", "n_dup_tokens", "text_clean"]:
+        assert list(got[c]) == list(ora[c]), c
