@@ -1884,3 +1884,285 @@ def ann_ivfpq_persisted(sf_dir: str):
     embeddings appear nowhere after the build.  The SQL twin replays IVF
     assignment/probing AND the full PQ training chain bit-for-bit."""
     return query_pq_index(_pq_index_for(sf_dir))
+
+
+# ===========================================================================
+# cluster_top_terms — corpus data map: embed → k-means → label clusters
+# ===========================================================================
+#
+# The domain-discovery step real training pipelines run before choosing a
+# data mix (cluster the corpus in embedding space, then read each cluster
+# through its most characteristic vocabulary).  Composes three subsystems
+# end-to-end: the HashEmbedder stage, the integer-exact Lloyd's machinery
+# (kmeans_embeddings' recipe, re-instantiated over DERIVED doc vectors),
+# and the tokenizer — with one SQL twin replaying the whole chain.
+
+_CTT_K = 6        # clusters (≠ KMEANS_K / IVF_C so fixtures differ)
+_CTT_ROUNDS = 2   # Lloyd rounds (fixed → SQL-replayable)
+_CTT_TOP = 5      # terms reported per cluster
+
+
+def _ctt_sql() -> str:
+    """emb (the embedder's bit-exact twin) → quantized doc lattice →
+    _CTT_ROUNDS Lloyd rounds (kmeans_embeddings' CTE pattern) → final
+    assignment → per-cluster term counts → top-_CTT_TOP terms."""
+    K, R, DIM = _CTT_K, _CTT_ROUNDS, EMBED_DIM
+    dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(DIM))
+    parts = [
+        f"""
+    WITH emb AS ({_embed_sql()}),
+    qemb AS (
+      SELECT doc_id,
+             list(CAST(floor(val * {vx.QSCALE}) AS BIGINT) ORDER BY dim) AS q
+      FROM emb GROUP BY doc_id
+    ),
+    cent0 AS (SELECT doc_id AS cid, q AS cq FROM qemb WHERE doc_id < {K})"""
+    ]
+    for r in range(1, R + 1):
+        mean_list = ", ".join(
+            vx.fdiv_sql(f"sum(e.q[{d + 1}])", "count(*)") for d in range(DIM)
+        )
+        parts.append(
+            f"""
+    dots{r} AS (
+      SELECT e.doc_id, c.cid, {dot} AS d FROM qemb e CROSS JOIN cent{r - 1} c
+    ),
+    asg{r} AS (
+      SELECT doc_id, cid FROM (
+        SELECT doc_id, cid,
+               row_number() OVER (PARTITION BY doc_id ORDER BY d DESC, cid) AS rn
+        FROM dots{r}
+      ) WHERE rn = 1
+    ),
+    upd{r} AS (
+      SELECT a.cid, [{mean_list}] AS cq
+      FROM asg{r} a JOIN qemb e USING (doc_id) GROUP BY a.cid
+    ),
+    cent{r} AS (
+      SELECT c.cid, COALESCE(u.cq, c.cq) AS cq
+      FROM cent{r - 1} c LEFT JOIN upd{r} u USING (cid)
+    )"""
+        )
+    parts.append(
+        f"""
+    fdots AS (
+      SELECT e.doc_id, c.cid, {dot} AS d FROM qemb e CROSS JOIN cent{R} c
+    ),
+    fasg AS (
+      SELECT doc_id, cid AS cluster_id FROM (
+        SELECT doc_id, cid,
+               row_number() OVER (PARTITION BY doc_id ORDER BY d DESC, cid) AS rn
+        FROM fdots
+      ) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tc AS (
+      SELECT a.cluster_id, t.term, count(*)::BIGINT AS n_occurrences
+      FROM toks t JOIN fasg a USING (doc_id) GROUP BY 1, 2
+    ),
+    nd AS (SELECT cluster_id, count(*)::BIGINT AS n_docs FROM fasg GROUP BY 1)
+    SELECT r.cluster_id, r.rank, r.term, r.n_occurrences, nd.n_docs
+    FROM (
+      SELECT cluster_id, term, n_occurrences,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY n_occurrences DESC, term
+             ) AS rank
+      FROM tc
+    ) r JOIN nd USING (cluster_id)
+    WHERE r.rank <= {_CTT_TOP}"""
+    )
+    return ",".join(parts)
+
+
+_CTT_PART_COLS = [f"s{d:02d}" for d in range(EMBED_DIM)]
+_CTT_OUT = pa.schema(
+    [("cluster_id", pa.int64()), ("rank", pa.int64()), ("term", pa.string()),
+     ("n_occurrences", pa.int64()), ("n_docs", pa.int64())]
+)
+_CTT_TC = pa.schema(
+    [("cluster_id", pa.int64()), ("term", pa.string()),
+     ("n_occurrences", pa.int64())]
+)
+
+
+@op("cluster_top_terms", _ctt_sql)
+def cluster_top_terms(sf_dir: str):
+    """Corpus data map: HashEmbedder doc vectors → integer-exact Lloyd's
+    k-means (K={K}, seeds = docs 0..K-1, quantized lattice dots,
+    floor-div means) → each cluster labeled by its top terms
+    (count desc, term asc) plus its document count.
+
+    Scale shape: per Lloyd round only K×(dim+2) partial rows per block
+    shuffle and the driver holds the K×dim centroid matrix
+    (kmeans_embeddings' recipe — the vectors are re-derived streaming
+    each round, nothing pinned); the term profile joins the bounded
+    (doc → cluster) assignment into the token stream with ONE hash join,
+    pre-aggregates (cluster, term) per batch, and caps the vocabulary
+    shuffle's output with per-batch partial top-k before the final
+    per-cluster merge — only K×top×blocks candidate rows survive."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    K, R, TOP = _CTT_K, _CTT_ROUNDS, _CTT_TOP
+
+    seed_rows = (
+        document_vectors(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], K)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()  # bounded: K rows
+    )
+    seed_rows.sort(key=lambda r: int(r["doc_id"]))
+    if len(seed_rows) != K:
+        raise ValueError(f"cluster_top_terms: need doc_ids 0..{K - 1} as seeds")
+    cent_q = vx.quantize(
+        np.array([r["embedding"] for r in seed_rows], np.float64)
+    )
+
+    def partials(cq: np.ndarray):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.schema(
+                    [("cid", pa.int64()), ("n", pa.int64())]
+                    + [(c, pa.int64()) for c in _CTT_PART_COLS]
+                ).empty_table()
+            quant = vx.quantize(vx.embedding_matrix(batch))
+            asg = vx.ivf_assign(quant, cq)
+            cids = np.unique(asg)
+            counts = np.empty(cids.size, np.int64)
+            sums = np.empty((cids.size, EMBED_DIM), np.int64)
+            for i, c in enumerate(cids):
+                m = asg == c
+                counts[i] = int(m.sum())
+                sums[i] = quant[m].sum(axis=0)
+            cols = {"cid": pa.array(cids), "n": pa.array(counts)}
+            for d, name in enumerate(_CTT_PART_COLS):
+                cols[name] = pa.array(sums[:, d], pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    aggs = [Sum("n")] + [Sum(c) for c in _CTT_PART_COLS]
+    for _ in range(R):
+        rows = (
+            document_vectors(sf_dir)
+            .map_batches(partials(cent_q), batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("cid")
+            .aggregate(*aggs)
+            .take_all()  # K rows — constant-size per-round reduce
+        )
+        new = cent_q.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            n = int(r["sum(n)"])
+            s = np.array([r[f"sum({c})"] for c in _CTT_PART_COLS], np.int64)
+            new[int(r["cid"])] = np.floor_divide(s, n)
+        cent_q = new
+
+    final = cent_q
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("cluster_id", pa.int64())]
+            ).empty_table()
+        quant = vx.quantize(vx.embedding_matrix(batch))
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "cluster_id": pa.array(vx.ivf_assign(quant, final)),
+            }
+        )
+
+    # two consumers (n_docs + the token join): checkpoint the bounded
+    # (doc_id, cluster_id) projection once instead of re-embedding per
+    # consumer — 16 bytes/doc in the object store, never on the driver
+    asg = document_vectors(sf_dir).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_docs = {
+        int(r["cluster_id"]): int(r["count()"])
+        for r in asg.groupby("cluster_id").count().take_all()  # ≤ K rows
+    }
+
+    from .util import join_partitions
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    _jp = join_partitions(docs)
+    labeled = docs.join(asg, join_type="inner", num_partitions=_jp,
+                        on=("doc_id",))
+
+    def term_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CTT_TC.empty_table()
+        flat, parent = flat_tokens(t["text"])
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table({"cluster_id": pa.array(cl[parent]), "term": flat})
+            .group_by(["cluster_id", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "cluster_id": g["cluster_id"],
+                "term": g["term"],
+                "n_occurrences": pc.cast(g["count_all"], pa.int64()),
+            },
+            schema=_CTT_TC,
+        )
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        # per-batch partial top-k per cluster: only K×TOP rows per block
+        # survive into the final merge (top_terms_per_lang's cap rule)
+        if t.num_rows == 0:
+            return _CTT_TC.empty_table()
+        out = []
+        for cid in pc.unique(t["cluster_id"]).to_pylist():
+            sub = t.filter(pc.equal(t["cluster_id"], cid))
+            n = sub["n_occurrences"].to_numpy(zero_copy_only=False)
+            terms = sub["term"].to_pylist()
+            order = sorted(range(len(terms)), key=lambda i: (-n[i], terms[i]))
+            out.append(sub.take(pa.array(order[:_CTT_TOP])))
+        return pa.concat_tables(out).cast(_CTT_TC)
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _CTT_OUT.empty_table()
+        n = g["n_occurrences"].to_numpy(zero_copy_only=False)
+        terms = g["term"].to_pylist()
+        order = sorted(range(len(terms)), key=lambda i: (-n[i], terms[i]))[:_CTT_TOP]
+        cid = int(g["cluster_id"][0].as_py())
+        return pa.table(
+            {
+                "cluster_id": pa.array([cid] * len(order), pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1)),
+                "term": pa.array([terms[i] for i in order], pa.string()),
+                "n_occurrences": pa.array(n[order], pa.int64()),
+                "n_docs": pa.array([n_docs.get(cid, 0)] * len(order), pa.int64()),
+            },
+            schema=_CTT_OUT,
+        )
+
+    return (
+        labeled.map_batches(term_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        .groupby(["cluster_id", "term"])
+        .aggregate(Sum("n_occurrences"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+                    "term": t["term"],
+                    "n_occurrences": pc.cast(t["sum(n_occurrences)"], pa.int64()),
+                },
+                schema=_CTT_TC,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -516,3 +516,28 @@ def test_ivfpq_persisted_artifact_only_and_codes_exact(ray_session, tmp_path):
 
     assert len(cids(seen[0])) < len(cids(seen[1]))
     assert cids(seen[0]) <= cids(seen[1])
+
+
+def test_cluster_top_terms_invariants(ray_session):
+    """Structural checks on the corpus data map: dense per-cluster ranks
+    with the (count desc, term asc) tie-break, cluster doc counts summing
+    to the corpus size (every doc is assigned exactly once), and term
+    counts bounded by the cluster's total token mass."""
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.pipelines.ops_embed import _CTT_TOP, cluster_top_terms
+
+    out = cluster_top_terms(SF).to_pandas()
+    n_corpus = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).num_rows
+
+    per_cluster_docs = out.groupby("cluster_id")["n_docs"].first()
+    assert per_cluster_docs.sum() == n_corpus
+
+    for cid, grp in out.groupby("cluster_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= _CTT_TOP
+        # ranking is (n desc, term asc)
+        key = list(zip(-grp["n_occurrences"], grp["term"]))
+        assert key == sorted(key)
+        assert (grp["n_occurrences"] > 0).all()
