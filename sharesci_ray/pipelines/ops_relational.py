@@ -5187,3 +5187,163 @@ def table_profile(sf_dir: str):
             ),
         }
     )
+
+
+# ===========================================================================
+# activity_reconcile — FULL OUTER join shape (two-system reconciliation)
+# ===========================================================================
+
+_RECON_MIN_PRICE = 400_000  # "big order" threshold; all 3 side classes
+                            # are non-empty at every testdata scale
+
+
+@op(
+    "activity_reconcile",
+    f"""
+    WITH ev AS (
+      SELECT user_id AS key, count(*)::BIGINT AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS event_cents
+      FROM events GROUP BY 1
+    ),
+    hv AS (
+      SELECT o_custkey AS key, count(*)::BIGINT AS n_big_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS order_cents
+      FROM orders WHERE o_totalprice > {_RECON_MIN_PRICE} GROUP BY 1
+    )
+    SELECT COALESCE(e.key, h.key) AS key,
+           COALESCE(e.n_events, 0)::BIGINT AS n_events,
+           COALESCE(e.event_cents, 0)::BIGINT AS event_cents,
+           COALESCE(h.n_big_orders, 0)::BIGINT AS n_big_orders,
+           COALESCE(h.order_cents, 0)::BIGINT AS order_cents,
+           CASE WHEN e.key IS NULL THEN 'orders_only'
+                WHEN h.key IS NULL THEN 'events_only'
+                ELSE 'both' END AS side
+    FROM ev e FULL OUTER JOIN hv h ON e.key = h.key
+    """,
+)
+def activity_reconcile(sf_dir: str):
+    """Two-system reconciliation — the FULL OUTER join shape: per-user
+    event activity vs per-customer big-order spend (> {threshold}),
+    matched on the shared key, with each row tagged 'both' /
+    'events_only' / 'orders_only' and the missing side zero-filled
+    (NULL-free output → stable value hashes).
+
+    Scale shape: BOTH inputs collapse to per-key partials inside
+    map_batches before their groupby (the combiner rule), so the full
+    outer join only ever sees two already-aggregated key-sized streams;
+    the orders side is filtered at the scan.  The side tag is one
+    vectorized is_null pass after the join."""
+    from ray.data.aggregate import Sum
+
+    from .util import drop_empty_blocks, join_partitions
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    _EVP = pa.schema(
+        [("key", pa.int64()), ("n_events", pa.int64()),
+         ("event_cents", pa.int64())]
+    )
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EVP.empty_table()
+        g = (
+            pa.table(
+                {
+                    "key": pc.cast(t["user_id"], pa.int64()),
+                    "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "event_cents": _cents(t["value"]),
+                }
+            )
+            .group_by("key")
+            .aggregate([("n_events", "sum"), ("event_cents", "sum")])
+        )
+        return g.rename_columns(["key", "n_events", "event_cents"]).cast(_EVP)
+
+    _HVP = pa.schema(
+        [("key", pa.int64()), ("n_big_orders", pa.int64()),
+         ("order_cents", pa.int64())]
+    )
+
+    def hv_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], _RECON_MIN_PRICE))
+        if t.num_rows == 0:
+            return _HVP.empty_table()
+        g = (
+            pa.table(
+                {
+                    "key": pc.cast(t["o_custkey"], pa.int64()),
+                    "n_big_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "order_cents": _cents(t["o_totalprice"]),
+                }
+            )
+            .group_by("key")
+            .aggregate([("n_big_orders", "sum"), ("order_cents", "sum")])
+        )
+        return g.rename_columns(["key", "n_big_orders", "order_cents"]).cast(_HVP)
+
+    def rn(names):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pc.cast(t["key"], pa.int64()),
+                    **{
+                        n: pc.cast(t[f"sum({n})"], pa.int64()) for n in names
+                    },
+                }
+            )
+
+        return fn
+
+    evs = drop_empty_blocks(
+        ev.map_batches(ev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n_events"), Sum("event_cents"))
+        .map_batches(rn(["n_events", "event_cents"]), batch_format="pyarrow",
+                     zero_copy_batch=True),
+        _EVP,
+    )
+    hvs = drop_empty_blocks(
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(hv_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n_big_orders"), Sum("order_cents"))
+        .map_batches(rn(["n_big_orders", "order_cents"]), batch_format="pyarrow",
+                     zero_copy_batch=True),
+        _HVP,
+    )
+
+    _jp = join_partitions(evs, hvs)
+    j = evs.join(hvs, join_type="full_outer", num_partitions=_jp, on=("key",))
+
+    _OUT = pa.schema(
+        [("key", pa.int64()), ("n_events", pa.int64()),
+         ("event_cents", pa.int64()), ("n_big_orders", pa.int64()),
+         ("order_cents", pa.int64()), ("side", pa.string())]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        ev_null = pc.is_null(t["n_events"])
+        hv_null = pc.is_null(t["n_big_orders"])
+        side = pc.if_else(
+            ev_null,
+            pa.scalar("orders_only"),
+            pc.if_else(hv_null, pa.scalar("events_only"), pa.scalar("both")),
+        )
+        return pa.table(
+            {
+                "key": pc.cast(t["key"], pa.int64()),
+                "n_events": pc.cast(pc.fill_null(t["n_events"], 0), pa.int64()),
+                "event_cents": pc.cast(pc.fill_null(t["event_cents"], 0), pa.int64()),
+                "n_big_orders": pc.cast(pc.fill_null(t["n_big_orders"], 0), pa.int64()),
+                "order_cents": pc.cast(pc.fill_null(t["order_cents"], 0), pa.int64()),
+                "side": side,
+            },
+            schema=_OUT,
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

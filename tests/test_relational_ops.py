@@ -773,3 +773,22 @@ def test_table_profile_counts_and_null_partial(ray_session):
     dedup = batch.drop_null().group_by("user_id").aggregate([])
     assert dedup.num_rows == 2
     assert batch["user_id"].null_count == 2
+
+
+def test_activity_reconcile_sides(ray_session):
+    """Full-outer semantics: all three side classes present at sf0.001,
+    every key unique, and the missing side exactly zero-filled."""
+    from sharesci_ray.pipelines.ops_relational import activity_reconcile
+
+    df = activity_reconcile("/root/testdata/sf0.001").to_pandas()
+    assert df["key"].is_unique
+    sides = set(df["side"])
+    assert sides == {"both", "events_only", "orders_only"}
+    eo = df[df["side"] == "events_only"]
+    assert (eo["n_big_orders"] == 0).all() and (eo["order_cents"] == 0).all()
+    assert (eo["n_events"] > 0).all()
+    oo = df[df["side"] == "orders_only"]
+    assert (oo["n_events"] == 0).all() and (oo["event_cents"] == 0).all()
+    assert (oo["n_big_orders"] > 0).all()
+    b = df[df["side"] == "both"]
+    assert ((b["n_events"] > 0) & (b["n_big_orders"] > 0)).all()
