@@ -2243,3 +2243,301 @@ def dedup_spans(sf_dir: str):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# distinct_shingles_hll — mergeable cardinality sketch (HyperLogLog)
+# ===========================================================================
+#
+# The dedup-planning statistic ("how many distinct shingles will the LSH
+# stage see?") computed WITHOUT the vocabulary shuffle an exact distinct
+# needs: HyperLogLog (Flajolet et al., AofA 2007) over the md5-int60
+# shingle hashes.  Every piece is integer-exact — register indices and ρ
+# come from exact bit arithmetic on the 60-bit hash, the harmonic sum is
+# kept as the INTEGER Σ 2^(51−M_r) — so the one float at the end (a
+# shared literal constant divided by that integer) is bit-identical in
+# the engine and the DuckDB twin.  Raw estimator only (n ≫ 2.5m on all
+# testdata, so the small-range correction branch never fires; v_zero is
+# reported so that claim is checkable).
+
+_HLL_P = 10
+_HLL_M = 1 << _HLL_P            # 1024 registers
+_HLL_WBITS = 60 - _HLL_P        # 50-bit suffix scored by ρ
+# alpha_m · m² · 2^51 as ONE shared double literal: both sides compute
+# estimate = _HLL_A / S with a single division, so the float is bit-equal
+_HLL_A = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0 ** 51
+
+
+def _hll_sql() -> str:
+    M, W = _HLL_M, _HLL_WBITS
+    pows = ", ".join(f"({k}, {1 << k})" for k in range(W))
+    h = dd.SQL_H60.format(s="s")
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT unnest({dd.sql_shingles('t')}) AS s
+      FROM toks WHERE len(t) >= {dd.SHINGLE_K}
+    ),
+    rw AS (SELECT {h} % {M} AS reg, {h} // {M} AS w FROM sh),
+    ws AS (SELECT DISTINCT reg, w FROM rw),
+    pows(k, p) AS (VALUES {pows}),
+    rhos AS (
+      SELECT ws.reg, {W} - max(pows.k) AS rho
+      FROM ws JOIN pows ON pows.p <= ws.w GROUP BY ws.reg, ws.w
+      UNION ALL
+      SELECT reg, {W + 1} AS rho FROM ws WHERE w = 0
+    ),
+    regs AS (
+      SELECT r.i AS reg, COALESCE(max(rhos.rho), 0) AS mr
+      FROM range(0, {M}) r(i) LEFT JOIN rhos ON rhos.reg = r.i GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*) FILTER (WHERE mr = 0)::BIGINT AS v_zero,
+             CAST(sum(CAST(1 AS BIGINT) << ({W + 1} - mr)) AS BIGINT)
+               AS s_scaled
+      FROM regs
+    )
+    SELECT {M}::BIGINT AS m, v_zero, s_scaled,
+           {_HLL_A!r} / CAST(s_scaled AS DOUBLE) AS estimate
+    FROM agg
+    """
+
+
+_HLL_PART = pa.schema([("reg", pa.int64()), ("mx", pa.int64())])
+_HLL_OUT = pa.schema(
+    [("m", pa.int64()), ("v_zero", pa.int64()), ("s_scaled", pa.int64()),
+     ("estimate", pa.float64())]
+)
+
+
+@op("distinct_shingles_hll", _hll_sql)
+def distinct_shingles_hll(sf_dir: str):
+    """HyperLogLog estimate of the corpus's distinct-shingle cardinality
+    (m=1024 registers over the md5-int60 shingle hash).  One row:
+    (m, zero-register count, the integer harmonic sum Σ 2^(51−M_r), and
+    the raw estimate).
+
+    Scale shape — the reason sketches exist at 100 TB: each batch folds
+    its shingles into ≤m (register, ρ-max) partial rows with exact bit
+    arithmetic (np.frexp exponents are exact for w < 2^53), the only
+    shuffle is a ≤m·blocks-row groupby-max, and the driver touches m
+    rows.  An exact distinct of the same column shuffles the whole
+    shingle vocabulary (cf. near_dup_jaccard's df pre-pass); this op's
+    traffic is CONSTANT in corpus size, and registers merge by max, so
+    per-shard sketches combine losslessly across a 256-node cluster."""
+    from ray.data.aggregate import Max
+
+    M, W = _HLL_M, _HLL_WBITS
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams, _ = dd.token_shingles(t["text"])
+        if not len(grams):
+            return _HLL_PART.empty_table()
+        h = dd.hash_strings(grams)
+        reg = h % M
+        w = h >> _HLL_P
+        rho = np.full(w.size, W + 1, dtype=np.int64)
+        nz = w > 0
+        # exact floor(log2(w)): frexp exponents are exact for w < 2^53
+        rho[nz] = W - (np.frexp(w[nz].astype(np.float64))[1] - 1)
+        regs = np.zeros(M, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        touched = np.flatnonzero(regs)
+        return pa.table(
+            {"reg": pa.array(touched), "mx": pa.array(regs[touched])},
+            schema=_HLL_PART,
+        )
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("reg")
+        .aggregate(Max("mx"))
+        .take_all()  # ≤ m rows — the whole sketch
+    )
+    regs = np.zeros(M, dtype=np.int64)
+    for r in rows:
+        regs[int(r["reg"])] = int(r["max(mx)"])
+    v_zero = int((regs == 0).sum())
+    s_scaled = int((np.int64(1) << (W + 1 - regs)).sum())
+    return pa.table(
+        {
+            "m": pa.array([M], pa.int64()),
+            "v_zero": pa.array([v_zero], pa.int64()),
+            "s_scaled": pa.array([s_scaled], pa.int64()),
+            "estimate": pa.array([_HLL_A / float(s_scaled)], pa.float64()),
+        },
+        schema=_HLL_OUT,
+    )
+
+
+# ===========================================================================
+# term_counts_cms — mergeable frequency sketch (count-min)
+# ===========================================================================
+#
+# The heavy-hitter companion to the HLL op: a count-min sketch (Cormode &
+# Muthukrishnan, J.Alg 2005) of corpus term frequencies — d=4 counter
+# rows × w=2048 columns, hashed with the SAME (a·h31+b) mod P31
+# permutation constants the minhash kernel publishes to SQL — probed for
+# the fixture-query terms and reported next to the exact counts (CMS
+# guarantees est ≥ true; the slack IS the collision mass, so the row is
+# self-auditing).  All counters are exact int64 sums: both sides agree
+# bit-for-bit, collisions included.
+
+_CMS_D = 4            # counter rows (first 4 minhash permutations)
+_CMS_W = 2048         # columns per row
+
+
+def _cms_probe_terms() -> list[str]:
+    from ..functions.text import tokenize
+    from .ops import DOC_QUERIES
+
+    return sorted({t for q in DOC_QUERIES for t in tokenize(q)})
+
+
+def _cms_sql() -> str:
+    D, W = _CMS_D, _CMS_W
+    perms = ", ".join(
+        f"({j}, {int(dd.PERM_A[j])}, {int(dd.PERM_B[j])})" for j in range(D)
+    )
+    probes = ", ".join(f"('{t}')" for t in _cms_probe_terms())
+    h_term = dd.SQL_H60.format(s="term")
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, count(*)::BIGINT AS tf FROM toks GROUP BY 1),
+    h AS (SELECT term, tf, {h_term} % {dd.P31} AS h31 FROM tf),
+    perms(j, a, b) AS (VALUES {perms}),
+    cells AS (
+      SELECT p.j, ((h.h31 * p.a + p.b) % {dd.P31}) % {W} AS col,
+             CAST(sum(h.tf) AS BIGINT) AS cnt
+      FROM h CROSS JOIN perms p GROUP BY 1, 2
+    ),
+    probes(term) AS (VALUES {probes}),
+    ph AS (SELECT term, {h_term} % {dd.P31} AS h31 FROM probes),
+    pcells AS (
+      SELECT ph.term, p.j, ((ph.h31 * p.a + p.b) % {dd.P31}) % {W} AS col
+      FROM ph CROSS JOIN perms p
+    ),
+    est AS (
+      SELECT pc.term, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+      FROM pcells pc LEFT JOIN cells c ON c.j = pc.j AND c.col = pc.col
+      GROUP BY 1
+    )
+    SELECT e.term, e.est_count,
+           COALESCE(t.tf, 0)::BIGINT AS true_count
+    FROM est e LEFT JOIN h t USING (term)
+    """
+
+
+_CMS_PART = pa.schema(
+    [("j", pa.int64()), ("col", pa.int64()), ("term", pa.string()),
+     ("cnt", pa.int64())]
+)
+_CMS_OUT = pa.schema(
+    [("term", pa.string()), ("est_count", pa.int64()),
+     ("true_count", pa.int64())]
+)
+
+
+@op("term_counts_cms", _cms_sql)
+def term_counts_cms(sf_dir: str):
+    """Count-min sketch of corpus term frequencies (d=4 × w=2048 exact
+    int64 counters), probed for the fixture-query terms; one row per
+    probe term with the sketch estimate and the exact count (est ≥ true
+    by construction — the gap is the audited collision mass).
+
+    Scale shape: ONE corpus scan emits both the sketch and the exact
+    probe counts — each batch folds its tokens into ≤ d·w (j, col)
+    partial cells PLUS ≤ |probes| exact (term, n) rows, disjoint keys in
+    one (j, col, term) groupby; total shuffle traffic is bounded by
+    d·w + |probes| rows per block regardless of corpus size, and cells
+    merge by + (the CMS merge law), so per-shard sketches combine
+    losslessly across nodes.  The driver touches ≤ d·w + |probes| rows."""
+    from ray.data.aggregate import Sum
+
+    D, W = _CMS_D, _CMS_W
+    probes = _cms_probe_terms()
+    probe_set = pa.array(probes, pa.string())
+    pa_ = dd.PERM_A[:D].astype(np.int64)
+    pb_ = dd.PERM_B[:D].astype(np.int64)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _ = flat_tokens(t["text"])
+        if not len(flat):
+            return _CMS_PART.empty_table()
+        g = (
+            pa.table({"term": flat})
+            .group_by("term")
+            .aggregate([([], "count_all")])
+        )
+        terms = g["term"]
+        tfs = pc.cast(g["count_all"], pa.int64()).to_numpy(zero_copy_only=False)
+        h31 = dd.hash_strings(terms) % dd.P31
+        parts = []
+        for j in range(D):
+            col = ((h31 * pa_[j] + pb_[j]) % dd.P31) % W
+            cell = (
+                pa.table({"col": pa.array(col), "cnt": pa.array(tfs)})
+                .group_by("col")
+                .aggregate([("cnt", "sum")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "j": pa.array(
+                            np.full(cell.num_rows, j, dtype=np.int64)
+                        ),
+                        "col": pc.cast(cell["col"], pa.int64()),
+                        "term": pa.array([""] * cell.num_rows, pa.string()),
+                        "cnt": pc.cast(cell["cnt_sum"], pa.int64()),
+                    },
+                    schema=_CMS_PART,
+                )
+            )
+        # exact probe counts ride the same shuffle under disjoint keys
+        isp = pc.is_in(terms, value_set=probe_set)
+        hit = pa.table({"term": terms, "cnt": pa.array(tfs)}).filter(isp)
+        parts.append(
+            pa.table(
+                {
+                    "j": pa.array(np.full(hit.num_rows, -1, dtype=np.int64)),
+                    "col": pa.array(np.full(hit.num_rows, -1, dtype=np.int64)),
+                    "term": hit["term"],
+                    "cnt": pc.cast(hit["cnt"], pa.int64()),
+                },
+                schema=_CMS_PART,
+            )
+        )
+        return pa.concat_tables(parts)
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["j", "col", "term"])
+        .aggregate(Sum("cnt"))
+        .take_all()  # ≤ d·w + |probes| rows — the whole sketch
+    )
+    counters = np.zeros((D, W), dtype=np.int64)
+    true_counts: dict[str, int] = {}
+    for r in rows:
+        if int(r["j"]) >= 0:
+            counters[int(r["j"]), int(r["col"])] = int(r["sum(cnt)"])
+        else:
+            true_counts[r["term"]] = int(r["sum(cnt)"])
+
+    ph31 = dd.hash_strings(pa.array(probes, pa.string())) % dd.P31
+    ests = []
+    for i, term in enumerate(probes):
+        cols = ((ph31[i] * pa_ + pb_) % dd.P31) % W
+        ests.append(int(counters[np.arange(D), cols].min()))
+    return pa.table(
+        {
+            "term": pa.array(probes, pa.string()),
+            "est_count": pa.array(ests, pa.int64()),
+            "true_count": pa.array(
+                [true_counts.get(t, 0) for t in probes], pa.int64()
+            ),
+        },
+        schema=_CMS_OUT,
+    )

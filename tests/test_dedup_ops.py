@@ -554,3 +554,51 @@ def test_dedup_spans_planted_boilerplate(ray_session, tmp_path):
     ora = con.execute(_dedup_spans_sql()).df().sort_values("doc_id").reset_index(drop=True)
     for c in ["n_tokens", "n_dup_tokens", "text_clean"]:
         assert list(got[c]) == list(ora[c]), c
+
+
+# ---------------------------------------------------------------------------
+# sketches: HLL accuracy vs the exact distinct, CMS overestimate guarantee
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_tracks_exact_distinct(ray_session):
+    """The HLL estimate must land within 5 standard errors (5·1.04/√m ≈
+    16%) of the TRUE distinct-shingle count — computed independently here
+    with DuckDB — and the harmonic sum must be consistent with v_zero."""
+    import duckdb
+
+    from sharesci_ray.functions import dedup as dd
+    from sharesci_ray.functions.text import SQL_TOKENIZE
+    from sharesci_ray.pipelines.ops_dedup import _HLL_M, distinct_shingles_hll
+
+    sf = "/root/testdata/sf0.001"
+    row = distinct_shingles_hll(sf).to_pandas().iloc[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    toks = SQL_TOKENIZE.format(col="text")
+    exact = con.execute(
+        f"""WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+        sh AS (SELECT unnest({dd.sql_shingles('t')}) AS s FROM toks
+               WHERE len(t) >= {dd.SHINGLE_K})
+        SELECT count(DISTINCT s) FROM sh"""
+    ).df().iloc[0, 0]
+    rel_err = abs(row["estimate"] - exact) / exact
+    assert rel_err < 5 * 1.04 / _HLL_M ** 0.5, (row["estimate"], exact)
+    assert row["m"] == _HLL_M
+    # each zero register contributes exactly 2^51 to the scaled sum
+    assert row["s_scaled"] >= row["v_zero"] * (1 << 51)
+
+
+def test_cms_never_underestimates(ray_session):
+    """CMS guarantee: est ≥ true for every probe term, and with the test
+    vocabulary ≪ w=2048 columns there are no collisions, so est == true —
+    any slack here would mean the hash routing diverged between the
+    sketch build and the probe."""
+    from sharesci_ray.pipelines.ops_dedup import term_counts_cms
+
+    df = term_counts_cms("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 24
+    assert (df["est_count"] >= df["true_count"]).all()
+    assert (df["true_count"] > 0).any()  # not every probe term need occur
+    assert (df["est_count"] == df["true_count"]).all()
