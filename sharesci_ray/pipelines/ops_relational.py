@@ -5347,3 +5347,205 @@ def activity_reconcile(sf_dir: str):
         )
 
     return j.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# bloom_semi_join — Bloom-filter join pruning, with an exact audit
+# ===========================================================================
+#
+# The 100 TB join-pruning technique this registry otherwise only implies:
+# instead of shipping the build side's key set to every probe task (or
+# shuffling the probe side), broadcast an m-bit Bloom filter of the keys
+# (Bloom, CACM 1970) and drop non-matching probe rows where they are
+# read.  Bits come from the md5-int60 → (a·h+b) mod P31 hash family the
+# minhash/CMS kernels already share with SQL, so the filter — false
+# positives included — is bit-identical in the engine and the oracle.
+# The op reports, per order status, how many rows the Bloom pass keeps
+# vs the exact semi join, making the false-positive cost a measured,
+# driver-checked number rather than a claim.
+
+_BLOOM_M = 1 << 15        # 32768 bits = 4 KiB broadcast
+_BLOOM_K = 3              # hash functions (first 3 shared permutations)
+_BLOOM_SEG = "BUILDING"   # build-side predicate (selective at every sf)
+
+
+def _bloom_bits_sql(key_expr: str) -> list[str]:
+    """The k bit positions of ``key_expr`` (an integer column), via
+    md5-int60 of its decimal string — the engine's exact rule."""
+    from ..functions import dedup as dd
+
+    h = dd.SQL_H60.format(s=f"CAST({key_expr} AS VARCHAR)")
+    return [
+        f"((({h} % {dd.P31}) * {int(dd.PERM_A[j])} + {int(dd.PERM_B[j])})"
+        f" % {dd.P31}) % {_BLOOM_M}"
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _bloom_sql() -> str:
+    kbits = _bloom_bits_sql("k")
+    obits = _bloom_bits_sql("o_custkey")
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = '{_BLOOM_SEG}'
+    ),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT unnest([{', '.join(kbits)}]) AS bit FROM keys)
+    ),
+    ob AS (
+      SELECT DISTINCT o_orderkey, o_orderstatus, o_custkey, bit FROM (
+        SELECT o_orderkey, o_orderstatus, o_custkey,
+               unnest([{', '.join(obits)}]) AS bit
+        FROM orders)
+    ),
+    chk AS (
+      SELECT o_orderkey, any_value(o_orderstatus) AS o_orderstatus,
+             any_value(o_custkey) AS o_custkey,
+             count(*) = count(b.bit) AS pass
+      FROM ob LEFT JOIN bits b USING (bit) GROUP BY o_orderkey
+    )
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           count(*) FILTER (WHERE pass)::BIGINT AS n_bloom_pass,
+           count(*) FILTER (WHERE o_custkey IN (SELECT k FROM keys))::BIGINT
+             AS n_true_match,
+           (count(*) FILTER (WHERE pass)
+            - count(*) FILTER (WHERE o_custkey IN (SELECT k FROM keys))
+           )::BIGINT AS n_false_pos
+    FROM chk GROUP BY 1
+    """
+
+
+def _bloom_positions(keys: "pa.Array") -> np.ndarray:
+    """int64 key column → sorted distinct bit positions (the engine's
+    twin of _bloom_bits_sql)."""
+    from ..functions import dedup as dd
+
+    h31 = dd.hash_strings(pc.cast(keys, pa.string())) % dd.P31
+    bits = [
+        ((h31 * int(dd.PERM_A[j]) + int(dd.PERM_B[j])) % dd.P31) % _BLOOM_M
+        for j in range(_BLOOM_K)
+    ]
+    return np.stack(bits, axis=1)
+
+
+@op("bloom_semi_join", _bloom_sql)
+def bloom_semi_join(sf_dir: str):
+    """Bloom-pruned semi join of orders against {seg}-segment customers,
+    audited per order status: total orders, Bloom survivors, exact semi
+    matches, and the false-positive overshoot (Bloom never drops a true
+    match — n_bloom_pass ≥ n_true_match by construction).
+
+    Scale shape: the build side folds to ≤m distinct BIT POSITIONS per
+    batch (constant traffic — the filter, not the keys, crosses the
+    cluster) and the driver broadcasts one 4 KiB bitmap via ray.put;
+    probe batches evaluate membership with three vectorized gathers and
+    reduce to per-(status, outcome) count partials.  The exact-semi audit
+    column runs as a distributed left_semi join (no key-set broadcast),
+    so the op itself never ships the thing the Bloom exists to avoid."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .util import drop_empty_blocks, join_partitions
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    _BITS = pa.schema([("bit", pa.int64())])
+
+    def bit_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], _BLOOM_SEG))
+        if t.num_rows == 0:
+            return _BITS.empty_table()
+        pos = np.unique(_bloom_positions(t["c_custkey"]).ravel())
+        return pa.table({"bit": pa.array(pos)}, schema=_BITS)
+
+    bit_rows = (
+        cust.map_batches(bit_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bit")
+        .count()
+        .take_all()  # ≤ m rows — the whole filter
+    )
+    bitmap = np.zeros(_BLOOM_M, dtype=bool)
+    for r in bit_rows:
+        bitmap[int(r["bit"])] = True
+    bm_ref = ray.put(bitmap)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]
+    )
+
+    _CNT = pa.schema(
+        [("o_orderstatus", pa.string()), ("n_orders", pa.int64()),
+         ("n_bloom_pass", pa.int64())]
+    )
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CNT.empty_table()
+        bm = ray.get(bm_ref)
+        pos = _bloom_positions(t["o_custkey"])
+        passed = bm[pos].all(axis=1)
+        g = (
+            pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "n_bloom_pass": pa.array(passed.astype(np.int64)),
+                }
+            )
+            .group_by("o_orderstatus")
+            .aggregate([("n_orders", "sum"), ("n_bloom_pass", "sum")])
+        )
+        return g.rename_columns(
+            ["o_orderstatus", "n_orders", "n_bloom_pass"]
+        ).cast(_CNT)
+
+    counts = {
+        r["o_orderstatus"]: (int(r["sum(n_orders)"]), int(r["sum(n_bloom_pass)"]))
+        for r in orders.map_batches(
+            probe_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n_orders"), Sum("n_bloom_pass"))
+        .take_all()  # ≤ |statuses| rows
+    }
+
+    # exact audit: distributed left_semi join — no key-set broadcast
+    keys = drop_empty_blocks(
+        cust.map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], _BLOOM_SEG))
+            .select(["c_custkey"])
+            .rename_columns(["o_custkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        pa.schema([("o_custkey", pa.int64())]),
+    )
+    _jp = join_partitions(orders)
+    true_counts = {
+        r["o_orderstatus"]: int(r["count()"])
+        for r in orders.join(
+            keys, join_type="left_semi", num_partitions=_jp, on=("o_custkey",)
+        )
+        .groupby("o_orderstatus")
+        .count()
+        .take_all()  # ≤ |statuses| rows
+    }
+
+    statuses = sorted(counts)
+    n_orders = [counts[s][0] for s in statuses]
+    n_pass = [counts[s][1] for s in statuses]
+    n_true = [true_counts.get(s, 0) for s in statuses]
+    return pa.table(
+        {
+            "o_orderstatus": pa.array(statuses, pa.string()),
+            "n_orders": pa.array(n_orders, pa.int64()),
+            "n_bloom_pass": pa.array(n_pass, pa.int64()),
+            "n_true_match": pa.array(n_true, pa.int64()),
+            "n_false_pos": pa.array(
+                [p - t for p, t in zip(n_pass, n_true)], pa.int64()
+            ),
+        }
+    )

@@ -792,3 +792,17 @@ def test_activity_reconcile_sides(ray_session):
     assert (oo["n_big_orders"] > 0).all()
     b = df[df["side"] == "both"]
     assert ((b["n_events"] > 0) & (b["n_big_orders"] > 0)).all()
+
+
+def test_bloom_semi_join_guarantees(ray_session):
+    """Bloom law: never drops a true match (pass ≥ true), always prunes
+    (pass < total here — the build side is one of five segments), and
+    false positives are exactly the overshoot."""
+    from sharesci_ray.pipelines.ops_relational import bloom_semi_join
+
+    df = bloom_semi_join("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert (df["n_bloom_pass"] >= df["n_true_match"]).all()
+    assert (df["n_bloom_pass"] < df["n_orders"]).all()
+    assert (df["n_false_pos"] == df["n_bloom_pass"] - df["n_true_match"]).all()
+    assert (df["n_true_match"] > 0).all()
