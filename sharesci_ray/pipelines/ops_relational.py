@@ -5549,3 +5549,97 @@ def bloom_semi_join(sf_dir: str):
             ),
         }
     )
+
+
+# ===========================================================================
+# value_quantiles_sketch — mergeable quantile sketch (fixed-bin histogram)
+# ===========================================================================
+
+_QSK_BINS = 4096          # counters
+_QSK_WIDTH = 16           # cents per bin → covers [0, 655.36) currency
+_QSK_QS = [25, 50, 75, 90, 99]
+
+
+@op(
+    "value_quantiles_sketch",
+    f"""
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    b AS (
+      SELECT LEAST(cents // {_QSK_WIDTH}, {_QSK_BINS - 1}) AS bin,
+             count(*)::BIGINT AS n
+      FROM c GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM b),
+    cum AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn FROM b),
+    qs(q_pct) AS (VALUES {', '.join(f'({q})' for q in _QSK_QS)}),
+    r AS (
+      SELECT q_pct, (q_pct * tot.n + 99) // 100 AS rank
+      FROM qs CROSS JOIN tot
+    ),
+    sel AS (
+      SELECT r.q_pct, r.rank, CAST(min(cum.bin) AS BIGINT) AS bin
+      FROM r JOIN cum ON cum.cn >= r.rank GROUP BY 1, 2
+    )
+    SELECT q_pct, rank, bin, bin * {_QSK_WIDTH} AS est_cents FROM sel
+    """,
+)
+def value_quantiles_sketch(sf_dir: str):
+    """Quantile estimates of the event value column from a fixed-bin
+    histogram sketch ({bins} bins × {width} cents): per requested
+    percentile, the 1-based rank ⌈q·n⌉ (computed with exact integer
+    ceiling), the first bin whose cumulative count reaches it, and the
+    bin's lower edge as the estimate — error bounded by the bin width
+    by construction (asserted against the exact percentile in pytest).
+
+    Scale shape — the quantile member of the sketch trio (HLL
+    cardinality, CMS frequency): an exact quantile needs a global sort;
+    this op's traffic is ≤ {bins} integer (bin, count) partial rows per
+    block, the counters merge by + across shards, and the driver touches
+    one bounded histogram.  Everything is integer-exact, so the oracle
+    replays the sketch bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    _BP = pa.schema([("bin", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _BP.empty_table()
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        bins = np.minimum(cents // _QSK_WIDTH, _QSK_BINS - 1)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(uniq), "n": pa.array(counts.astype(np.int64))},
+            schema=_BP,
+        )
+
+    rows = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n"))
+        .take_all()  # ≤ bins rows — the whole sketch
+    )
+    rows.sort(key=lambda r: int(r["bin"]))
+    bins = np.array([int(r["bin"]) for r in rows], dtype=np.int64)
+    cum = np.cumsum([int(r["sum(n)"]) for r in rows]).astype(np.int64)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_r, out_b = [], [], []
+    for q in _QSK_QS:
+        rank = (q * n + 99) // 100
+        i = int(np.searchsorted(cum, rank))
+        out_q.append(q)
+        out_r.append(rank)
+        out_b.append(int(bins[i]))
+    return pa.table(
+        {
+            "q_pct": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "bin": pa.array(out_b, pa.int64()),
+            "est_cents": pa.array(
+                [b * _QSK_WIDTH for b in out_b], pa.int64()
+            ),
+        }
+    )

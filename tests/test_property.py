@@ -243,3 +243,43 @@ def test_ffill_pick_last_matches_pandas(rows):
     }
     assert got == expect
     assert len(idx) == len(expect)
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans window kernel: arbitrary corpora vs a brute-force reference
+# ---------------------------------------------------------------------------
+
+_SPAN_WORDS = ["alpha", "beta", "gamma", "delta", "omega"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_SPAN_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_windows_match_brute_force(docs):
+    """_span_windows must emit exactly the K-token windows of each doc
+    (1-based starts, never crossing rows) with the md5-int60 hash of the
+    space-joined gram — compared against a per-doc Python enumeration."""
+    from sharesci_ray.functions.dedup import md5_int60
+    from sharesci_ray.pipelines.ops_dedup import _SPAN_K, _span_windows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs], pa.string()),
+        }
+    )
+    w = _span_windows(t)
+    got = sorted(
+        zip(w["doc_id"].to_pylist(), w["s"].to_pylist(), w["gh"].to_pylist())
+    )
+    exp = []
+    for i, d in enumerate(docs):
+        for s in range(len(d) - _SPAN_K + 1):
+            gram = " ".join(d[s : s + _SPAN_K])
+            exp.append((i, s + 1, int(md5_int60([gram])[0])))
+    assert got == sorted(exp)

@@ -806,3 +806,32 @@ def test_bloom_semi_join_guarantees(ray_session):
     assert (df["n_bloom_pass"] < df["n_orders"]).all()
     assert (df["n_false_pos"] == df["n_bloom_pass"] - df["n_true_match"]).all()
     assert (df["n_true_match"] > 0).all()
+
+
+def test_value_quantiles_sketch_bin_bound(ray_session):
+    """Sketch error law: the exact percentile (DuckDB percentile_disc over
+    the same cents) always lands inside [est, est + bin_width)."""
+    import duckdb
+
+    from sharesci_ray.pipelines.ops_relational import (
+        _QSK_QS,
+        _QSK_WIDTH,
+        value_quantiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = value_quantiles_sketch(sf).to_pandas().sort_values("q_pct").reset_index(drop=True)
+    assert list(df["q_pct"]) == _QSK_QS
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    for i, q in enumerate(_QSK_QS):
+        exact = con.execute(
+            f"SELECT percentile_disc({q / 100.0}) WITHIN GROUP "
+            f"(ORDER BY CAST(round(value * 100) AS BIGINT)) FROM events"
+        ).df().iloc[0, 0]
+        assert df.est_cents[i] <= exact < df.est_cents[i] + _QSK_WIDTH
+    # ranks are the exact integer ceilings and monotone in q
+    assert df["rank"].is_monotonic_increasing
+    assert df["est_cents"].is_monotonic_increasing
