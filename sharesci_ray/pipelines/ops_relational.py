@@ -5622,10 +5622,16 @@ def value_quantiles_sketch(sf_dir: str):
         .aggregate(Sum("n"))
         .take_all()  # ≤ bins rows — the whole sketch
     )
+    _QOUT = pa.schema(
+        [("q_pct", pa.int64()), ("rank", pa.int64()), ("bin", pa.int64()),
+         ("est_cents", pa.int64())]
+    )
     rows.sort(key=lambda r: int(r["bin"]))
     bins = np.array([int(r["bin"]) for r in rows], dtype=np.int64)
     cum = np.cumsum([int(r["sum(n)"]) for r in rows]).astype(np.int64)
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:  # empty input: the oracle's rank join yields no rows
+        return _QOUT.empty_table()
     out_q, out_r, out_b = [], [], []
     for q in _QSK_QS:
         rank = (q * n + 99) // 100
