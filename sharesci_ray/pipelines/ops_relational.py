@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.vectors import fdiv_sql as _fdiv_sql_q
 from ..sources.corpus import read_table
 from .ops import _cents, _rename, op
 
@@ -5567,7 +5568,10 @@ _QSK_QS = [25, 50, 75, 90, 99]
       SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
     ),
     b AS (
-      SELECT LEAST(cents // {_QSK_WIDTH}, {_QSK_BINS - 1}) AS bin,
+      -- FLOOR division (fdiv_sql): DuckDB's bare // truncates toward zero
+      -- while the engine's numpy // floors — negative cents (refunds)
+      -- would land one bin apart on the two sides (review finding, r4)
+      SELECT LEAST({_fdiv_sql_q('cents', str(_QSK_WIDTH))}, {_QSK_BINS - 1}) AS bin,
              count(*)::BIGINT AS n
       FROM c GROUP BY 1
     ),

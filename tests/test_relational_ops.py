@@ -835,3 +835,44 @@ def test_value_quantiles_sketch_bin_bound(ray_session):
     # ranks are the exact integer ceilings and monotone in q
     assert df["rank"].is_monotonic_increasing
     assert df["est_cents"].is_monotonic_increasing
+
+
+def test_value_quantiles_sketch_negative_cents_parity(ray_session, tmp_path):
+    """Review finding (r4): DuckDB's bare // truncates toward zero while
+    numpy floors — with refund-style NEGATIVE values the two sides landed
+    one bin apart.  The oracle now uses fdiv_sql; engine ≡ oracle on a
+    planted negative-value corpus."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from sharesci_ray.pipelines.ops_relational import value_quantiles_sketch
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(7), pa.int64()),
+            "value": pa.array([-5.0, -4.0, -3.0, -2.0, 10.0, 0.0, 3.2]),
+        }
+    )
+    d = tmp_path / "negev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    got = (
+        value_quantiles_sketch(str(d))
+        .to_pandas()
+        .sort_values("q_pct")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    want = (
+        con.execute(e.oracle_sql()["value_quantiles_sketch"])
+        .df()
+        .sort_values("q_pct")
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(want[got.columns].astype("int64"))
+    assert (got["est_cents"] < 0).any()  # the negative bins are exercised
