@@ -2121,10 +2121,12 @@ def dedup_spans(sf_dir: str):
     rule).  The duplicated-gram set is corpus-proportional, so it is
     JOINED against the window stream (hash join keyed on gram), never
     broadcast; hot grams pass through the join without per-group compute.
-    Coverage folds to ≤1 row per affected document (sorted unique covered
-    positions), and the final left_outer join streams the corpus once
-    more to rebuild the cleaned text fully vectorized (offset-gathered
-    keep mask → ListArray → binary_join) — no per-row Python anywhere.
+    Duplicated-window starts fold to ≤1 row per (document, block) in ONE
+    vectorized call per block (sort + ListArray offsets + binary_join);
+    the per-document merge that follows is O(1)-work string concatenation
+    per group.  The final left_outer join streams the corpus once more to
+    rebuild the cleaned text fully vectorized (offset-gathered keep mask
+    → ListArray → binary_join).
     The corpus is scanned three times (df pre-pass, window join, rebuild)
     rather than any stage materializing it."""
     from ray.data.aggregate import Sum
@@ -2176,21 +2178,47 @@ def dedup_spans(sf_dir: str):
     _jp = join_partitions(wins)
     dupwins = wins.join(dupg, join_type="inner", num_partitions=_jp, on=("gh",))
 
-    def cover(g: pa.Table) -> pa.Table:
+    def fold_starts(t: pa.Table) -> pa.Table:
+        # ONE vectorized call per BLOCK (review finding r4: the previous
+        # per-doc map_groups fold was corpus-proportional Python): every
+        # duplicated window start of a doc in this block folds to a single
+        # comma-joined string via sort + ListArray offsets + binary_join.
+        # Starts are globally unique per doc (one row per window), so the
+        # cross-block merge is plain concatenation — no dedup needed.
+        if t.num_rows == 0:
+            return _SPAN_COV.empty_table()
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(ids, return_counts=True)
+        s_str = pc.cast(t["s"], pa.string())
+        if isinstance(s_str, pa.ChunkedArray):
+            s_str = s_str.combine_chunks()
+        offs = np.zeros(uniq.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), s_str)
+        return pa.table(
+            {"doc_id": pa.array(uniq), "cov": pc.binary_join(lst, ",")},
+            schema=_SPAN_COV,
+        )
+
+    def merge_covs(g: pa.Table) -> pa.Table:
+        # per-group work is O(blocks touching this doc) string joins
         if g.num_rows == 0:
             return _SPAN_COV.empty_table()
-        s = g["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.unique((s[:, None] + np.arange(K, dtype=np.int64)[None, :]).ravel())
         return pa.table(
             {
                 "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
-                "cov": pa.array([",".join(map(str, pos))], pa.string()),
+                "cov": pa.array([",".join(g["cov"].to_pylist())], pa.string()),
             },
             schema=_SPAN_COV,
         )
 
     cov = drop_empty_blocks(
-        dupwins.groupby("doc_id").map_groups(cover, batch_format="pyarrow"),
+        dupwins.map_batches(
+            fold_starts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("doc_id")
+        .map_groups(merge_covs, batch_format="pyarrow"),
         _SPAN_COV,
     )
     joined = docs.join(
@@ -2217,11 +2245,14 @@ def dedup_spans(sf_dir: str):
             zero_copy_only=False
         )
         if nonempty.any():
-            flat_cov = (
+            # cov carries window STARTS; expand each to its K positions
+            starts = (
                 pc.cast(pc.filter(flat_cov_s, pa.array(nonempty)), pa.int64())
                 .to_numpy(zero_copy_only=False)
             )
-            keep[first[cov_parent[nonempty]] + flat_cov - 1] = False
+            pos = (starts[:, None] + np.arange(K, dtype=np.int64)[None, :]).ravel()
+            par = np.repeat(cov_parent[nonempty], K)
+            keep[first[par] + pos - 1] = False
         n_kept = np.zeros(n_rows, dtype=np.int64)
         np.add.at(n_kept, parent[keep], 1)
         kept_flat = pc.filter(flat, pa.array(keep))
