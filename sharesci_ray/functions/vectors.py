@@ -149,6 +149,29 @@ def ivf_assign(quant: np.ndarray, cent_q: np.ndarray) -> np.ndarray:
     return np.argmax(quant @ cent_q.T, axis=1).astype(np.int64)
 
 
+def final_topk_scored(
+    group: pa.Table, k: int, out_schema: pa.Schema, score_col: str = "score_q"
+) -> pa.Table:
+    """final_topk's integer-score twin: per-query merge of partial
+    candidates → ranked top-k (score desc, neighbor_id asc) KEEPING the
+    score column.  ONE definition shared by ann_pq_topk and
+    query_pq_index (review r4 drift containment)."""
+    if group.num_rows == 0:
+        return out_schema.empty_table()
+    s = group[score_col].to_numpy(zero_copy_only=False)
+    n = group["neighbor_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((n, -s))[:k]
+    return pa.table(
+        {
+            "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+            "neighbor_id": pa.array(n[order], pa.int64()),
+            score_col: pa.array(s[order], pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
 def final_topk(group: pa.Table, k: int) -> pa.Table:
     """Per-query merge of partial candidates → ranked top-k
     (score desc, neighbor_id asc)."""
@@ -189,26 +212,18 @@ def final_topk_dedupe(group: pa.Table, k: int) -> pa.Table:
     )
 
 
-def ivf_sql(
-    q_pred: str | None = None, probe: int = IVF_PROBE, k: int = ANN_K
-) -> str:
-    """Replay quantization, all n×C integer centroid dots, argmax list
-    assignment, top-``probe`` probe and exact cosine re-ranking in SQL —
-    the shared oracle of ann_ivf_topk AND ann_ivf_persisted (identical
-    assignment/probe math by construction).  ``q_pred`` selects the query
-    rows (default: the fixture sample ``vec_id < ANN_NQ``; knn_graph_ivf
-    passes ``TRUE`` — every vector is a query)."""
+def ivf_cand_ctes(q_pred: str | None = None, probe: int = IVF_PROBE) -> str:
+    """The IVF candidate-generation CTE chain over an existing
+    ``emb(vec_id, q, ...)`` CTE: fixture-centroid extraction → integer
+    dots → argmax list assignment (ties → smallest cid) → top-``probe``
+    probing of the ``q_pred`` rows → candidate (qid, vec_id) pairs.
+    ONE definition embedded by ivf_sql AND the IVF×PQ oracle
+    (ops_embed._ivfpq_sql) — the ADVICE-r3 drift-containment rule; a
+    change to the assignment/probe math propagates to every twin."""
     if q_pred is None:
         q_pred = f"vec_id < {ANN_NQ}"
     dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(VEC_DIM))
     return f"""
-    WITH emb AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            x -> CAST(floor(x * {QSCALE}) AS BIGINT)) AS q,
-             CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings
-    ),
     cent AS (
       SELECT vec_id - {ANN_NQ} AS cid, q AS cq FROM emb
       WHERE vec_id >= {ANN_NQ} AND vec_id < {ANN_NQ + IVF_C}
@@ -234,7 +249,26 @@ def ivf_sql(
       SELECT p.qid, a.vec_id
       FROM probe p JOIN assign a ON a.cid = p.cid
       WHERE a.vec_id != p.qid
-    ),
+    )"""
+
+
+def ivf_sql(
+    q_pred: str | None = None, probe: int = IVF_PROBE, k: int = ANN_K
+) -> str:
+    """Replay quantization, all n×C integer centroid dots, argmax list
+    assignment, top-``probe`` probe and exact cosine re-ranking in SQL —
+    the shared oracle of ann_ivf_topk AND ann_ivf_persisted (identical
+    assignment/probe math by construction).  ``q_pred`` selects the query
+    rows (default: the fixture sample ``vec_id < ANN_NQ``; knn_graph_ivf
+    passes ``TRUE`` — every vector is a query)."""
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {QSCALE}) AS BIGINT)) AS q,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),{ivf_cand_ctes(q_pred, probe)},
     scored AS (
       SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(qe.e, be.e) AS score

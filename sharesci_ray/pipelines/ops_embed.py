@@ -268,7 +268,7 @@ def _ann_docs_sql() -> str:
 def ann_docs_topk(sf_dir: str):
     """The full text→vector→search chain as ONE driver-checked op:
     documents are embedded by the HashEmbedder actor pool and the first
-    {nq} doc ids act as queries for brute-force cosine top-{k} over the
+    10 doc ids act as queries for brute-force cosine top-10 over the
     derived vectors — nothing here reads the embeddings table.
 
     Scale shape: identical to ann_topk_cosine's (broadcast query matrix,
@@ -344,6 +344,53 @@ def ann_docs_topk(sf_dir: str):
 # ===========================================================================
 
 
+def _fixture_sidecars(
+    vectors, tmp: str, n_queries: int, n_lists: int, who: str
+):
+    """The fixture-sidecar protocol shared by build_vector_index and
+    build_pq_index (review r4: it was copy-pasted): pull and validate the
+    bounded head rows (queries + centroids), write centroids.parquet and
+    queries.parquet into the uncommitted tmp dir, and return
+    (dim, q_raw, cent_raw, cent_q)."""
+    import pyarrow.parquet as pqt
+
+    head = vectors.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries + n_lists)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded: n_queries + n_lists rows
+    head.sort(key=lambda r: int(r["vec_id"]))
+    if len(head) != n_queries + n_lists:
+        raise ValueError(
+            f"{who}: expected vec_ids [0, {n_queries + n_lists}) "
+            f"for the query/centroid fixture, got {len(head)} rows"
+        )
+    dim = len(head[0]["embedding"])
+    q_raw = np.array([r["embedding"] for r in head[:n_queries]], np.float64)
+    cent_raw = np.array([r["embedding"] for r in head[n_queries:]], np.float64)
+
+    def emb_list(mat: np.ndarray) -> pa.ListArray:
+        n = mat.shape[0]
+        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+        return pa.ListArray.from_arrays(offs, pa.array(mat.ravel(), pa.float64()))
+
+    pqt.write_table(
+        pa.table(
+            {"cid": pa.array(np.arange(n_lists, dtype=np.int64)),
+             "embedding": emb_list(cent_raw)}
+        ),
+        os.path.join(tmp, "centroids.parquet"),
+    )
+    pqt.write_table(
+        pa.table(
+            {"vec_id": pa.array(np.arange(n_queries, dtype=np.int64)),
+             "embedding": emb_list(q_raw)}
+        ),
+        os.path.join(tmp, "queries.parquet"),
+    )
+    return dim, q_raw, cent_raw, _quantize(cent_raw)
+
+
 def build_vector_index(
     vectors: "ray.data.Dataset",
     out_dir: str,
@@ -388,44 +435,8 @@ def build_vector_index(
     vectors = vectors.materialize()
 
     # ---- bounded sidecars: centroids + fixture queries --------------------
-    head = vectors.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], n_queries + n_lists)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).take_all()  # bounded: n_queries + n_lists rows
-    head.sort(key=lambda r: int(r["vec_id"]))
-    if len(head) != n_queries + n_lists:
-        raise ValueError(
-            f"build_vector_index: expected vec_ids [0, {n_queries + n_lists}) "
-            f"for the query/centroid fixture, got {len(head)} rows"
-        )
-    dim = len(head[0]["embedding"])
-    q_raw = np.array([r["embedding"] for r in head[:n_queries]], dtype=np.float64)
-    cent_raw = np.array([r["embedding"] for r in head[n_queries:]], dtype=np.float64)
-    cent_q = _quantize(cent_raw)
-
-    def emb_list(mat: np.ndarray) -> pa.ListArray:
-        n = mat.shape[0]
-        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
-        return pa.ListArray.from_arrays(offs, pa.array(mat.ravel(), pa.float64()))
-
-    pq.write_table(
-        pa.table(
-            {
-                "cid": pa.array(np.arange(n_lists, dtype=np.int64)),
-                "embedding": emb_list(cent_raw),
-            }
-        ),
-        os.path.join(tmp, "centroids.parquet"),
-    )
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array(np.arange(n_queries, dtype=np.int64)),
-                "embedding": emb_list(q_raw),
-            }
-        ),
-        os.path.join(tmp, "queries.parquet"),
+    dim, _q_raw, _cent_raw, cent_q = _fixture_sidecars(
+        vectors, tmp, n_queries, n_lists, "build_vector_index"
     )
 
     # ---- assignment + partitioned list write (the one corpus pass) --------
@@ -940,25 +951,46 @@ def query_lsh_index(
     )
 
 
+def _artifact_for(cache: dict, prefix: str, build, sf_dir: str) -> str:
+    """Build (or reuse) a persisted /tmp artifact for a testdata dir —
+    the shared amortization shape of ops._index_for, ONE definition for
+    the IVF / LSH / IVF×PQ caches (review r4: the 10-line cache recipe
+    was maintained in three places).  The /tmp name is salted with a
+    source fingerprint over this module + both kernel modules, so ANY
+    kernel edit invalidates stale artifacts; ``build(sf_dir, out)``
+    commits atomically (tmp dir + rename) before the cache records it."""
+    if sf_dir in cache:
+        return cache[sf_dir]
+    import inspect
+    import sys
+
+    src = (
+        inspect.getsource(sys.modules[__name__])
+        + inspect.getsource(dd)
+        + inspect.getsource(vx)
+    )
+    tag = hashlib.sha256(f"{prefix}:{sf_dir}:{src}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"sharesci_{prefix}_{tag}")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        build(sf_dir, out)
+    cache[sf_dir] = out
+    return out
+
+
+def _emb_dataset(sf_dir: str):
+    return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+
 _LSHINDEX_CACHE: dict[str, str] = {}
 
 
 def _lsh_index_for(sf_dir: str) -> str:
-    """Build (or reuse) the persisted LSH artifact for a testdata dir's
-    embeddings table (same amortization shape as _vector_index_for)."""
-    if sf_dir in _LSHINDEX_CACHE:
-        return _LSHINDEX_CACHE[sf_dir]
-    import inspect
-    import sys
-
-    src = inspect.getsource(sys.modules[__name__]) + inspect.getsource(vx)
-    tag = hashlib.sha256(f"lsh:{sf_dir}:{src}".encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"sharesci_lshidx_{tag}")
-    if not os.path.exists(os.path.join(out, "meta.json")):
-        emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        build_lsh_index(emb, out)
-    _LSHINDEX_CACHE[sf_dir] = out
-    return out
+    return _artifact_for(
+        _LSHINDEX_CACHE,
+        "lshidx",
+        lambda sf, out: build_lsh_index(_emb_dataset(sf), out),
+        sf_dir,
+    )
 
 
 @op("ann_lsh_persisted", vx.ann_lsh_sql())
@@ -1094,22 +1126,14 @@ _VINDEX_CACHE: dict[str, str] = {}
 
 def _vector_index_for(sf_dir: str) -> str:
     """Build (or reuse) the persisted IVF artifact for a testdata dir's
-    embeddings table — same amortization shape as ops._index_for: the ANN
-    ops share one artifact per corpus, salted with a source fingerprint so
-    kernel edits invalidate stale /tmp artifacts."""
-    if sf_dir in _VINDEX_CACHE:
-        return _VINDEX_CACHE[sf_dir]
-    import inspect
-    import sys
-
-    src = inspect.getsource(sys.modules[__name__]) + inspect.getsource(dd)
-    tag = hashlib.sha256(f"{sf_dir}:{src}".encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"sharesci_vidx_{tag}")
-    if not os.path.exists(os.path.join(out, "meta.json")):
-        emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        build_vector_index(emb, out)
-    _VINDEX_CACHE[sf_dir] = out
-    return out
+    embeddings table — the ANN ops share one artifact per corpus
+    (_artifact_for's fingerprint-salted /tmp cache)."""
+    return _artifact_for(
+        _VINDEX_CACHE,
+        "vidx",
+        lambda sf, out: build_vector_index(_emb_dataset(sf), out),
+        sf_dir,
+    )
 
 
 @op("ann_ivf_persisted", _ivf_sql())
@@ -1473,7 +1497,7 @@ _PQ_OUT_SCHEMA = pa.schema(
 
 @op("ann_pq_topk", _pq_sql)
 def ann_pq_topk(sf_dir: str):
-    """PQ/ADC top-k: queries = vec_id < {NQ}, k = {K}, score = Σ_m
+    """PQ/ADC top-k: queries = the first 10 vec_ids, k = 10, score = Σ_m
     LUT[q, m, code_m(v)] (exact int64 — ranks AND scores are
     hash-comparable, unlike the float cosine ops).
 
@@ -1538,20 +1562,7 @@ def ann_pq_topk(sf_dir: str):
         )
 
     def merge(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return _PQ_OUT_SCHEMA.empty_table()
-        s = group["score_q"].to_numpy(zero_copy_only=False)
-        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((n, -s))[:_ANN_K]
-        return pa.table(
-            {
-                "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
-                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-                "neighbor_id": pa.array(n[order], pa.int64()),
-                "score_q": pa.array(s[order], pa.int64()),
-            },
-            schema=_PQ_OUT_SCHEMA,
-        )
+        return vx.final_topk_scored(group, _ANN_K, _PQ_OUT_SCHEMA)
 
     partials = emb.map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True
@@ -1576,36 +1587,11 @@ _PQ_CODE_COLS = [f"code{m}" for m in range(vx.PQ_M)]
 
 
 def _ivfpq_sql() -> str:
-    """emb + IVF assignment/probe (ann_ivf_topk's integer-exact rule) +
-    the shared PQ chain, ADC-summed over probed candidates only."""
-    ivf_dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(vx.VEC_DIM))
-    return f"""{_PQ_EMB_CTE},
-    ivfcent AS (
-      SELECT vec_id - {dd.ANN_NQ} AS cid, q AS cq FROM emb
-      WHERE vec_id >= {dd.ANN_NQ} AND vec_id < {dd.ANN_NQ + vx.IVF_C}
-    ),
-    ivfdots AS (
-      SELECT e.vec_id, c.cid, {ivf_dot} AS d FROM emb e CROSS JOIN ivfcent c
-    ),
-    ivfassign AS (
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-        FROM ivfdots
-      ) WHERE rn = 1
-    ),
-    ivfprobe AS (
-      SELECT vec_id AS qid, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
-        FROM ivfdots WHERE vec_id < {dd.ANN_NQ}
-      ) WHERE rn <= {vx.IVF_PROBE}
-    ),
-    cand AS (
-      SELECT p.qid, a.vec_id
-      FROM ivfprobe p JOIN ivfassign a ON a.cid = p.cid
-      WHERE a.vec_id != p.qid
-    ),{_pq_chain_sql()},
+    """emb + the SHARED IVF candidate chain (vx.ivf_cand_ctes — the same
+    fragment ann_ivf_topk's oracle embeds, so assignment/probe math can
+    never drift between the twins; review finding r4) + the shared PQ
+    chain, ADC-summed over probed candidates only."""
+    return f"""{_PQ_EMB_CTE},{vx.ivf_cand_ctes()},{_pq_chain_sql()},
     scored AS (
       SELECT cd.qid AS query_id, cd.vec_id AS neighbor_id,
              sum(l.d)::BIGINT AS score_q
@@ -1655,26 +1641,9 @@ def build_pq_index(
     os.makedirs(tmp)
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    head = emb.map_batches(
-        lambda t: t.filter(pc.less(t["vec_id"], n_queries + n_lists)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).take_all()  # bounded fixture rows
-    head.sort(key=lambda r: int(r["vec_id"]))
-    if len(head) != n_queries + n_lists:
-        raise ValueError(
-            f"build_pq_index: expected vec_ids [0, {n_queries + n_lists}), "
-            f"got {len(head)} rows"
-        )
-    dim = len(head[0]["embedding"])
-    q_raw = np.array([r["embedding"] for r in head[:n_queries]], np.float64)
-    cent_raw = np.array([r["embedding"] for r in head[n_queries:]], np.float64)
-    cent_q = _quantize(cent_raw)
-
-    def emb_list(mat: np.ndarray) -> pa.ListArray:
-        n = mat.shape[0]
-        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
-        return pa.ListArray.from_arrays(offs, pa.array(mat.ravel(), pa.float64()))
+    dim, _q_raw, _cent_raw, cent_q = _fixture_sidecars(
+        emb, tmp, n_queries, n_lists, "build_pq_index"
+    )
 
     cb_rows = {"m": [], "cid": []}
     cb_cols = {f"c{d}": [] for d in range(vx.PQ_SUB)}
@@ -1693,20 +1662,6 @@ def build_pq_index(
             }
         ),
         os.path.join(tmp, "codebooks.parquet"),
-    )
-    pqt.write_table(
-        pa.table(
-            {"cid": pa.array(np.arange(n_lists, dtype=np.int64)),
-             "embedding": emb_list(cent_raw)}
-        ),
-        os.path.join(tmp, "centroids.parquet"),
-    )
-    pqt.write_table(
-        pa.table(
-            {"vec_id": pa.array(np.arange(n_queries, dtype=np.int64)),
-             "embedding": emb_list(q_raw)}
-        ),
-        os.path.join(tmp, "queries.parquet"),
     )
 
     refs = ray.put((cent_q, cb))
@@ -1834,20 +1789,7 @@ def query_pq_index(
         )
 
     def merge(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return _PQ_OUT_SCHEMA.empty_table()
-        s = group["score_q"].to_numpy(zero_copy_only=False)
-        n = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((n, -s))[:k]
-        return pa.table(
-            {
-                "query_id": pc.cast(group["query_id"].take(pa.array(order)), pa.int64()),
-                "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
-                "neighbor_id": pa.array(n[order], pa.int64()),
-                "score_q": pa.array(s[order], pa.int64()),
-            },
-            schema=_PQ_OUT_SCHEMA,
-        )
+        return vx.final_topk_scored(group, k, _PQ_OUT_SCHEMA)
 
     partials = ds.map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True
@@ -1859,25 +1801,12 @@ _PQINDEX_CACHE: dict[str, str] = {}
 
 
 def _pq_index_for(sf_dir: str) -> str:
-    """Build (or reuse) the persisted IVF×PQ artifact — same amortization
-    + source-fingerprint salting as _vector_index_for."""
-    if sf_dir in _PQINDEX_CACHE:
-        return _PQINDEX_CACHE[sf_dir]
-    import inspect
-    import sys
-
-    src = inspect.getsource(sys.modules[__name__]) + inspect.getsource(vx)
-    tag = hashlib.sha256(f"pq:{sf_dir}:{src}".encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"sharesci_pqidx_{tag}")
-    if not os.path.exists(os.path.join(out, "meta.json")):
-        build_pq_index(sf_dir, out)
-    _PQINDEX_CACHE[sf_dir] = out
-    return out
+    return _artifact_for(_PQINDEX_CACHE, "pqidx", build_pq_index, sf_dir)
 
 
 @op("ann_ivfpq_persisted", _ivfpq_sql)
 def ann_ivfpq_persisted(sf_dir: str):
-    """IVF×PQ serving from the persisted artifact: probe top-{P} lists,
+    """IVF×PQ serving from the persisted artifact: probe the top-8 lists,
     ADC-score ONLY their code rows, exact integer ranking — the shape a
     256-node cluster actually serves 100 TB of vectors with.  The query
     plan touches sidecars + probed ``cid=`` partitions of PQ codes; raw
@@ -1988,7 +1917,7 @@ _CTT_TC = pa.schema(
 @op("cluster_top_terms", _ctt_sql)
 def cluster_top_terms(sf_dir: str):
     """Corpus data map: HashEmbedder doc vectors → integer-exact Lloyd's
-    k-means (K={K}, seeds = docs 0..K-1, quantized lattice dots,
+    k-means (K=6, seeds = docs 0..K-1, quantized lattice dots,
     floor-div means) → each cluster labeled by its top terms
     (count desc, term asc) plus its document count.
 

@@ -5226,7 +5226,7 @@ _RECON_MIN_PRICE = 400_000  # "big order" threshold; all 3 side classes
 )
 def activity_reconcile(sf_dir: str):
     """Two-system reconciliation — the FULL OUTER join shape: per-user
-    event activity vs per-customer big-order spend (> {threshold}),
+    event activity vs per-customer big-order spend (totalprice > 400k),
     matched on the shared key, with each row tagged 'both' /
     'events_only' / 'orders_only' and the missing side zero-filled
     (NULL-free output → stable value hashes).
@@ -5434,7 +5434,7 @@ def _bloom_positions(keys: "pa.Array") -> np.ndarray:
 
 @op("bloom_semi_join", _bloom_sql)
 def bloom_semi_join(sf_dir: str):
-    """Bloom-pruned semi join of orders against {seg}-segment customers,
+    """Bloom-pruned semi join of orders against BUILDING-segment customers,
     audited per order status: total orders, Bloom survivors, exact semi
     matches, and the false-positive overshoot (Bloom never drops a true
     match — n_bloom_pass ≥ n_true_match by construction).
@@ -5591,7 +5591,7 @@ _QSK_QS = [25, 50, 75, 90, 99]
 )
 def value_quantiles_sketch(sf_dir: str):
     """Quantile estimates of the event value column from a fixed-bin
-    histogram sketch ({bins} bins × {width} cents): per requested
+    histogram sketch (4096 bins × 16 cents): per requested
     percentile, the 1-based rank ⌈q·n⌉ (computed with exact integer
     ceiling), the first bin whose cumulative count reaches it, and the
     bin's lower edge as the estimate — error bounded by the bin width
@@ -5599,7 +5599,7 @@ def value_quantiles_sketch(sf_dir: str):
 
     Scale shape — the quantile member of the sketch trio (HLL
     cardinality, CMS frequency): an exact quantile needs a global sort;
-    this op's traffic is ≤ {bins} integer (bin, count) partial rows per
+    this op's traffic is ≤ 4096 integer (bin, count) partial rows per
     block, the counters merge by + across shards, and the driver touches
     one bounded histogram.  Everything is integer-exact, so the oracle
     replays the sketch bit-for-bit."""

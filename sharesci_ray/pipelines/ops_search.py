@@ -1496,7 +1496,7 @@ def _rerank_sql() -> str:
 @op("rerank_topk", _rerank_sql)
 def rerank_topk(sf_dir: str):
     """Two-stage retrieval (the production search-serving shape): stage 1
-    pulls a BM25 top-{cand_k} recall set per query from the inverted
+    pulls a BM25 top-20 recall set per query from the inverted
     index (same engine path as bm25_topk_page2 — rank identity with the
     SQL twin is already driver-proven at k=20); stage 2 re-scores ONLY
     those candidates with a feature model — matched query terms, total
@@ -1504,7 +1504,7 @@ def rerank_topk(sf_dir: str):
     both engines agree bit-for-bit.
 
     Scale shape: the expensive ranker touches candidates only.  The
-    recall set is ≤ |queries|·{cand_k} rows (bounded — safe to collect);
+    recall set is ≤ |queries|·20 rows (bounded — safe to collect);
     the feature pass re-reads JUST the candidate documents via an is_in
     predicate applied AT THE SCAN, tokenizes those rows once, and every
     feature is a vectorized bincount over the exploded (row, term) pairs.

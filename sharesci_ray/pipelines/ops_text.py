@@ -716,7 +716,7 @@ _STRATA_K = 10
 )
 def stratified_sample(sf_dir: str):
     """Stratified systematic sampling: within each language stratum, every
-    {k}-th document by doc_id — proportional allocation with deterministic
+    k-th document by doc_id — proportional allocation with deterministic
     membership (the training-data "balanced subsample" op).  One shuffle
     (groupby lang); in-group sort assumes a stratum fits one group — for
     corpus-scale strata, range-partition by doc_id and offset each range's
