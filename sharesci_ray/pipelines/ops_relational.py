@@ -5653,3 +5653,126 @@ def value_quantiles_sketch(sf_dir: str):
             ),
         }
     )
+
+
+# ===========================================================================
+# snapshot_diff — change-data-capture between two corpus snapshots
+# ===========================================================================
+#
+# The CDC shape an incremental pipeline runs before update_index: given
+# yesterday's corpus A and today's corpus B, classify every doc id as
+# added / removed / modified / unchanged.  Snapshot B is synthesized from
+# the documents table by a deterministic md5 rule (no external data —
+# both sides replay it bit-for-bit), and the DIFF ITSELF never sees the
+# rule: it is a full-outer join on doc_id with a text comparison, exactly
+# what it would be against a real second snapshot.
+
+_SNAP_MOD = 10  # rule modulus: ~10% removed, ~10% modified, ~10% added
+
+
+def _snap_sql() -> str:
+    from ..functions import dedup as dd
+
+    r = f"{dd.SQL_H60.format(s='CAST(doc_id AS VARCHAR)')} % {_SNAP_MOD}"
+    return f"""
+    WITH a AS (SELECT doc_id, text FROM documents),
+    rr AS (SELECT doc_id, text, {r} AS r FROM a),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN r = 1 THEN text || ' rev2' ELSE text END AS text
+      FROM rr WHERE r != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+      FROM rr WHERE r = 2
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.text != b.text THEN 'modified'
+                ELSE 'unchanged' END AS change
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """
+
+
+@op("snapshot_diff", _snap_sql)
+def snapshot_diff(sf_dir: str):
+    """Corpus change-data-capture: full-outer join of snapshot A (the
+    documents table) against snapshot B (~10% docs removed, ~10% text-
+    modified, ~10% new ids — synthesized by a deterministic md5 rule so
+    the oracle replays it), classifying every doc id as added / removed /
+    modified / unchanged by TEXT COMPARISON, never by the rule.
+
+    Scale shape: the synthesis is one stateless vectorized map (B never
+    materializes outside the streamed join); the diff is ONE hash-join
+    exchange on doc_id; classification is a vectorized null/equality pass.
+    Against a real second snapshot the same plan applies unchanged — feed
+    B from read_parquet instead of the synth map."""
+    from ..functions import dedup as dd
+
+    from .util import join_partitions
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "text_a": t["text"]}
+        )
+
+    _B = pa.schema([("doc_id", pa.int64()), ("text_b", pa.string())])
+
+    def to_b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _B.empty_table()
+        ids = pc.cast(t["doc_id"], pa.int64())
+        r = dd.hash_strings(pc.cast(ids, pa.string())) % _SNAP_MOD
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        mod = pc.binary_join_element_wise(text, pa.scalar("rev2"), " ")
+        kept_text = pc.if_else(pa.array(r == 1), mod, text)
+        keep = pa.array(r != 0)
+        base = pa.table(
+            {"doc_id": ids, "text_b": kept_text}, schema=_B
+        ).filter(keep)
+        addm = pa.array(r == 2)
+        added = pa.table(
+            {
+                "doc_id": pc.add(ids, pa.scalar(1_000_000, pa.int64())),
+                "text_b": pc.binary_join_element_wise(
+                    text, pa.scalar("new"), " "
+                ),
+            },
+            schema=_B,
+        ).filter(addm)
+        return pa.concat_tables([base, added])
+
+    a = docs.map_batches(to_a, batch_format="pyarrow", zero_copy_batch=True)
+    b = docs.map_batches(to_b, batch_format="pyarrow", zero_copy_batch=True)
+    _jp = join_partitions(a, b)
+    j = a.join(b, join_type="full_outer", num_partitions=_jp, on=("doc_id",))
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("change", pa.string())])
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        a_null = pc.is_null(t["text_a"])
+        b_null = pc.is_null(t["text_b"])
+        diff = pc.fill_null(
+            pc.not_equal(t["text_a"], t["text_b"]), False
+        )
+        change = pc.if_else(
+            a_null,
+            pa.scalar("added"),
+            pc.if_else(
+                b_null,
+                pa.scalar("removed"),
+                pc.if_else(diff, pa.scalar("modified"), pa.scalar("unchanged")),
+            ),
+        )
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "change": change},
+            schema=_OUT,
+        )
+
+    return j.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)

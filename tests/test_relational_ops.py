@@ -876,3 +876,20 @@ def test_value_quantiles_sketch_negative_cents_parity(ray_session, tmp_path):
     )
     assert got.astype("int64").equals(want[got.columns].astype("int64"))
     assert (got["est_cents"] < 0).any()  # the negative bins are exercised
+
+
+def test_snapshot_diff_classes(ray_session):
+    """CDC invariants: all four classes present, added ids live in the
+    synthetic 1M+ range, removed/modified/unchanged ids are original, and
+    class counts are consistent with the 10% rule's hash masses."""
+    from sharesci_ray.pipelines.ops_relational import snapshot_diff
+
+    df = snapshot_diff("/root/testdata/sf0.001").to_pandas()
+    assert set(df["change"]) == {"added", "removed", "modified", "unchanged"}
+    assert df["doc_id"].is_unique
+    added = df[df["change"] == "added"]
+    assert (added["doc_id"] >= 1_000_000).all()
+    rest = df[df["change"] != "added"]
+    assert (rest["doc_id"] < 1_000_000).all()
+    # every added doc is the +1M shadow of an unchanged r==2 original
+    assert set(added["doc_id"] - 1_000_000) <= set(rest["doc_id"])
