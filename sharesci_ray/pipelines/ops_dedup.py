@@ -2572,3 +2572,166 @@ def term_counts_cms(sf_dir: str):
         },
         schema=_CMS_OUT,
     )
+
+
+# ===========================================================================
+# source_overlap_hll — sketch ALGEBRA: pairwise source overlap by HLL merge
+# ===========================================================================
+#
+# The data-mix question dedup planning actually asks — "how much of
+# source A's shingle universe is also in source B?" — answered WITHOUT
+# any pairwise scan: one pass builds per-source HLL registers, and every
+# pairwise union is a register-wise max (the HLL merge law, exercised
+# here as an op rather than a claim); the intersection estimate is
+# inclusion–exclusion over three bit-replayable estimates.
+
+def _overlap_sql() -> str:
+    M, W = _HLL_M, _HLL_WBITS
+    pows = ", ".join(f"({k}, {1 << k})" for k in range(W))
+    h = dd.SQL_H60.format(s="s")
+    A = repr(_HLL_A)
+    return f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT source, unnest({dd.sql_shingles('t')}) AS s
+      FROM toks WHERE len(t) >= {dd.SHINGLE_K}
+    ),
+    rw AS (SELECT source, {h} % {M} AS reg, {h} // {M} AS w FROM sh),
+    ws AS (SELECT DISTINCT source, reg, w FROM rw),
+    pows(k, p) AS (VALUES {pows}),
+    rhos AS (
+      SELECT ws.source, ws.reg, {W} - max(pows.k) AS rho
+      FROM ws JOIN pows ON pows.p <= ws.w GROUP BY ws.source, ws.reg, ws.w
+      UNION ALL
+      SELECT source, reg, {W + 1} AS rho FROM ws WHERE w = 0
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    regs AS (
+      SELECT s.source, r.i AS reg, COALESCE(max(rhos.rho), 0) AS mr
+      FROM srcs s CROSS JOIN range(0, {M}) r(i)
+      LEFT JOIN rhos ON rhos.source = s.source AND rhos.reg = r.i
+      GROUP BY 1, 2
+    ),
+    ssum AS (
+      SELECT source,
+             CAST(sum(CAST(1 AS BIGINT) << ({W + 1} - mr)) AS BIGINT) AS sc
+      FROM regs GROUP BY 1
+    ),
+    usum AS (
+      SELECT ra.source AS source_a, rb.source AS source_b,
+             CAST(sum(CAST(1 AS BIGINT)
+                      << ({W + 1} - GREATEST(ra.mr, rb.mr))) AS BIGINT) AS su
+      FROM regs ra JOIN regs rb
+        ON ra.reg = rb.reg AND ra.source < rb.source
+      GROUP BY 1, 2
+    )
+    SELECT u.source_a, u.source_b,
+           {A} / CAST(sa.sc AS DOUBLE) AS est_a,
+           {A} / CAST(sb.sc AS DOUBLE) AS est_b,
+           {A} / CAST(u.su AS DOUBLE) AS est_union,
+           ({A} / CAST(sa.sc AS DOUBLE) + {A} / CAST(sb.sc AS DOUBLE))
+             - {A} / CAST(u.su AS DOUBLE) AS est_inter
+    FROM usum u
+    JOIN ssum sa ON sa.source = u.source_a
+    JOIN ssum sb ON sb.source = u.source_b
+    """
+
+
+_OVL_PART = pa.schema(
+    [("source", pa.string()), ("reg", pa.int64()), ("mx", pa.int64())]
+)
+
+
+@op("source_overlap_hll", _overlap_sql)
+def source_overlap_hll(sf_dir: str):
+    """Pairwise shingle-universe overlap between sources, estimated from
+    per-source HyperLogLog registers: one row per (source_a < source_b)
+    with the two per-source estimates, the union estimate from the
+    register-wise max merge, and the inclusion–exclusion intersection
+    (raw — small negative values are natural HLL noise on disjoint
+    sources).  Every float is a division/sum of the shared literal
+    constant over integer harmonic sums, so both sides agree bit-for-bit.
+
+    Scale shape: ONE corpus pass emits ≤ |sources|·m register partials
+    per block, one bounded groupby-max, and the driver does |pairs|·m
+    integer max/sum work on a 20×1024 int matrix — the corpus is never
+    paired against itself.  Registers merge by max, so per-shard
+    sketches of a 256-node run combine into the same answer."""
+    from ray.data.aggregate import Max
+
+    M, W = _HLL_M, _HLL_WBITS
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams, parent = dd.token_shingles(t["text"])
+        if not len(grams):
+            return _OVL_PART.empty_table()
+        src_col = t["source"]
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        uniq_src = pc.unique(src_col)
+        sidx = pc.index_in(src_col, value_set=uniq_src).to_numpy(
+            zero_copy_only=False
+        )[parent]
+        h = dd.hash_strings(grams)
+        reg = h % M
+        w = h >> _HLL_P
+        rho = np.full(w.size, W + 1, dtype=np.int64)
+        nz = w > 0
+        rho[nz] = W - (np.frexp(w[nz].astype(np.float64))[1] - 1)
+        regs = np.zeros((len(uniq_src), M), dtype=np.int64)
+        np.maximum.at(regs, (sidx, reg), rho)
+        si, ri = np.nonzero(regs)
+        return pa.table(
+            {
+                "source": uniq_src.take(pa.array(si)),
+                "reg": pa.array(ri.astype(np.int64)),
+                "mx": pa.array(regs[si, ri]),
+            },
+            schema=_OVL_PART,
+        )
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "reg"])
+        .aggregate(Max("mx"))
+        .take_all()  # ≤ |sources|·m rows — all the sketches
+    )
+    per_src: dict[str, np.ndarray] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], np.zeros(M, dtype=np.int64))[
+            int(r["reg"])
+        ] = int(r["max(mx)"])
+    # sources with docs but zero shingles still get an (empty) register set
+    for s in sorted(
+        x["source"]
+        for x in docs.groupby("source").count().take_all()  # ≤ |sources|
+    ):
+        per_src.setdefault(s, np.zeros(M, dtype=np.int64))
+
+    def est(regs: np.ndarray) -> float:
+        return _HLL_A / float(int((np.int64(1) << (W + 1 - regs)).sum()))
+
+    names = sorted(per_src)
+    out = {k: [] for k in
+           ["source_a", "source_b", "est_a", "est_b", "est_union", "est_inter"]}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ea, eb = est(per_src[a]), est(per_src[b])
+            eu = est(np.maximum(per_src[a], per_src[b]))
+            out["source_a"].append(a)
+            out["source_b"].append(b)
+            out["est_a"].append(ea)
+            out["est_b"].append(eb)
+            out["est_union"].append(eu)
+            out["est_inter"].append((ea + eb) - eu)
+    return pa.table(
+        {
+            "source_a": pa.array(out["source_a"], pa.string()),
+            "source_b": pa.array(out["source_b"], pa.string()),
+            "est_a": pa.array(out["est_a"], pa.float64()),
+            "est_b": pa.array(out["est_b"], pa.float64()),
+            "est_union": pa.array(out["est_union"], pa.float64()),
+            "est_inter": pa.array(out["est_inter"], pa.float64()),
+        }
+    )

@@ -602,3 +602,21 @@ def test_cms_never_underestimates(ray_session):
     assert (df["est_count"] >= df["true_count"]).all()
     assert (df["true_count"] > 0).any()  # not every probe term need occur
     assert (df["est_count"] == df["true_count"]).all()
+
+
+def test_source_overlap_hll_merge_law(ray_session):
+    """HLL merge invariants on every pair: union ≥ max(single estimates)
+    (register max can only raise the estimate... i.e. lower the harmonic
+    sum), intersection = inclusion–exclusion exactly, and a source's
+    self-consistency — the union of all pairs never exceeds the corpus
+    estimate from distinct_shingles_hll by more than noise (it is the
+    SAME register algebra, so union-of-all == corpus exactly when
+    merged; spot-check one triangle inequality instead)."""
+    from sharesci_ray.pipelines.ops_dedup import source_overlap_hll
+
+    df = source_overlap_hll("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 190  # C(20, 2)
+    assert (df["est_union"] >= df[["est_a", "est_b"]].max(axis=1) - 1e-9).all()
+    assert np.allclose(df["est_inter"], (df["est_a"] + df["est_b"]) - df["est_union"])
+    # union is subadditive: never exceeds the sum of the parts
+    assert (df["est_union"] <= df["est_a"] + df["est_b"] + 1e-9).all()
