@@ -211,6 +211,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="directory containing documents.parquet")
     sx.add_argument("--out-dir", required=True)
 
+    sk = sub.add_parser(
+        "profile",
+        help="one-pass corpus profile: HLL shingle cardinality, "
+             "count-min term frequencies, value-quantile sketch, "
+             "per-source overlap estimates",
+    )
+    sk.add_argument("--sf-dir", required=True,
+                    help="directory containing documents.parquet (+ events.parquet "
+                         "for the quantile sketch)")
+    sk.add_argument("--skip-overlap", action="store_true",
+                    help="skip the 190-pair source-overlap section")
+
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--build-dir", required=True)
     q.add_argument("--text", default=None, help="single query string")
@@ -320,6 +332,30 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.ops_ml import export_split_corpus
 
         print(json.dumps(export_split_corpus(args.sf_dir, args.out_dir)))
+    elif args.cmd == "profile":
+        from .pipelines.ops_dedup import distinct_shingles_hll, term_counts_cms
+        from .pipelines.ops_relational import value_quantiles_sketch
+
+        out = {
+            "distinct_shingles_hll": distinct_shingles_hll(
+                args.sf_dir
+            ).to_pylist(),
+            "term_counts_cms": term_counts_cms(args.sf_dir).to_pylist(),
+        }
+        if os.path.exists(os.path.join(args.sf_dir, "events.parquet")):
+            out["value_quantiles_sketch"] = (
+                value_quantiles_sketch(args.sf_dir).to_pandas().to_dict("records")
+            )
+        if not args.skip_overlap:
+            from .pipelines.ops_dedup import source_overlap_hll
+
+            df = source_overlap_hll(args.sf_dir).to_pandas()
+            out["source_overlap_top5"] = (
+                df.sort_values("est_inter", ascending=False)
+                .head(5)
+                .to_dict("records")
+            )
+        print(json.dumps(out))
     elif args.cmd == "suggest":
         from .pipelines.ops_search import suggest_terms
 

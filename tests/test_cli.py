@@ -260,3 +260,23 @@ def test_cli_split_export(ray_session, tmp_path, capsys):
     df = t.to_pandas()
     assert df["doc_id"].is_unique and len(df) == n_docs
     assert (df.groupby("cluster_id")["split"].nunique() == 1).all()
+
+
+def test_cli_profile(tmp_path):
+    """`profile` prints one JSON object with the sketch sections; the
+    quantile section appears only when events.parquet exists."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "sharesci_ray", "profile",
+         "--sf-dir", "/root/testdata/sf0.001", "--skip-overlap"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["distinct_shingles_hll"][0]["estimate"] > 0
+    assert len(out["term_counts_cms"]) == 24
+    assert len(out["value_quantiles_sketch"]) == 5
+    assert "source_overlap_top5" not in out
