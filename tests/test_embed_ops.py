@@ -541,3 +541,36 @@ def test_cluster_top_terms_invariants(ray_session):
         key = list(zip(-grp["n_occurrences"], grp["term"]))
         assert key == sorted(key)
         assert (grp["n_occurrences"] > 0).all()
+
+
+def test_build_pq_index_crash_safe_and_overwrites(ray_session, tmp_path):
+    """The PQ artifact commits by tmp-dir + atomic rename: an orphaned
+    half-written `.tmp` from a crashed build is swept by the next build,
+    a rebuild replaces stale codes dirs, and a missing meta.json (the
+    single commit point) makes the query path fail loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from sharesci_ray.pipelines.ops_embed import build_pq_index, query_pq_index
+
+    out = str(tmp_path / "pqidx2")
+    # simulate a crash: a stale half-written tmp dir with garbage inside
+    os.makedirs(out + ".tmp/codes/cid=0")
+    with open(out + ".tmp/garbage", "w") as f:
+        f.write("torn")
+    build_pq_index(SF, out)
+    assert not os.path.exists(out + ".tmp")  # swept and renamed away
+    assert os.path.exists(os.path.join(out, "meta.json"))
+
+    marker = os.path.join(out, "codes", "stale_leftover")
+    os.makedirs(marker)
+    build_pq_index(SF, out)
+    assert not os.path.exists(marker)
+
+    res = query_pq_index(out).to_pandas()
+    assert res["query_id"].nunique() == 10
+
+    os.remove(os.path.join(out, "meta.json"))
+    with _pytest.raises(FileNotFoundError):
+        query_pq_index(out)
