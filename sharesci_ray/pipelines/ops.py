@@ -1370,6 +1370,184 @@ def supplier_by_region(sf_dir: str):
     return _rename(named.groupby("r_name").count(), {"count()": "n_suppliers"}, int64_cols=("n_suppliers",))
 
 
+# ---------------------------------------------------------------------------
+# bm25_explain — the search "explain" surface (integer-exact payload)
+# ---------------------------------------------------------------------------
+
+_EXPLAIN_TOP = 3
+
+
+def _bm25_explain_sql() -> str:
+    """Top-3 docs per fixture query (the rank-identical bm25 replay as a
+    subquery CTE) joined back to the exact integer scoring inputs.  The
+    payload is tf/df/dl INTEGERS, not the float contributions: per-term
+    float order differs between the engine kernel (idf·(tf/denom)) and a
+    natural SQL expression ((idf·tf)/denom) by ulps — the same reason
+    bm25_topk excludes scores from its comparison — while the integers
+    reproduce the score exactly for whoever reads the explain."""
+    q_rows = []
+    for qid, text in enumerate(DOC_QUERIES):
+        for term in sorted(set(tokenize(text))):
+            q_rows.append(f"({qid}, '{term}')")
+    values = ", ".join(q_rows)
+    return f"""
+    WITH base AS (
+      SELECT * FROM ({_bm25_sql(rank_lo=1, rank_hi=_EXPLAIN_TOP)})
+    ),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+    df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (VALUES {values})
+    SELECT b.query_id, b.rank, b.doc_id, q.term, tf.tf, df.df, dl.dl
+    FROM base b
+    JOIN q ON q.query_id = b.query_id
+    JOIN tf ON tf.doc_id = b.doc_id AND tf.term = q.term
+    JOIN df ON df.term = q.term
+    JOIN dl ON dl.doc_id = b.doc_id
+    """
+
+
+@op("bm25_explain", _bm25_explain_sql)
+def bm25_explain(sf_dir: str):
+    """Why did this document rank here?  One row per (query, top-3 doc,
+    matched query term) with the exact integer scoring inputs — tf of the
+    term in the doc, the term's corpus df, and the doc length — i.e. the
+    explain endpoint a search UI shows next to each hit.
+
+    Scale shape: the ranking comes from the normal engine path (index
+    build amortized via _index_for); the bounded 30-row result set and
+    the ≤24 query terms broadcast into ONE pruned corpus pass that
+    computes df partials over all docs and tf/dl for just the hit docs
+    under disjoint groupby keys (the bm25_topk_snippets pattern) — the
+    corpus is never joined against itself."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import flat_tokens
+
+    hits = [
+        r
+        for r in _bm25_run(sf_dir).take_all()  # bounded: 10 queries × k
+        if int(r["rank"]) <= _EXPLAIN_TOP
+    ]
+    hit_docs = sorted({int(r["doc_id"]) for r in hits})
+    qterms = {qid: sorted(set(tokenize(t))) for qid, t in enumerate(DOC_QUERIES)}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    ref = ray.put((np.array(hit_docs, dtype=np.int64), all_terms))
+
+    _PART = pa.schema(
+        [("term", pa.string()), ("doc_id", pa.int64()), ("v", pa.int64())]
+    )
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        docs_np, terms = ray.get(ref)
+        term_set = pa.array(terms, pa.string())
+        flat, parent = flat_tokens(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isq = pc.is_in(flat, value_set=term_set).to_numpy(zero_copy_only=False)
+        # df partials over ALL docs: distinct (term, doc) → (term, -1, 1)
+        qtab = pa.table(
+            {
+                "term": pc.filter(flat, pa.array(isq)),
+                "doc": pa.array(ids[parent[isq]]),
+            }
+        ).group_by(["term", "doc"]).aggregate([([], "count_all")])
+        parts = [
+            pa.table(
+                {
+                    "term": qtab["term"],
+                    "doc_id": pa.array(
+                        np.full(qtab.num_rows, -1, dtype=np.int64)
+                    ),
+                    "v": pa.array(np.ones(qtab.num_rows, dtype=np.int64)),
+                },
+                schema=_PART,
+            )
+        ]
+        # tf + dl for the bounded hit docs only
+        in_hits = np.isin(ids, docs_np)
+        if in_hits.any():
+            tok_hit = in_hits[parent]
+            tf_tab = pa.table(
+                {
+                    "term": pc.filter(flat, pa.array(isq & tok_hit)),
+                    "doc": pa.array(ids[parent[isq & tok_hit]]),
+                }
+            ).group_by(["term", "doc"]).aggregate([([], "count_all")])
+            parts.append(
+                pa.table(
+                    {
+                        "term": tf_tab["term"],
+                        "doc_id": pc.cast(tf_tab["doc"], pa.int64()),
+                        "v": pc.cast(tf_tab["count_all"], pa.int64()),
+                    },
+                    schema=_PART,
+                )
+            )
+            dl_cnt = np.zeros(t.num_rows, dtype=np.int64)
+            np.add.at(dl_cnt, parent, 1)
+            hit_rows = np.flatnonzero(in_hits)
+            parts.append(
+                pa.table(
+                    {
+                        "term": pa.array([""] * hit_rows.size, pa.string()),
+                        "doc_id": pa.array(ids[hit_rows]),
+                        "v": pa.array(dl_cnt[hit_rows]),
+                    },
+                    schema=_PART,
+                )
+            )
+        return pa.concat_tables(parts)
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term", "doc_id"])
+        .aggregate(Sum("v"))
+        .take_all()  # ≤ |terms|·(1 + |hit docs|) + |hit docs| rows
+    )
+    df_map: dict[str, int] = {}
+    tf_map: dict[tuple[str, int], int] = {}
+    dl_map: dict[int, int] = {}
+    for r in rows:
+        v = int(r["sum(v)"])
+        if r["term"] == "":
+            dl_map[int(r["doc_id"])] = v
+        elif int(r["doc_id"]) == -1:
+            df_map[r["term"]] = v
+        else:
+            tf_map[(r["term"], int(r["doc_id"]))] = v
+
+    out = {k: [] for k in ["query_id", "rank", "doc_id", "term", "tf", "df", "dl"]}
+    for r in sorted(hits, key=lambda x: (int(x["query_id"]), int(x["rank"]))):
+        qid, rank, doc = int(r["query_id"]), int(r["rank"]), int(r["doc_id"])
+        for term in qterms[qid]:
+            tf = tf_map.get((term, doc), 0)
+            if tf == 0:
+                continue  # SQL inner join: unmatched terms emit no row
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["doc_id"].append(doc)
+            out["term"].append(term)
+            out["tf"].append(tf)
+            out["df"].append(df_map[term])
+            out["dl"].append(dl_map[doc])
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "term": pa.array(out["term"], pa.string()),
+            "tf": pa.array(out["tf"], pa.int64()),
+            "df": pa.array(out["df"], pa.int64()),
+            "dl": pa.array(out["dl"], pa.int64()),
+        }
+    )
+
+
 # -- extension registries (import side-effect: registers into REGISTRY) -----
 from . import ops_dedup  # noqa: E402,F401  (dedup + similarity search)
 from . import ops_embed  # noqa: E402,F401  (embedder stage + vector index)
