@@ -283,3 +283,56 @@ def test_span_windows_match_brute_force(docs):
             gram = " ".join(d[s : s + _SPAN_K])
             exp.append((i, s + 1, int(md5_int60([gram])[0])))
     assert got == sorted(exp)
+
+
+# ---------------------------------------------------------------------------
+# PQ / IVF integer kernels vs brute-force references
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 60))
+def test_hll_rho_frexp_is_exact(seed, bits):
+    """The frexp-based floor(log2(w)) must be exact for every w < 2^50 —
+    the HLL register rule's only float step."""
+    rng = np.random.RandomState(seed % 2**32)
+    w = rng.randint(1, 2**min(bits, 50), size=64, dtype=np.int64)
+    got = np.frexp(w.astype(np.float64))[1] - 1
+    exp = np.array([int(x).bit_length() - 1 for x in w])
+    assert (got == exp).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_pq_encode_matches_brute_force(seed):
+    """pq_encode's per-subspace argmax (ties → smallest code) must equal
+    a per-row Python brute force on random integer lattices."""
+    from sharesci_ray.functions import vectors as vx
+
+    rng = np.random.RandomState(seed % 2**32)
+    quant = rng.randint(-5, 6, size=(7, vx.VEC_DIM)).astype(np.int64)
+    cb = rng.randint(-5, 6, size=(vx.PQ_M, vx.PQ_K, vx.PQ_SUB)).astype(np.int64)
+    got = vx.pq_encode(quant, cb)
+    for i in range(quant.shape[0]):
+        for m in range(vx.PQ_M):
+            sub = quant[i, m * vx.PQ_SUB:(m + 1) * vx.PQ_SUB]
+            dots = [int(sub @ cb[m, c]) for c in range(vx.PQ_K)]
+            best = max(range(vx.PQ_K), key=lambda c: (dots[c], -c))
+            assert got[i, m] == best
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_ivf_assign_ties_to_smallest_cid(seed):
+    """ivf_assign must pick the smallest centroid id among exact integer
+    dot ties (the SQL twin's ORDER BY d DESC, cid rule)."""
+    from sharesci_ray.functions import vectors as vx
+
+    rng = np.random.RandomState(seed % 2**32)
+    cent = rng.randint(-3, 4, size=(5, vx.VEC_DIM)).astype(np.int64)
+    cent[3] = cent[1]  # planted duplicate centroid → guaranteed ties
+    quant = rng.randint(-3, 4, size=(9, vx.VEC_DIM)).astype(np.int64)
+    got = vx.ivf_assign(quant, cent)
+    dots = quant @ cent.T
+    for i in range(9):
+        best = dots[i].max()
+        assert got[i] == int(np.flatnonzero(dots[i] == best)[0])
