@@ -1500,3 +1500,185 @@ def hot_ngram_report(sf_dir: str):
         )
 
     return top.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===========================================================================
+# bigram_logprob — conditional bigram LM score (context-aware quality)
+# ===========================================================================
+
+
+@op(
+    "bigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+    lft AS (SELECT w1, sum(c)::BIGINT AS cl FROM cnt GROUP BY 1),
+    wt AS (
+      SELECT cnt.w1, cnt.w2,
+             CAST(round(1000000.0 * ln(cnt.c::DOUBLE / lft.cl)) AS BIGINT) AS w
+      FROM cnt JOIN lft USING (w1)
+    )
+    SELECT b.doc_id, sum(wt.w)::BIGINT AS sum_micronats,
+           count(*)::BIGINT AS n_bigrams
+    FROM bg b JOIN wt ON wt.w1 = b.w1 AND wt.w2 = b.w2
+    GROUP BY 1
+    """,
+)
+def bigram_logprob(sf_dir: str):
+    """Conditional bigram LM document score — unigram_logprob's
+    context-aware upgrade: per adjacent token pair, weight =
+    round(1e6·ln(C(w1,w2)/C(w1·))) integer micronats (P(w2|w1) of the
+    corpus-trained bigram LM; every scored pair is observed, so no
+    smoothing branch), per-doc score = exact int sum.  Docs with < 2
+    tokens emit no row (both sides' inner-join semantics).
+
+    Scale shape: unlike the unigram op's broadcast LUT (safe for a word
+    vocab), the bigram vocabulary is corpus-proportional, so the weight
+    table stays DISTRIBUTED: bigram-count partials → one vocab groupby →
+    left-count join → the weight stream hash-joins back into the bigram
+    stream on (w1, w2), and per-doc integer partials pre-reduce inside
+    each batch before the final doc groupby."""
+    from ray.data.aggregate import Sum
+
+    from .util import drop_empty_blocks, join_partitions
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _BG = pa.schema(
+        [("doc_id", pa.int64()), ("w1", pa.string()), ("w2", pa.string())]
+    )
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _BG.empty_table()
+        flat, parent = flat_tokens(t["text"])
+        n = len(flat)
+        if n < 2:
+            return _BG.empty_table()
+        valid = parent[: n - 1] == parent[1:]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vmask = pa.array(valid)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[parent[: n - 1][valid]]),
+                "w1": pc.filter(flat.slice(0, n - 1), vmask),
+                "w2": pc.filter(flat.slice(1, n - 1), vmask),
+            },
+            schema=_BG,
+        )
+
+    _CNT = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
+    )
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        b = bigrams(t)
+        if b.num_rows == 0:
+            return _CNT.empty_table()
+        g = (
+            pa.table({"w1": b["w1"], "w2": b["w2"]})
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"w1": g["w1"], "w2": g["w2"], "c": pc.cast(g["count_all"], pa.int64())},
+            schema=_CNT,
+        )
+
+    cnt = (
+        docs.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"w1": t["w1"], "w2": t["w2"],
+                 "c": pc.cast(t["sum(c)"], pa.int64())},
+                schema=_CNT,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()  # two consumers: left counts + the weight join
+    )
+
+    lft = drop_empty_blocks(
+        cnt.groupby("w1")
+        .aggregate(Sum("c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"w1": t["w1"], "cl": pc.cast(t["sum(c)"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        pa.schema([("w1", pa.string()), ("cl", pa.int64())]),
+    )
+
+    _jp = join_partitions(cnt)
+    _WT = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("w", pa.int64())]
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _WT.empty_table()
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cl = t["cl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.round(1_000_000.0 * np.log(c / cl)).astype(np.int64)
+        return pa.table(
+            {"w1": t["w1"], "w2": t["w2"], "w": pa.array(w)}, schema=_WT
+        )
+
+    wt = drop_empty_blocks(
+        cnt.join(lft, join_type="inner", num_partitions=_jp, on=("w1",))
+        .map_batches(weigh, batch_format="pyarrow", zero_copy_batch=True),
+        _WT,
+    )
+
+    bg = docs.map_batches(bigrams, batch_format="pyarrow", zero_copy_batch=True)
+    scored = bg.join(wt, join_type="inner", num_partitions=_jp, on=("w1", "w2"))
+
+    _PART = pa.schema(
+        [("doc_id", pa.int64()), ("sum_micronats", pa.int64()),
+         ("n_bigrams", pa.int64())]
+    )
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        g = (
+            pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "sum_micronats": pc.cast(t["w"], pa.int64()),
+                    "n_bigrams": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("doc_id")
+            .aggregate([("sum_micronats", "sum"), ("n_bigrams", "sum")])
+        )
+        return g.rename_columns(
+            ["doc_id", "sum_micronats", "n_bigrams"]
+        ).cast(_PART)
+
+    return (
+        scored.map_batches(doc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("sum_micronats"), Sum("n_bigrams"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "sum_micronats": pc.cast(t["sum(sum_micronats)"], pa.int64()),
+                    "n_bigrams": pc.cast(t["sum(n_bigrams)"], pa.int64()),
+                },
+                schema=_PART,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
