@@ -2299,29 +2299,53 @@ _HLL_WBITS = 60 - _HLL_P        # 50-bit suffix scored by ρ
 _HLL_A = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0 ** 51
 
 
-def _hll_sql() -> str:
+def _hll_chain_sql(keyed: bool) -> str:
+    """The HLL register CTE chain (toks → shingles → hashed (reg, w) →
+    ρ via the exact pows join → per-register max), optionally keyed by
+    ``source`` — ONE definition shared by distinct_shingles_hll and
+    source_overlap_hll (review r4 drift containment: the register rule
+    must stay bit-identical across every HLL twin)."""
     M, W = _HLL_M, _HLL_WBITS
     pows = ", ".join(f"({k}, {1 << k})" for k in range(W))
     h = dd.SQL_H60.format(s="s")
+    key_out = "source, " if keyed else ""
+    key_ws = "ws.source, " if keyed else ""
+    key_join = "rhos.source = s.source AND " if keyed else ""
+    grid = (
+        "srcs s CROSS JOIN range(0, {m}) r(i)".format(m=M)
+        if keyed
+        else "range(0, {m}) r(i)".format(m=M)
+    )
+    grid_sel = "s.source, " if keyed else ""
+    srcs_cte = (
+        "srcs AS (SELECT DISTINCT source FROM documents),\n    " if keyed else ""
+    )
     return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    toks AS (SELECT doc_id, {key_out}{_TOKS} AS t FROM documents),
     sh AS (
-      SELECT unnest({dd.sql_shingles('t')}) AS s
+      SELECT {key_out}unnest({dd.sql_shingles('t')}) AS s
       FROM toks WHERE len(t) >= {dd.SHINGLE_K}
     ),
-    rw AS (SELECT {h} % {M} AS reg, {h} // {M} AS w FROM sh),
-    ws AS (SELECT DISTINCT reg, w FROM rw),
+    rw AS (SELECT {key_out}{h} % {M} AS reg, {h} // {M} AS w FROM sh),
+    ws AS (SELECT DISTINCT {key_out}reg, w FROM rw),
     pows(k, p) AS (VALUES {pows}),
     rhos AS (
-      SELECT ws.reg, {W} - max(pows.k) AS rho
-      FROM ws JOIN pows ON pows.p <= ws.w GROUP BY ws.reg, ws.w
+      SELECT {key_ws}ws.reg, {W} - max(pows.k) AS rho
+      FROM ws JOIN pows ON pows.p <= ws.w GROUP BY {key_ws}ws.reg, ws.w
       UNION ALL
-      SELECT reg, {W + 1} AS rho FROM ws WHERE w = 0
+      SELECT {key_out}reg, {W + 1} AS rho FROM ws WHERE w = 0
     ),
-    regs AS (
-      SELECT r.i AS reg, COALESCE(max(rhos.rho), 0) AS mr
-      FROM range(0, {M}) r(i) LEFT JOIN rhos ON rhos.reg = r.i GROUP BY 1
-    ),
+    {srcs_cte}regs AS (
+      SELECT {grid_sel}r.i AS reg, COALESCE(max(rhos.rho), 0) AS mr
+      FROM {grid} LEFT JOIN rhos ON {key_join}rhos.reg = r.i
+      GROUP BY {'1, 2' if keyed else '1'}
+    )"""
+
+
+def _hll_sql() -> str:
+    M, W = _HLL_M, _HLL_WBITS
+    return f"""
+    WITH {_hll_chain_sql(keyed=False)},
     agg AS (
       SELECT count(*) FILTER (WHERE mr = 0)::BIGINT AS v_zero,
              CAST(sum(CAST(1 AS BIGINT) << ({W + 1} - mr)) AS BIGINT)
@@ -2332,6 +2356,18 @@ def _hll_sql() -> str:
            {_HLL_A!r} / CAST(s_scaled AS DOUBLE) AS estimate
     FROM agg
     """
+
+
+def _hll_reg_rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """60-bit hashes → (register index, ρ): the ONE engine register rule
+    (twin of _hll_chain_sql's rw/rhos CTEs), shared by both HLL ops.
+    frexp exponents are exact for w < 2^53, so ρ is exact integer math."""
+    reg = h % _HLL_M
+    w = h >> _HLL_P
+    rho = np.full(w.size, _HLL_WBITS + 1, dtype=np.int64)
+    nz = w > 0
+    rho[nz] = _HLL_WBITS - (np.frexp(w[nz].astype(np.float64))[1] - 1)
+    return reg, rho
 
 
 _HLL_PART = pa.schema([("reg", pa.int64()), ("mx", pa.int64())])
@@ -2365,13 +2401,7 @@ def distinct_shingles_hll(sf_dir: str):
         grams, _ = dd.token_shingles(t["text"])
         if not len(grams):
             return _HLL_PART.empty_table()
-        h = dd.hash_strings(grams)
-        reg = h % M
-        w = h >> _HLL_P
-        rho = np.full(w.size, W + 1, dtype=np.int64)
-        nz = w > 0
-        # exact floor(log2(w)): frexp exponents are exact for w < 2^53
-        rho[nz] = W - (np.frexp(w[nz].astype(np.float64))[1] - 1)
+        reg, rho = _hll_reg_rho(dd.hash_strings(grams))
         regs = np.zeros(M, dtype=np.int64)
         np.maximum.at(regs, reg, rho)
         touched = np.flatnonzero(regs)
@@ -2587,31 +2617,9 @@ def term_counts_cms(sf_dir: str):
 
 def _overlap_sql() -> str:
     M, W = _HLL_M, _HLL_WBITS
-    pows = ", ".join(f"({k}, {1 << k})" for k in range(W))
-    h = dd.SQL_H60.format(s="s")
     A = repr(_HLL_A)
     return f"""
-    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
-    sh AS (
-      SELECT source, unnest({dd.sql_shingles('t')}) AS s
-      FROM toks WHERE len(t) >= {dd.SHINGLE_K}
-    ),
-    rw AS (SELECT source, {h} % {M} AS reg, {h} // {M} AS w FROM sh),
-    ws AS (SELECT DISTINCT source, reg, w FROM rw),
-    pows(k, p) AS (VALUES {pows}),
-    rhos AS (
-      SELECT ws.source, ws.reg, {W} - max(pows.k) AS rho
-      FROM ws JOIN pows ON pows.p <= ws.w GROUP BY ws.source, ws.reg, ws.w
-      UNION ALL
-      SELECT source, reg, {W + 1} AS rho FROM ws WHERE w = 0
-    ),
-    srcs AS (SELECT DISTINCT source FROM documents),
-    regs AS (
-      SELECT s.source, r.i AS reg, COALESCE(max(rhos.rho), 0) AS mr
-      FROM srcs s CROSS JOIN range(0, {M}) r(i)
-      LEFT JOIN rhos ON rhos.source = s.source AND rhos.reg = r.i
-      GROUP BY 1, 2
-    ),
+    WITH {_hll_chain_sql(keyed=True)},
     ssum AS (
       SELECT source,
              CAST(sum(CAST(1 AS BIGINT) << ({W + 1} - mr)) AS BIGINT) AS sc
@@ -2652,7 +2660,9 @@ def source_overlap_hll(sf_dir: str):
     sources).  Every float is a division/sum of the shared literal
     constant over integer harmonic sums, so both sides agree bit-for-bit.
 
-    Scale shape: ONE corpus pass emits ≤ |sources|·m register partials
+    Scale shape: ONE corpus pass (the only one — each batch emits every
+    batch source's register 0 as a sentinel, so even all-short-doc
+    sources reach the driver) emits ≤ |sources|·m register partials
     per block, one bounded groupby-max, and the driver does |pairs|·m
     integer max/sum work on a 20×1024 int matrix — the corpus is never
     paired against itself.  Registers merge by max, so per-shard
@@ -2663,25 +2673,26 @@ def source_overlap_hll(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["source", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        grams, parent = dd.token_shingles(t["text"])
-        if not len(grams):
+        if t.num_rows == 0:
             return _OVL_PART.empty_table()
         src_col = t["source"]
         if isinstance(src_col, pa.ChunkedArray):
             src_col = src_col.combine_chunks()
         uniq_src = pc.unique(src_col)
-        sidx = pc.index_in(src_col, value_set=uniq_src).to_numpy(
-            zero_copy_only=False
-        )[parent]
-        h = dd.hash_strings(grams)
-        reg = h % M
-        w = h >> _HLL_P
-        rho = np.full(w.size, W + 1, dtype=np.int64)
-        nz = w > 0
-        rho[nz] = W - (np.frexp(w[nz].astype(np.float64))[1] - 1)
+        grams, parent = dd.token_shingles(t["text"])
         regs = np.zeros((len(uniq_src), M), dtype=np.int64)
-        np.maximum.at(regs, (sidx, reg), rho)
-        si, ri = np.nonzero(regs)
+        if len(grams):
+            sidx = pc.index_in(src_col, value_set=uniq_src).to_numpy(
+                zero_copy_only=False
+            )[parent]
+            reg, rho = _hll_reg_rho(dd.hash_strings(grams))
+            np.maximum.at(regs, (sidx, reg), rho)
+        # register 0 is ALWAYS emitted per batch source (mx may be 0): a
+        # source whose docs all have < K tokens still reaches the driver,
+        # removing the separate source-enumeration corpus scan (review r4)
+        mask = regs != 0
+        mask[:, 0] = True
+        si, ri = np.nonzero(mask)
         return pa.table(
             {
                 "source": uniq_src.take(pa.array(si)),
@@ -2699,15 +2710,10 @@ def source_overlap_hll(sf_dir: str):
     )
     per_src: dict[str, np.ndarray] = {}
     for r in rows:
+        # every source reaches here: partials always emit its register 0
         per_src.setdefault(r["source"], np.zeros(M, dtype=np.int64))[
             int(r["reg"])
         ] = int(r["max(mx)"])
-    # sources with docs but zero shingles still get an (empty) register set
-    for s in sorted(
-        x["source"]
-        for x in docs.groupby("source").count().take_all()  # ≤ |sources|
-    ):
-        per_src.setdefault(s, np.zeros(M, dtype=np.int64))
 
     def est(regs: np.ndarray) -> float:
         return _HLL_A / float(int((np.int64(1) << (W + 1 - regs)).sum()))

@@ -5682,7 +5682,10 @@ def _snap_sql() -> str:
              CASE WHEN r = 1 THEN text || ' rev2' ELSE text END AS text
       FROM rr WHERE r != 0
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+      -- synthetic ids are NEGATIVE (-(id+1)): disjoint from ANY
+      -- non-negative corpus id space (review r4: +1000000 collided with
+      -- real ids on corpora with >= 1M documents)
+      SELECT -(doc_id + 1) AS doc_id, text || ' new' AS text
       FROM rr WHERE r = 2
     )
     SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
@@ -5698,7 +5701,8 @@ def _snap_sql() -> str:
 def snapshot_diff(sf_dir: str):
     """Corpus change-data-capture: full-outer join of snapshot A (the
     documents table) against snapshot B (~10% docs removed, ~10% text-
-    modified, ~10% new ids — synthesized by a deterministic md5 rule so
+    modified, ~10% new ids in the negative range, disjoint from any
+    non-negative corpus — synthesized by a deterministic md5 rule so
     the oracle replays it), classifying every doc id as added / removed /
     modified / unchanged by TEXT COMPARISON, never by the rule.
 
@@ -5737,7 +5741,7 @@ def snapshot_diff(sf_dir: str):
         addm = pa.array(r == 2)
         added = pa.table(
             {
-                "doc_id": pc.add(ids, pa.scalar(1_000_000, pa.int64())),
+                "doc_id": pc.negate(pc.add(ids, pa.scalar(1, pa.int64()))),
                 "text_b": pc.binary_join_element_wise(
                     text, pa.scalar("new"), " "
                 ),

@@ -1640,7 +1640,10 @@ def bigram_logprob(sf_dir: str):
     )
 
     bg = docs.map_batches(bigrams, batch_format="pyarrow", zero_copy_batch=True)
-    scored = bg.join(wt, join_type="inner", num_partitions=_jp, on=("w1", "w2"))
+    # the occurrence stream is strictly larger than the distinct-bigram
+    # table — size ITS join from both sides (review r4), not from cnt
+    _jp_bg = join_partitions(bg, wt)
+    scored = bg.join(wt, join_type="inner", num_partitions=_jp_bg, on=("w1", "w2"))
 
     _PART = pa.schema(
         [("doc_id", pa.int64()), ("sum_micronats", pa.int64()),

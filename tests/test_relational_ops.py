@@ -888,8 +888,10 @@ def test_snapshot_diff_classes(ray_session):
     assert set(df["change"]) == {"added", "removed", "modified", "unchanged"}
     assert df["doc_id"].is_unique
     added = df[df["change"] == "added"]
-    assert (added["doc_id"] >= 1_000_000).all()
+    # synthetic ids are negative — collision-free for ANY non-negative
+    # corpus id space (review r4)
+    assert (added["doc_id"] < 0).all()
     rest = df[df["change"] != "added"]
-    assert (rest["doc_id"] < 1_000_000).all()
-    # every added doc is the +1M shadow of an unchanged r==2 original
-    assert set(added["doc_id"] - 1_000_000) <= set(rest["doc_id"])
+    assert (rest["doc_id"] >= 0).all()
+    # every added doc is the -(id+1) shadow of an unchanged r==2 original
+    assert set(-added["doc_id"] - 1) <= set(rest["doc_id"])
