@@ -23,6 +23,20 @@ from .dedup import ANN_K, ANN_NQ
 
 VEC_DIM = 64        # embeddings table dim (asserted at runtime by the ops)
 QSCALE = 1 << 20    # embedding quantization: q = floor(x · 2^20)
+QSCALE_LOG2 = QSCALE.bit_length() - 1  # persisted in artifact meta.json
+
+
+def check_meta_qscale(meta: dict) -> None:
+    """Validate a persisted vector artifact's quantization constant against
+    this kernel's QSCALE (ADVICE r4: the writers used to hardcode 20, so a
+    QSCALE change would silently mis-describe externally built artifacts).
+    """
+    got = meta.get("qscale_log2", QSCALE_LOG2)
+    if int(got) != QSCALE_LOG2:
+        raise ValueError(
+            f"vector artifact built with qscale_log2={got}, "
+            f"kernel expects {QSCALE_LOG2} — rebuild the artifact"
+        )
 IVF_C = 16          # number of inverted lists (centroids)
 IVF_PROBE = 8       # lists probed per query
 

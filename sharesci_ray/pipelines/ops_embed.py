@@ -471,7 +471,7 @@ def build_vector_index(
         "n_queries": n_queries,
         "n_vectors": n_rows,
         "max_vec_id": max_id,
-        "qscale_log2": 20,
+        "qscale_log2": vx.QSCALE_LOG2,
         "updates": 0,
         # committed file set per list: readers trust THIS, not the
         # directory listing — an update that crashes after writing delta
@@ -531,6 +531,7 @@ def update_vector_index(index_dir: str, new_vectors: "ray.data.Dataset") -> dict
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    vx.check_meta_qscale(meta)
     new_vectors = new_vectors.materialize()  # two consumers: validate + write
     agg = new_vectors.aggregate(Count(), Min("vec_id"), Max("vec_id"))
     n_new = int(agg["count()"])
@@ -633,6 +634,7 @@ def query_vector_index(
     # invisible), never the directory listing
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    vx.check_meta_qscale(meta)
     paths = [
         os.path.join(index_dir, "lists", f"cid={c}", name)
         for c in probed_cids
@@ -856,7 +858,7 @@ def build_lsh_index(
         "n_vectors": n_rows,
         "tables": vx.LSH_TABLES,
         "planes": vx.LSH_PLANES,
-        "qscale_log2": 20,
+        "qscale_log2": vx.QSCALE_LOG2,
         "files": files,
     }
     _write_meta(tmp, meta)
@@ -878,6 +880,7 @@ def query_lsh_index(
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    vx.check_meta_qscale(meta)
     q_t = pq.read_table(os.path.join(index_dir, "queries.parquet"))
     q_ids = q_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     q_raw = _embedding_matrix(q_t)
@@ -957,11 +960,18 @@ def _artifact_for(cache: dict, prefix: str, build, sf_dir: str) -> str:
     the IVF / LSH / IVF×PQ caches (review r4: the 10-line cache recipe
     was maintained in three places).  The /tmp name is salted with a
     source fingerprint over this module + both kernel modules, so ANY
-    kernel edit invalidates stale artifacts; ``build(sf_dir, out)``
-    commits atomically (tmp dir + rename) before the cache records it."""
+    kernel edit invalidates stale artifacts.
+
+    Cross-process safety (ADVICE r4): two concurrent runs on one machine
+    resolve the same fingerprinted path, so the build happens in a
+    per-PID stage dir and the ONLY publish step is an atomic rename —
+    never an rmtree of the shared destination.  If another process
+    published meanwhile, the loser discards its stage and reads the
+    winner's artifact (identical by construction: same fingerprint)."""
     if sf_dir in cache:
         return cache[sf_dir]
     import inspect
+    import shutil
     import sys
 
     src = (
@@ -972,7 +982,16 @@ def _artifact_for(cache: dict, prefix: str, build, sf_dir: str) -> str:
     tag = hashlib.sha256(f"{prefix}:{sf_dir}:{src}".encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"sharesci_{prefix}_{tag}")
     if not os.path.exists(os.path.join(out, "meta.json")):
-        build(sf_dir, out)
+        stage = f"{out}.stage.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        build(sf_dir, stage)
+        if os.path.exists(os.path.join(out, "meta.json")):
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race; reuse winner
+        else:
+            try:
+                os.rename(stage, out)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)  # raced on the rename
     cache[sf_dir] = out
     return out
 
@@ -1029,6 +1048,7 @@ class VectorScorerActor:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
+        vx.check_meta_qscale(self.meta)
         cent_t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
         self.cent_q = _quantize(
             _embedding_matrix(cent_t.rename_columns(["vec_id", "embedding"]))
@@ -1696,7 +1716,7 @@ def build_pq_index(
         "n_vectors": int(n_rows),
         "pq_m": vx.PQ_M,
         "pq_k": vx.PQ_K,
-        "qscale_log2": 20,
+        "qscale_log2": vx.QSCALE_LOG2,
         "files": _list_files(tmp, "codes"),
     }
     _write_meta(tmp, meta)
@@ -1720,6 +1740,7 @@ def query_pq_index(
     q_t = pqt.read_table(os.path.join(index_dir, "queries.parquet"))
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    vx.check_meta_qscale(meta)
     M, K, SUB = int(meta["pq_m"]), int(meta["pq_k"]), vx.PQ_SUB
 
     cb = np.zeros((M, K, SUB), np.int64)

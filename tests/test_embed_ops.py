@@ -574,3 +574,29 @@ def test_build_pq_index_crash_safe_and_overwrites(ray_session, tmp_path):
     os.remove(os.path.join(out, "meta.json"))
     with _pytest.raises(FileNotFoundError):
         query_pq_index(out)
+
+
+def test_query_rejects_foreign_qscale(ray_session, tmp_path):
+    """ADVICE r4: meta.json carries the quantization constant derived from
+    the kernel (not a hardcoded literal), and every artifact reader
+    validates it — an artifact built under a different QSCALE must be
+    refused, not silently mis-scored."""
+    import json
+    import os
+
+    import pytest
+
+    from sharesci_ray.functions import vectors as vx
+    from sharesci_ray.pipelines.ops_embed import build_vector_index, query_vector_index
+    from sharesci_ray.sources.corpus import read_table
+
+    emb = read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+    out = str(tmp_path / "vidx_qs")
+    build_vector_index(emb, out)
+    mp = os.path.join(out, "meta.json")
+    meta = json.load(open(mp))
+    assert meta["qscale_log2"] == vx.QSCALE_LOG2  # derived, not hardcoded
+    meta["qscale_log2"] = vx.QSCALE_LOG2 + 1
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="qscale"):
+        query_vector_index(out)

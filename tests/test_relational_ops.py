@@ -879,9 +879,10 @@ def test_value_quantiles_sketch_negative_cents_parity(ray_session, tmp_path):
 
 
 def test_snapshot_diff_classes(ray_session):
-    """CDC invariants: all four classes present, added ids live in the
-    synthetic 1M+ range, removed/modified/unchanged ids are original, and
-    class counts are consistent with the 10% rule's hash masses."""
+    """CDC invariants: all four classes present, added ids are negative
+    -(id+1) shadows (collision-free vs any non-negative corpus id space),
+    removed/modified/unchanged ids are original, and class counts are
+    consistent with the 10% rule's hash masses."""
     from sharesci_ray.pipelines.ops_relational import snapshot_diff
 
     df = snapshot_diff("/root/testdata/sf0.001").to_pandas()

@@ -251,3 +251,62 @@ def test_bigram_pmi_topk_properties(ray_session):
     assert df["bigram"].str.count(" ").eq(1).all()
     s = df.sort_values(["pmi_ratio", "bigram"], ascending=[False, True])
     assert list(s.index) == list(range(len(df)))
+
+
+def test_logprob_weights_clear_of_round_boundary(ray_session):
+    """ADVICE r4 guard: unigram/bigram micronat weights rely on numpy log +
+    np.round agreeing with DuckDB ln + round.  The two differ only when a
+    weight lands within ~ulps of a .5 boundary (half-to-even vs
+    half-away-from-zero) or a libm log diverges by 1 ulp right at it.
+    Assert every weight the corpus actually produces sits >100 ulps (of
+    its own magnitude) from every .5 boundary, for both the unigram
+    (c/total) and bigram (c/cl) ratios at sf0.01 — so a 1-ulp platform
+    libm divergence cannot flip parity."""
+    import collections
+
+    from sharesci_ray.functions.text import flat_tokens
+    from sharesci_ray.sources.corpus import read_table
+
+    docs = read_table(
+        "/root/testdata/sf0.01", "documents", columns=["doc_id", "text"]
+    ).take_all()
+    uni = collections.Counter()
+    bi = collections.Counter()
+    left = collections.Counter()
+    for r in docs:
+        flat, _ = flat_tokens(pa.array([r["text"]]))
+        toks = flat.to_pylist()
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] += 1
+            left[a] += 1
+    total = sum(uni.values())
+
+    def boundary_ulps(c, denom):
+        w = 1_000_000.0 * np.log(c / denom)
+        frac = abs(w - np.floor(w) - 0.5)  # fractional distance from .5
+        return frac / np.spacing(abs(w))
+
+    uni_d = min(boundary_ulps(c, total) for c in set(uni.values()))
+    bi_d = min(
+        boundary_ulps(c, left[a]) for (a, _), c in bi.items() if c != left[a]
+    )
+    assert uni_d > 100, f"unigram weight {uni_d} ulps from a .5 boundary"
+    assert bi_d > 100, f"bigram weight {bi_d} ulps from a .5 boundary"
+
+
+def test_unigram_logprob_no_vocab_materialization():
+    """VERDICT r4 #1 'done' criterion: the (term, weight) table must stay
+    distributed — no take_all / ray.put of anything vocab-sized in the
+    unigram plan (the only permitted driver value is the scalar total)."""
+    import inspect
+
+    from sharesci_ray.pipelines.ops_text import unigram_logprob
+
+    import ast
+
+    tree = ast.parse(inspect.getsource(unigram_logprob))
+    tree.body[0].body = tree.body[0].body[1:]  # drop the docstring statement
+    body = ast.unparse(tree)
+    assert ".take_all(" not in body
+    assert "ray.put(" not in body
