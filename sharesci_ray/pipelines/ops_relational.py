@@ -3731,16 +3731,16 @@ def min_cost_supplier(sf_dir: str):
     min subquery, computed as argmin-per-group + equality join-back
     (all ties kept, like Q2).
 
-    Plan: supplier⋈nation⋈region collapses to a driver keyset (dimension
-    tables); the part filter collapses to a driver {key: name} map over
-    the ~1/12-filtered part dimension (at extreme |part| switch this
-    broadcast to a hash join — same trade as every broadcast op here).
-    ONE lineitem pass: is_in filters at the scan, per-batch
-    (part, supplier) min partials, one bounded groupby-min, then the
-    argmin join-back runs inside per-part map_groups.  Only
-    |offers| <= |filtered parts| x |region suppliers| rows ever shuffle.
-    """
-    from .util import drop_empty_blocks
+    Plan (size-gated, VERDICT r4 #2): the region's supplier set and the
+    type/size-filtered part dimension are scale-proportional, so both
+    route through util.fetch_if_small.  Under the broadcast cap they are
+    driver maps (is_in pruning at the scan + O(1) name/acctbal lookups);
+    over it, the (part, supplier) min partials hash-join BOTH dimensions
+    natively — the region/type filters then apply at the join, and the
+    final ORDER BY/LIMIT runs as a distributed sort+limit.  Either way
+    only |offers| <= |filtered parts| x |region suppliers| rows ever
+    shuffle, and the argmin join-back runs inside per-part map_groups."""
+    from .util import drop_empty_blocks, fetch_if_small, join_partitions
 
     nat = {
         int(r["n_nationkey"]): int(r["n_regionkey"])
@@ -3748,45 +3748,77 @@ def min_cost_supplier(sf_dir: str):
             sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]
         ).take_all()
     }
-    regions = {
-        int(r["r_regionkey"]): r["r_name"]
-        for r in read_table(sf_dir, "region").take_all()
-    }
-    supp = {
-        int(r["s_suppkey"]): (r["s_name"], float(r["s_acctbal"]))
-        for r in read_table(
-            sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]
-        ).take_all()
-        if regions[nat[int(r["s_nationkey"])]] == _Q2_REGION
-    }
-    parts = {
-        int(r["p_partkey"]): r["p_name"]
-        for r in read_table(
+    region_nat_keys = pa.array(
+        sorted(
+            k for k, rk in nat.items()
+            if {
+                int(r["r_regionkey"]): r["r_name"]
+                for r in read_table(sf_dir, "region").take_all()
+            }[rk] == _Q2_REGION
+        ),
+        pa.int64(),
+    )
+
+    _SUPP = pa.schema(
+        [("l_suppkey", pa.int64()), ("s_name", pa.string()),
+         ("s_acctbal", pa.float64())]
+    )
+    supp_tbl, supp_ds = fetch_if_small(
+        read_table(
+            sf_dir, "supplier",
+            columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+        ).map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["s_nationkey"], value_set=region_nat_keys)
+            )
+            .select(["s_suppkey", "s_name", "s_acctbal"])
+            .rename_columns(["l_suppkey", "s_name", "s_acctbal"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        _SUPP,
+    )
+    _PNAME = pa.schema([("l_partkey", pa.int64()), ("p_name", pa.string())])
+    part_tbl, part_ds = fetch_if_small(
+        read_table(
             sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size"]
-        )
-        .map_batches(
+        ).map_batches(
             lambda t: t.filter(
                 pc.and_(
                     pc.equal(t["p_type"], _Q2_TYPE),
                     pc.less_equal(t["p_size"], _Q2_MAX_SIZE),
                 )
-            ).select(["p_partkey", "p_name"]),
+            )
+            .select(["p_partkey", "p_name"])
+            .rename_columns(["l_partkey", "p_name"]),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
-        .take_all()  # filtered part dimension — driver-safe at tested scales
-    }
+        ),
+        _PNAME,
+    )
 
     _OUT = pa.schema(
         [("s_acctbal", pa.float64()), ("s_name", pa.string()),
          ("p_partkey", pa.int64()), ("p_name", pa.string()),
          ("cost_e2", pa.int64())]
     )
-    if not supp or not parts:
-        return _OUT.empty_table()
-
-    supp_keys = pa.array(sorted(supp), pa.int64())
-    part_keys = pa.array(sorted(parts), pa.int64())
+    broadcast = supp_tbl is not None and part_tbl is not None
+    if broadcast:
+        if supp_tbl.num_rows == 0 or part_tbl.num_rows == 0:
+            return _OUT.empty_table()
+        supp = {
+            int(k): (n, float(b))
+            for k, n, b in zip(
+                supp_tbl["l_suppkey"].to_pylist(),
+                supp_tbl["s_name"].to_pylist(),
+                supp_tbl["s_acctbal"].to_pylist(),
+            )
+        }
+        parts = dict(
+            zip(part_tbl["l_partkey"].to_pylist(), part_tbl["p_name"].to_pylist())
+        )
+        supp_keys = pa.array(sorted(supp), pa.int64())
+        part_keys = pa.array(sorted(parts), pa.int64())
 
     _PART = pa.schema(
         [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
@@ -3794,25 +3826,27 @@ def min_cost_supplier(sf_dir: str):
     )
 
     def offer_partial(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.is_in(t["l_partkey"], value_set=part_keys),
-            pc.is_in(t["l_suppkey"], value_set=supp_keys),
-        )
-        k = t.filter(m)
-        if k.num_rows == 0:
+        if broadcast:
+            t = t.filter(
+                pc.and_(
+                    pc.is_in(t["l_partkey"], value_set=part_keys),
+                    pc.is_in(t["l_suppkey"], value_set=supp_keys),
+                )
+            )
+        if t.num_rows == 0:
             return _PART.empty_table()
         g = (
             pa.table(
                 {
-                    "l_partkey": k["l_partkey"],
-                    "l_suppkey": k["l_suppkey"],
-                    "cost_e2": _cents(k["l_extendedprice"]),
+                    "l_partkey": t["l_partkey"],
+                    "l_suppkey": t["l_suppkey"],
+                    "cost_e2": _cents(t["l_extendedprice"]),
                 }
             )
             .group_by(["l_partkey", "l_suppkey"])
             .aggregate([("cost_e2", "min")])
         )
-        return g.rename_columns(["l_partkey", "l_suppkey", "cost_e2"])
+        return g.rename_columns(["l_partkey", "l_suppkey", "cost_e2"]).cast(_PART)
 
     offers = (
         read_table(
@@ -3823,9 +3857,32 @@ def min_cost_supplier(sf_dir: str):
         .groupby(["l_partkey", "l_suppkey"])
         .min("cost_e2")
     )
+    if not broadcast:
+        # inner-join semantics: an empty dimension means an empty result
+        if part_ds.count() == 0 or supp_ds.count() == 0:
+            return _OUT.empty_table()
+        # dimension filters arrive via native hash joins BEFORE the argmin
+        # (the min must range over region suppliers x filtered parts only)
+        _MIN = pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("min(cost_e2)", pa.int64())]
+        )
+        offers = drop_empty_blocks(offers, _MIN)
+        offers = offers.join(
+            part_ds, join_type="inner",
+            num_partitions=join_partitions(offers, part_ds), on=("l_partkey",),
+        )
+        offers = drop_empty_blocks(
+            offers, _MIN.append(pa.field("p_name", pa.string()))
+        )
+        offers = offers.join(
+            supp_ds, join_type="inner",
+            num_partitions=join_partitions(offers, supp_ds), on=("l_suppkey",),
+        )
 
     _WIN = pa.schema(
-        [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+        [("s_acctbal", pa.float64()), ("s_name", pa.string()),
+         ("p_partkey", pa.int64()), ("p_name", pa.string()),
          ("cost_e2", pa.int64())]
     )
 
@@ -3833,12 +3890,30 @@ def min_cost_supplier(sf_dir: str):
         if group.num_rows == 0:
             return _WIN.empty_table()
         cost = group["min(cost_e2)"]
-        best = pc.min(cost)
-        k = group.filter(pc.equal(cost, best))
+        k = group.filter(pc.equal(cost, pc.min(cost)))
+        if broadcast:
+            sk = k["l_suppkey"].to_pylist()
+            return pa.table(
+                {
+                    "s_acctbal": pa.array(
+                        [supp[int(s)][1] for s in sk], pa.float64()
+                    ),
+                    "s_name": pa.array([supp[int(s)][0] for s in sk], pa.string()),
+                    "p_partkey": k["l_partkey"],
+                    "p_name": pa.array(
+                        [parts[int(p)] for p in k["l_partkey"].to_pylist()],
+                        pa.string(),
+                    ),
+                    "cost_e2": k["min(cost_e2)"],
+                },
+                schema=_WIN,
+            )
         return pa.table(
             {
-                "l_partkey": k["l_partkey"],
-                "l_suppkey": k["l_suppkey"],
+                "s_acctbal": k["s_acctbal"],
+                "s_name": k["s_name"],
+                "p_partkey": k["l_partkey"],
+                "p_name": k["p_name"],
                 "cost_e2": k["min(cost_e2)"],
             },
             schema=_WIN,
@@ -3847,34 +3922,27 @@ def min_cost_supplier(sf_dir: str):
     winners = (
         offers.groupby("l_partkey")
         .map_groups(argmin, batch_format="pyarrow")
-        .take_all()  # <= |filtered parts| x ties — bounded
+        .sort(
+            ["s_acctbal", "p_partkey", "s_name"],
+            descending=[True, False, False],
+        )
+        .limit(_Q2_TOPN)
+        .take_all()  # exactly the top-N rows — bounded
     )
     if not winners:
         return _OUT.empty_table()
-    out = pa.table(
+    return pa.table(
         {
-            "s_acctbal": pa.array(
-                [supp[int(w["l_suppkey"])][1] for w in winners], pa.float64()
-            ),
-            "s_name": pa.array(
-                [supp[int(w["l_suppkey"])][0] for w in winners], pa.string()
-            ),
+            "s_acctbal": pa.array([w["s_acctbal"] for w in winners], pa.float64()),
+            "s_name": pa.array([w["s_name"] for w in winners], pa.string()),
             "p_partkey": pa.array(
-                [int(w["l_partkey"]) for w in winners], pa.int64()
+                [int(w["p_partkey"]) for w in winners], pa.int64()
             ),
-            "p_name": pa.array(
-                [parts[int(w["l_partkey"])] for w in winners], pa.string()
-            ),
+            "p_name": pa.array([w["p_name"] for w in winners], pa.string()),
             "cost_e2": pa.array([int(w["cost_e2"]) for w in winners], pa.int64()),
         },
         schema=_OUT,
     )
-    idx = pc.sort_indices(
-        out,
-        sort_keys=[("s_acctbal", "descending"), ("p_partkey", "ascending"),
-                   ("s_name", "ascending")],
-    )
-    return out.take(idx[:_Q2_TOPN])
 
 
 # ---------------------------------------------------------------------------
@@ -3912,14 +3980,18 @@ def product_profit(sf_dir: str):
     """TPC-H Q9 shape: profit on a product line, by supplier nation and
     order year.
 
-    Plan: part filters by name-substring to a broadcast {key: retail
-    cents} map; supplier+nation collapse to a {suppkey: nation} driver
-    map (dimension tables).  ONE lineitem pass computes per-row exact
-    profit and pre-aggregates to (l_orderkey, nation) partials, so the
-    only big join (with orders, for the year) sees order-granularity
-    rows; a second partial collapses to (nation, year) before the final
-    tiny groupby."""
-    from .util import drop_empty_blocks, join_partitions
+    Plan (size-gated, VERDICT r4 #2): the name-filtered part table and
+    the full supplier dimension are scale-proportional, so both route
+    through util.fetch_if_small.  Under the broadcast cap: {part: retail
+    cents} and {suppkey: nation} driver maps, ONE lineitem pass computes
+    per-row exact profit and pre-aggregates to (l_orderkey, nation)
+    partials.  Over it: per-batch partials keep (l_partkey, l_suppkey)
+    and the revenue/quantity components separately, then native hash
+    joins bring in part cost and supplier nation — nothing
+    dimension-sized on the driver.  Either way the only big join (with
+    orders, for the year) sees order-granularity rows; a second partial
+    collapses to (nation, year) before the final tiny groupby."""
+    from .util import drop_empty_blocks, fetch_if_small, join_partitions
 
     nation_names = {
         int(r["n_nationkey"]): r["n_name"]
@@ -3927,77 +3999,204 @@ def product_profit(sf_dir: str):
             sf_dir, "nation", columns=["n_nationkey", "n_name"]
         ).take_all()
     }
-    supp_rows = read_table(
-        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
-    ).take_all()
-    supp_keys = pa.array([int(r["s_suppkey"]) for r in supp_rows], pa.int64())
-    supp_nation = pa.array(
-        [nation_names[int(r["s_nationkey"])] for r in supp_rows], pa.string()
+    nat_keys = pa.array(sorted(nation_names), pa.int64())
+    nat_names_sorted = pa.array(
+        [nation_names[int(k)] for k in nat_keys.to_pylist()], pa.string()
     )
-    part_rows = (
-        read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
-        .map_batches(
-            lambda t: t.filter(
-                pc.match_substring(t["p_name"], _Q9_NAME_SUBSTR)
-            ).select(["p_partkey", "p_retailprice"]),
+
+    _SUPP = pa.schema([("l_suppkey", pa.int64()), ("nation", pa.string())])
+    supp_tbl, supp_ds = fetch_if_small(
+        read_table(
+            sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                    "nation": pc.take(
+                        nat_names_sorted,
+                        pc.index_in(t["s_nationkey"], value_set=nat_keys),
+                    ),
+                },
+                schema=_SUPP,
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
-        .take_all()  # name-filtered part dimension — driver-safe
+        ),
+        _SUPP,
+    )
+    _PCOST = pa.schema([("l_partkey", pa.int64()), ("cost_e2", pa.int64())])
+    part_tbl, part_ds = fetch_if_small(
+        read_table(
+            sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]
+        ).map_batches(
+            lambda t: (
+                lambda k: pa.table(
+                    {
+                        "l_partkey": pc.cast(k["p_partkey"], pa.int64()),
+                        "cost_e2": _cents(k["p_retailprice"]),
+                    },
+                    schema=_PCOST,
+                )
+            )(t.filter(pc.match_substring(t["p_name"], _Q9_NAME_SUBSTR))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        _PCOST,
     )
     _OUT = pa.schema(
         [("nation", pa.string()), ("o_year", pa.int64()),
          ("profit_e4", pa.int64())]
     )
-    if not part_rows:
-        return _OUT.empty_table()
-    part_keys = pa.array([int(r["p_partkey"]) for r in part_rows], pa.int64())
-    part_cost = pa.array(
-        [int(round(float(r["p_retailprice"]) * 100)) for r in part_rows],
-        pa.int64(),
-    )
-
+    broadcast = supp_tbl is not None and part_tbl is not None
     _LPART = pa.schema(
         [("l_orderkey", pa.int64()), ("nation", pa.string()),
          ("profit_e4", pa.int64())]
     )
 
-    def li_partial(t: pa.Table) -> pa.Table:
-        k = t.filter(pc.is_in(t["l_partkey"], value_set=part_keys))
-        if k.num_rows == 0:
-            return _LPART.empty_table()
-        cents = _cents(k["l_extendedprice"]).to_numpy(zero_copy_only=False)
-        disc = _cents(k["l_discount"]).to_numpy(zero_copy_only=False)
-        qty = (
-            pc.cast(pc.round(k["l_quantity"]), pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        cost = (
-            pc.take(part_cost, pc.index_in(k["l_partkey"], value_set=part_keys))
-            .to_numpy(zero_copy_only=False)
-        )
-        profit = cents * (100 - disc) - cost * qty * 100
-        nation = pc.take(
-            supp_nation, pc.index_in(k["l_suppkey"], value_set=supp_keys)
-        )
-        g = (
-            pa.table(
-                {
-                    "l_orderkey": k["l_orderkey"],
-                    "nation": nation,
-                    "profit_e4": pa.array(profit, pa.int64()),
-                }
-            )
-            .group_by(["l_orderkey", "nation"])
-            .aggregate([("profit_e4", "sum")])
-        )
-        return g.rename_columns(["l_orderkey", "nation", "profit_e4"])
+    if broadcast:
+        if part_tbl.num_rows == 0:
+            return _OUT.empty_table()
+        supp_keys = supp_tbl["l_suppkey"].combine_chunks()
+        supp_nation = supp_tbl["nation"].combine_chunks()
+        part_keys = part_tbl["l_partkey"].combine_chunks()
+        part_cost = part_tbl["cost_e2"].combine_chunks()
 
-    li_agg = read_table(
-        sf_dir, "lineitem",
-        columns=["l_orderkey", "l_partkey", "l_suppkey",
-                 "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        def li_partial(t: pa.Table) -> pa.Table:
+            k = t.filter(pc.is_in(t["l_partkey"], value_set=part_keys))
+            if k.num_rows == 0:
+                return _LPART.empty_table()
+            cents = _cents(k["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            disc = _cents(k["l_discount"]).to_numpy(zero_copy_only=False)
+            qty = (
+                pc.cast(pc.round(k["l_quantity"]), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            cost = (
+                pc.take(part_cost, pc.index_in(k["l_partkey"], value_set=part_keys))
+                .to_numpy(zero_copy_only=False)
+            )
+            profit = cents * (100 - disc) - cost * qty * 100
+            nation = pc.take(
+                supp_nation, pc.index_in(k["l_suppkey"], value_set=supp_keys)
+            )
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": k["l_orderkey"],
+                        "nation": nation,
+                        "profit_e4": pa.array(profit, pa.int64()),
+                    }
+                )
+                .group_by(["l_orderkey", "nation"])
+                .aggregate([("profit_e4", "sum")])
+            )
+            return g.rename_columns(["l_orderkey", "nation", "profit_e4"])
+
+        li_agg = read_table(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_quantity", "l_extendedprice", "l_discount"],
+        ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # inner-join semantics: no filtered parts means an empty result
+        if part_ds.count() == 0 or supp_ds.count() == 0:
+            return _OUT.empty_table()
+        # join plan: component partials keyed by (order, part, supp), then
+        # part cost and supplier nation arrive via native hash joins
+        _CPART = pa.schema(
+            [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+             ("l_suppkey", pa.int64()), ("rev_e4", pa.int64()),
+             ("qty", pa.int64())]
+        )
+
+        def comp_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _CPART.empty_table()
+            cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+            disc = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+            qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "l_partkey": t["l_partkey"],
+                        "l_suppkey": t["l_suppkey"],
+                        "rev_e4": pa.array(cents * (100 - disc), pa.int64()),
+                        "qty": qty,
+                    }
+                )
+                .group_by(["l_orderkey", "l_partkey", "l_suppkey"])
+                .aggregate([("rev_e4", "sum"), ("qty", "sum")])
+            )
+            return g.rename_columns(
+                ["l_orderkey", "l_partkey", "l_suppkey", "rev_e4", "qty"]
+            ).cast(_CPART)
+
+        comp = drop_empty_blocks(
+            read_table(
+                sf_dir, "lineitem",
+                columns=["l_orderkey", "l_partkey", "l_suppkey",
+                         "l_quantity", "l_extendedprice", "l_discount"],
+            ).map_batches(comp_partial, batch_format="pyarrow", zero_copy_batch=True),
+            _CPART,
+        )
+        with_part = comp.join(
+            part_ds, join_type="inner",
+            num_partitions=join_partitions(comp, part_ds), on=("l_partkey",),
+        )
+        _JPART = pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("profit_e4", pa.int64())]
+        )
+
+        def profit_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _JPART.empty_table()
+            rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+            qty = t["qty"].to_numpy(zero_copy_only=False)
+            cost = t["cost_e2"].to_numpy(zero_copy_only=False)
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "l_suppkey": t["l_suppkey"],
+                        "profit_e4": pa.array(rev - cost * qty * 100, pa.int64()),
+                    }
+                )
+                .group_by(["l_orderkey", "l_suppkey"])
+                .aggregate([("profit_e4", "sum")])
+            )
+            return g.rename_columns(
+                ["l_orderkey", "l_suppkey", "profit_e4"]
+            ).cast(_JPART)
+
+        prof = drop_empty_blocks(
+            with_part.map_batches(
+                profit_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            _JPART,
+        )
+        with_nation = prof.join(
+            supp_ds, join_type="inner",
+            num_partitions=join_partitions(prof, supp_ds), on=("l_suppkey",),
+        )
+
+        def nation_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _LPART.empty_table()
+            g = (
+                t.select(["l_orderkey", "nation", "profit_e4"])
+                .group_by(["l_orderkey", "nation"])
+                .aggregate([("profit_e4", "sum")])
+            )
+            return g.rename_columns(
+                ["l_orderkey", "nation", "profit_e4"]
+            ).cast(_LPART)
+
+        li_agg = with_nation.map_batches(
+            nation_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     li_agg = drop_empty_blocks(li_agg, _LPART)
     if li_agg.count() == 0:
         return _OUT.empty_table()
@@ -4236,12 +4435,17 @@ def window_heavy_suppliers(sf_dir: str):
     one bounded groupby + an integer comparison (qty_window*6 >
     qty_total; no fraction on either side).
 
-    Plan: part name-filter and the nation's supplier set are driver
-    keysets; since the predicate is per-supplier, the nation filter is
-    pushed BEFORE the aggregate (same result, 1/25 of the rows); one
-    lineitem pass, per-batch two conditional sums, final groupby
-    bounded by the nation's supplier count."""
+    Plan (size-gated, VERDICT r4 #2): the part name-filter and the
+    nation's supplier set are scale-proportional, so each is routed
+    through util.fetch_if_small — under the broadcast cap they become
+    driver keysets (is_in pruning at the scan; the nation filter pushed
+    BEFORE the aggregate); over it, the per-batch conditional-sum
+    partials hash-join BOTH dimensions natively and nothing
+    dimension-sized ever reaches the driver.  Either way: one lineitem
+    pass, final groupby bounded by the nation's supplier count."""
     import datetime as _dt
+
+    from .util import drop_empty_blocks, fetch_if_small, join_partitions
 
     nat_key = {
         r["n_name"]: int(r["n_nationkey"])
@@ -4249,89 +4453,151 @@ def window_heavy_suppliers(sf_dir: str):
             sf_dir, "nation", columns=["n_nationkey", "n_name"]
         ).take_all()
     }[_Q20_NATION]
-    supp = {
-        int(r["s_suppkey"]): r["s_name"]
-        for r in read_table(
+
+    _SUPP = pa.schema([("l_suppkey", pa.int64()), ("s_name", pa.string())])
+    supp_tbl, supp_ds = fetch_if_small(
+        read_table(
             sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
-        ).take_all()
-        if int(r["s_nationkey"]) == nat_key
-    }
-    part_keys = pa.array(
-        sorted(
-            int(r["p_partkey"])
-            for r in read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
-            .map_batches(
-                lambda t: t.filter(
-                    pc.match_substring(t["p_name"], _Q20_NAME_SUBSTR)
-                ).select(["p_partkey"]),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .take_all()  # name-filtered part dimension — driver-safe
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["s_nationkey"], nat_key))
+            .select(["s_suppkey", "s_name"])
+            .rename_columns(["l_suppkey", "s_name"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         ),
-        pa.int64(),
+        _SUPP,
+    )
+    _PKEY = pa.schema([("l_partkey", pa.int64())])
+    part_tbl, part_ds = fetch_if_small(
+        read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+            lambda t: t.filter(
+                pc.match_substring(t["p_name"], _Q20_NAME_SUBSTR)
+            )
+            .select(["p_partkey"])
+            .rename_columns(["l_partkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        _PKEY,
     )
     _OUT = pa.schema(
         [("s_name", pa.string()), ("qty_window", pa.int64()),
          ("qty_total", pa.int64())]
     )
-    if not supp or len(part_keys) == 0:
-        return _OUT.empty_table()
-    supp_keys = pa.array(sorted(supp), pa.int64())
     lo = _dt.datetime.fromisoformat(_Q20_LO)
     hi = _dt.datetime.fromisoformat(_Q20_HI)
+    broadcast = supp_tbl is not None and part_tbl is not None
+    if broadcast:
+        if supp_tbl.num_rows == 0 or part_tbl.num_rows == 0:
+            return _OUT.empty_table()
+        supp = dict(
+            zip(supp_tbl["l_suppkey"].to_pylist(), supp_tbl["s_name"].to_pylist())
+        )
+        supp_keys = pa.array(sorted(supp), pa.int64())
+        part_keys = pa.array(
+            sorted(part_tbl["l_partkey"].to_pylist()), pa.int64()
+        )
 
     _PART = pa.schema(
-        [("l_suppkey", pa.int64()), ("qty_window", pa.int64()),
-         ("qty_total", pa.int64())]
+        [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("qty_window", pa.int64()), ("qty_total", pa.int64())]
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        k = t.filter(
-            pc.and_(
-                pc.is_in(t["l_partkey"], value_set=part_keys),
-                pc.is_in(t["l_suppkey"], value_set=supp_keys),
+        if broadcast:
+            t = t.filter(
+                pc.and_(
+                    pc.is_in(t["l_partkey"], value_set=part_keys),
+                    pc.is_in(t["l_suppkey"], value_set=supp_keys),
+                )
             )
-        )
-        if k.num_rows == 0:
+        if t.num_rows == 0:
             return _PART.empty_table()
-        qty = pc.cast(pc.round(k["l_quantity"]), pa.int64())
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
         in_win = pc.cast(
             pc.and_(
-                pc.greater_equal(k["l_shipdate"], pa.scalar(lo)),
-                pc.less(k["l_shipdate"], pa.scalar(hi)),
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
             ),
             pa.int64(),
         )
         g = (
             pa.table(
                 {
-                    "l_suppkey": k["l_suppkey"],
+                    "l_partkey": t["l_partkey"],
+                    "l_suppkey": t["l_suppkey"],
                     "qty_window": pc.multiply(qty, in_win),
                     "qty_total": qty,
                 }
             )
-            .group_by(["l_suppkey"])
+            .group_by(["l_partkey", "l_suppkey"])
             .aggregate([("qty_window", "sum"), ("qty_total", "sum")])
         )
-        return g.rename_columns(["l_suppkey", "qty_window", "qty_total"])
+        return g.rename_columns(
+            ["l_partkey", "l_suppkey", "qty_window", "qty_total"]
+        ).cast(_PART)
 
-    rows = (
-        read_table(
-            sf_dir, "lineitem",
-            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    if not broadcast:
+        # inner-join semantics: an empty dimension means an empty result
+        if part_ds.count() == 0 or supp_ds.count() == 0:
+            return _OUT.empty_table()
+        # native hash joins: part keys prune, then the supplier names ride
+        li = drop_empty_blocks(li, _PART)
+        li = li.join(
+            part_ds, join_type="inner",
+            num_partitions=join_partitions(li, part_ds), on=("l_partkey",),
         )
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _SPART = pa.schema(
+        [("l_suppkey", pa.int64()), ("qty_window", pa.int64()),
+         ("qty_total", pa.int64())]
+    )
+
+    def resum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SPART.empty_table()
+        g = (
+            t.select(["l_suppkey", "qty_window", "qty_total"])
+            .group_by("l_suppkey")
+            .aggregate([("qty_window", "sum"), ("qty_total", "sum")])
+        )
+        return g.rename_columns(
+            ["l_suppkey", "qty_window", "qty_total"]
+        ).cast(_SPART)
+
+    agg = (
+        li.map_batches(resum, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("l_suppkey")
         .aggregate(*_sum_cols("qty_window", "qty_total"))
-        .take_all()  # <= the nation's supplier count — bounded
     )
-    keep = [
-        (supp[int(r["l_suppkey"])], int(r["sum(qty_window)"]),
-         int(r["sum(qty_total)"]))
-        for r in rows
-        if int(r["sum(qty_window)"]) * 6 > int(r["sum(qty_total)"])
-    ]
+    if broadcast:
+        rows = agg.take_all()  # <= the nation's supplier count — bounded
+        keep = [
+            (supp[int(r["l_suppkey"])], int(r["sum(qty_window)"]),
+             int(r["sum(qty_total)"]))
+            for r in rows
+            if int(r["sum(qty_window)"]) * 6 > int(r["sum(qty_total)"])
+        ]
+    else:
+        _AGG = pa.schema(
+            [("l_suppkey", pa.int64()), ("sum(qty_window)", pa.int64()),
+             ("sum(qty_total)", pa.int64())]
+        )
+        agg = drop_empty_blocks(agg, _AGG)
+        named = agg.join(
+            supp_ds, join_type="inner",
+            num_partitions=join_partitions(agg, supp_ds), on=("l_suppkey",),
+        )
+        keep = [
+            (r["s_name"], int(r["sum(qty_window)"]), int(r["sum(qty_total)"]))
+            for r in named.take_all()  # <= the nation's supplier count
+            if int(r["sum(qty_window)"]) * 6 > int(r["sum(qty_total)"])
+        ]
     keep.sort()
     return pa.table(
         {

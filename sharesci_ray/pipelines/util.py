@@ -75,3 +75,34 @@ def drop_empty_blocks(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Datas
     if not refs:
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(refs)
+
+
+# Broadcast-vs-join gate for filtered dimension tables (VERDICT r4 #2).
+# Monkeypatch to 0 in tests to force every caller onto its join plan.
+BROADCAST_CAP_BYTES = 32 << 20
+
+
+def fetch_if_small(
+    ds: ray.data.Dataset, schema: pa.Schema, cap: int | None = None
+) -> tuple[pa.Table | None, ray.data.Dataset]:
+    """Size-gate a (possibly filtered) dimension: ``(table, ds)`` when its
+    exact materialized size is under the broadcast cap — the caller may
+    bring the table to the driver (is_in scan pruning, O(1) lookup maps) —
+    else ``(None, ds)`` and the caller must hash-join the returned
+    distributed dataset instead.
+
+    The decision uses the MATERIALIZED size from block metadata (filter
+    selectivity is measured, never guessed; no block reaches the driver
+    for the check), and the materialized blocks are reused by whichever
+    plan runs.  The returned dataset is healed of schema-less empty
+    blocks so it is always join-safe."""
+    mat = drop_empty_blocks(ds.materialize(), schema)
+    limit = BROADCAST_CAP_BYTES if cap is None else cap
+    if mat.materialize().size_bytes() < limit:
+        import ray as _ray
+
+        tbl = pa.concat_tables(
+            _ray.get(mat.to_arrow_refs()), promote_options="default"
+        )
+        return tbl.combine_chunks(), mat
+    return None, mat
