@@ -602,6 +602,212 @@ def update_vector_index(index_dir: str, new_vectors: "ray.data.Dataset") -> dict
     return meta
 
 
+# ---------------------------------------------------------------------------
+# Vector-artifact maintenance: tombstone delete + compaction (VERDICT r4 #5)
+# ---------------------------------------------------------------------------
+# The BM25 segments have the full maintenance story (tombstones, crash debt,
+# compact, merge); these two give the vector artifacts the symmetric side so
+# a corpus-refresh loop can retire vectors as well as append them.  Both
+# work on the IVF artifact (lists/) and the IVF×PQ artifact (codes/) — the
+# rows of both carry ``list_id``, so compaction re-partitions without ever
+# touching raw embeddings on the PQ side.
+
+
+def _artifact_subdir(meta: dict) -> str:
+    return "codes" if "pq_m" in meta else "lists"
+
+
+def _load_tombstones(index_dir: str, meta: dict) -> "np.ndarray":
+    """Committed tombstoned vec_ids (deduped int64 array; empty if none).
+    Readers resolve the file set from meta.json, never the directory —
+    same crash rule as the list files themselves."""
+    import pyarrow.parquet as pq
+
+    names = meta.get("tombstone_files", [])
+    if not names:
+        return np.empty(0, np.int64)
+    ids = [
+        pq.read_table(
+            os.path.join(index_dir, "tombstones", n), columns=["vec_id"]
+        )["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for n in names
+    ]
+    return np.unique(np.concatenate(ids))
+
+
+def _drop_tombstoned(t: pa.Table, tombs: "np.ndarray") -> pa.Table:
+    if tombs.size == 0 or t.num_rows == 0:
+        return t
+    return t.filter(
+        pc.invert(pc.is_in(t["vec_id"], value_set=pa.array(tombs, pa.int64())))
+    )
+
+
+def delete_vectors(
+    index_dir: str, vec_ids: "list[int] | ray.data.Dataset"
+) -> dict:
+    """Tombstone vec_ids in a persisted vector artifact (IVF or IVF×PQ):
+    an O(tombstones) append — the lists are NOT rewritten; queries drop
+    tombstoned rows at read time until :func:`compact_vector_index`
+    rewrites them out.
+
+    Crash safety mirrors update_vector_index: tombstone parquet files are
+    written first, then ONE atomic meta replace commits them; a crash in
+    between leaves orphans invisible to readers (swept by the next
+    maintenance call).
+
+    Scale shape: a Dataset of ids streams straight to parquet (nothing
+    driver-side); readers broadcast the tombstone set into their scans,
+    which is bounded by the compaction cadence — compact before the
+    retired fraction grows past a few percent of the corpus."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    vx.check_meta_qscale(meta)
+    k = int(meta.get("deletes", 0))
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tomb_dir, exist_ok=True)
+
+    # sweep orphans from a previously crashed delete (committed set wins)
+    import glob as _glob
+
+    committed_tombs = set(meta.get("tombstone_files", []))
+    for f_ in _glob.glob(os.path.join(tomb_dir, "*.parquet")):
+        if os.path.basename(f_) not in committed_tombs:
+            os.remove(f_)
+
+    new_names: list[str] = []
+    if isinstance(vec_ids, list):
+        if not vec_ids:
+            return meta
+        name = f"tomb{k}-0.parquet"
+        pq.write_table(
+            pa.table({"vec_id": pa.array(sorted(set(vec_ids)), pa.int64())}),
+            os.path.join(tomb_dir, name),
+        )
+        new_names.append(name)
+    else:
+        stage = os.path.join(index_dir, f"delete-{k}.stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        vec_ids.map_batches(
+            lambda t: pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(stage)
+        for f_ in sorted(_glob.glob(os.path.join(stage, "*.parquet"))):
+            name = f"tomb{k}-{os.path.basename(f_)}"
+            os.replace(f_, os.path.join(tomb_dir, name))
+            new_names.append(name)
+        shutil.rmtree(stage, ignore_errors=True)
+        if not new_names:
+            return meta
+
+    meta["tombstone_files"] = sorted(committed_tombs | set(new_names))
+    meta["deletes"] = k + 1
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def compact_vector_index(index_dir: str) -> dict:
+    """Rewrite a vector artifact's partitioned lists WITHOUT tombstoned
+    rows and clear the tombstones — the vector twin of the BM25 segment
+    compaction.  One distributed pass: the committed files stream through
+    a tombstone filter (``list_id`` rides in every row, so re-partitioning
+    needs no re-assignment and, on the PQ side, no raw embeddings) and are
+    rewritten hive-partitioned under generation-salted names.
+
+    Crash-idempotent: the rewrite lands in a stage dir, files move under
+    ``gen{g}-`` names, and ONE atomic meta replace commits the new file
+    set + empty tombstone list; a crash at any point leaves the committed
+    view intact (orphans are invisible to readers and swept here and by
+    update_vector_index).  Post-commit, superseded files are removed."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    vx.check_meta_qscale(meta)
+    sub = _artifact_subdir(meta)
+    g = int(meta.get("generation", 0))
+
+    # sweep stage leftovers + uncommitted files from any crashed maintenance
+    for d in _glob.glob(os.path.join(index_dir, "*.stage")):
+        shutil.rmtree(d, ignore_errors=True)
+    for d in _glob.glob(os.path.join(index_dir, sub, "cid=*")):
+        cid = os.path.basename(d).split("=", 1)[1]
+        keep = set(meta["files"].get(cid, []))
+        for f_ in _glob.glob(os.path.join(d, "*.parquet")):
+            if os.path.basename(f_) not in keep:
+                os.remove(f_)
+
+    tombs = _load_tombstones(index_dir, meta)
+    old_paths = [
+        os.path.join(index_dir, sub, f"cid={c}", name)
+        for c, names in meta["files"].items()
+        for name in names
+    ]
+    stage = os.path.join(index_dir, f"compact-{g}.stage")
+    shutil.rmtree(stage, ignore_errors=True)
+    n_live = 0
+    if old_paths:
+        tomb_ref = ray.put(tombs)
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            if "cid" in t.column_names:  # hive-inferred (string) — rebuild it
+                t = t.drop_columns(["cid"])
+            t = _drop_tombstoned(t, ray.get(tomb_ref))
+            # restore the hive partition column the old write consumed
+            return t.append_column("cid", t["list_id"])
+
+        live = (
+            ray.data.read_parquet(old_paths)
+            .map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+        n_live = live.count()
+        if n_live:
+            live.write_parquet(stage, partition_cols=["cid"])
+
+    new_files: dict[str, list[str]] = {}
+    for d in sorted(_glob.glob(os.path.join(stage, "cid=*"))):
+        cid = os.path.basename(d).split("=", 1)[1]
+        dest = os.path.join(index_dir, sub, f"cid={cid}")
+        os.makedirs(dest, exist_ok=True)
+        for f_ in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+            name = f"gen{g + 1}-{os.path.basename(f_)}"
+            os.replace(f_, os.path.join(dest, name))
+            new_files.setdefault(cid, []).append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    old_meta_files = meta["files"]
+    old_tomb_files = meta.get("tombstone_files", [])
+    meta["files"] = {c: sorted(v) for c, v in new_files.items()}
+    meta["n_vectors"] = int(n_live)
+    meta["tombstone_files"] = []
+    meta["generation"] = g + 1
+    _write_meta(index_dir, meta)  # the single commit point
+
+    # post-commit cleanup of superseded files (crash here only re-orphans)
+    for c, names in old_meta_files.items():
+        for name in names:
+            try:
+                os.remove(os.path.join(index_dir, sub, f"cid={c}", name))
+            except FileNotFoundError:
+                pass
+    for name in old_tomb_files:
+        try:
+            os.remove(os.path.join(index_dir, "tombstones", name))
+        except FileNotFoundError:
+            pass
+    return meta
+
+
 def query_vector_index(
     index_dir: str, k: int = _ANN_K, n_probe: int = _IVF_PROBE
 ) -> "ray.data.Dataset":
@@ -643,10 +849,11 @@ def query_vector_index(
     if not paths:  # every probed list empty — no candidates
         return ray.data.from_arrow(vx.TOPK_SCHEMA.empty_table())
     ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding", "list_id"])
-    ref = ray.put((q_ids, q_mat, probe_masks))
+    ref = ray.put((q_ids, q_mat, probe_masks, _load_tombstones(index_dir, meta)))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        qi, qm, pm = ray.get(ref)
+        qi, qm, pm, tombs = ray.get(ref)
+        batch = _drop_tombstoned(batch, tombs)
         if batch.num_rows == 0:
             return _PARTIAL_SCHEMA.empty_table()
         b_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1054,9 +1261,11 @@ class VectorScorerActor:
             _embedding_matrix(cent_t.rename_columns(["vec_id", "embedding"]))
         )
         self._lists: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._tombs = _load_tombstones(index_dir, self.meta)
 
     def _list(self, cid: int) -> tuple[np.ndarray, np.ndarray]:
-        """(vec_ids, normalized matrix) of one inverted list, cached."""
+        """(vec_ids, normalized matrix) of one inverted list, cached
+        post-tombstone-filter."""
         if cid not in self._lists:
             import pyarrow.parquet as pq
 
@@ -1067,12 +1276,15 @@ class VectorScorerActor:
                     np.empty((0, int(self.meta["dim"])), np.float64),
                 )
             else:
-                t = pa.concat_tables(
-                    pq.read_table(
-                        os.path.join(self.index_dir, "lists", f"cid={cid}", n),
-                        columns=["vec_id", "embedding"],
-                    )
-                    for n in names
+                t = _drop_tombstoned(
+                    pa.concat_tables(
+                        pq.read_table(
+                            os.path.join(self.index_dir, "lists", f"cid={cid}", n),
+                            columns=["vec_id", "embedding"],
+                        )
+                        for n in names
+                    ),
+                    self._tombs,
                 )
                 self._lists[cid] = (
                     t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -1773,12 +1985,13 @@ def query_pq_index(
     if not paths:
         return ray.data.from_arrow(_PQ_OUT_SCHEMA.empty_table())
     ds = ray.data.read_parquet(paths, columns=["vec_id", *_PQ_CODE_COLS, "list_id"])
-    ref = ray.put((q_ids, lut, probe_masks))
+    ref = ray.put((q_ids, lut, probe_masks, _load_tombstones(index_dir, meta)))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        qi, lt, pm, tombs = ray.get(ref)
+        batch = _drop_tombstoned(batch, tombs)
         if batch.num_rows == 0:
             return _PQ_PARTIAL_SCHEMA.empty_table()
-        qi, lt, pm = ray.get(ref)
         b_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         lids = batch["list_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         codes = np.stack(

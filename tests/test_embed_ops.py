@@ -600,3 +600,143 @@ def test_query_rejects_foreign_qscale(ray_session, tmp_path):
     json.dump(meta, open(mp, "w"))
     with pytest.raises(ValueError, match="qscale"):
         query_vector_index(out)
+
+
+def test_delete_compact_vector_index_equals_fresh_build(ray_session, tmp_path):
+    """VERDICT r4 #5 'done' criterion: tombstone delete + compaction give
+    the vector artifact the BM25 side's full maintenance story.
+    query-from-artifact after delete_vectors (tombstone-filtered read)
+    AND after compact_vector_index (rewritten lists) must both equal a
+    fresh build over the survivors; compaction must clear tombstones,
+    drop superseded files, and sweep crash orphans idempotently."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.functions import dedup as dd
+    from sharesci_ray.functions import vectors as vx
+    from sharesci_ray.pipelines.ops_embed import (
+        build_vector_index,
+        compact_vector_index,
+        delete_vectors,
+        query_vector_index,
+    )
+    from sharesci_ray.sources.corpus import read_table
+
+    emb = read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+    n = emb.count()
+    # retire ids beyond the fixture range (queries + centroids stay put,
+    # so the fresh build derives identical sidecars)
+    fixture_hi = dd.ANN_NQ + vx.IVF_C
+    doomed = list(range(n - 30, n)) + list(range(fixture_hi, fixture_hi + 10))
+    assert min(doomed) >= fixture_hi
+
+    d_live = str(tmp_path / "live")
+    build_vector_index(emb, d_live)
+    meta0 = json.load(open(os.path.join(d_live, "meta.json")))
+
+    d_ref = str(tmp_path / "ref")
+    doomed_set = set(doomed)
+    build_vector_index(
+        emb.filter(lambda r: r["vec_id"] not in doomed_set), d_ref
+    )
+    ref = (
+        query_vector_index(d_ref)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+    meta1 = delete_vectors(d_live, doomed)
+    assert meta1["deletes"] == 1 and meta1["tombstone_files"]
+    got_tomb = (
+        query_vector_index(d_live)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got_tomb.astype("int64").equals(ref.astype("int64"))
+
+    # plant a crash orphan: an uncommitted stage dir + a stray list file
+    cid0 = sorted(meta1["files"])[0]
+    stray = os.path.join(d_live, "lists", f"cid={cid0}", "genX-orphan.parquet")
+    src = os.path.join(d_live, "lists", f"cid={cid0}", meta1["files"][cid0][0])
+    pq.write_table(pq.read_table(src), stray)
+    os.makedirs(os.path.join(d_live, "compact-99.stage"), exist_ok=True)
+
+    meta2 = compact_vector_index(d_live)
+    assert meta2["generation"] == 1
+    assert meta2["tombstone_files"] == []
+    assert meta2["n_vectors"] == meta0["n_vectors"] - len(doomed)
+    assert not os.path.exists(stray)
+    assert not os.path.exists(os.path.join(d_live, "compact-99.stage"))
+    # every committed file is generation-salted; superseded files are gone
+    for cid, names in meta2["files"].items():
+        assert all(nm.startswith("gen1-") for nm in names)
+        on_disk = sorted(
+            os.listdir(os.path.join(d_live, "lists", f"cid={cid}"))
+        )
+        assert on_disk == sorted(names), cid
+
+    got_comp = (
+        query_vector_index(d_live)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got_comp.astype("int64").equals(ref.astype("int64"))
+
+    # compaction is idempotent (a second run is a no-op rewrite)
+    meta3 = compact_vector_index(d_live)
+    assert meta3["n_vectors"] == meta2["n_vectors"]
+    got_again = (
+        query_vector_index(d_live)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got_again.astype("int64").equals(ref.astype("int64"))
+
+
+def test_delete_compact_pq_artifact(ray_session, tmp_path):
+    """The same maintenance pair works on the IVF×PQ codes artifact:
+    retired vec_ids disappear from top-k under the tombstone filter, the
+    compacted artifact serves the IDENTICAL ranking (filter ≡ physical
+    removal), and the codes files carry no tombstoned rows afterwards."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.pipelines.ops_embed import (
+        build_pq_index,
+        compact_vector_index,
+        delete_vectors,
+        query_pq_index,
+    )
+
+    d = str(tmp_path / "pqidx")
+    build_pq_index(SF, d)
+    base = (
+        query_pq_index(d)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    # retire the 10 most-served neighbors — the ranking MUST change
+    doomed = base["neighbor_id"].value_counts().head(10).index.astype(int).tolist()
+    meta1 = delete_vectors(d, doomed)
+    assert meta1["tombstone_files"]
+    after = (
+        query_pq_index(d)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert not after["neighbor_id"].isin(doomed).any()
+    assert not after.equals(base)
+
+    meta2 = compact_vector_index(d)
+    assert meta2["tombstone_files"] == [] and meta2["generation"] == 1
+    comp = (
+        query_pq_index(d)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert comp.equals(after)
+    # physical check: no tombstoned vec_id survives in any committed file
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    for cid, names in meta["files"].items():
+        for nm in names:
+            t = pq.read_table(
+                os.path.join(d, "codes", f"cid={cid}", nm), columns=["vec_id"]
+            )
+            assert not any(v in set(doomed) for v in t["vec_id"].to_pylist())
