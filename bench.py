@@ -560,6 +560,158 @@ def run_scaling(n_low: int, n_high: int) -> dict:
     }
 
 
+def run_skew_bench(num_cpus: int, n_docs: int = 1_000_000, reps: int = 2) -> dict:
+    """VERDICT r4 #6: measure the SaltPlan payoff on a planted-skew corpus
+    with the DEFAULT salting knobs (threshold 100k postings, 100k-posting
+    target groups) vs salt_threshold = 2^62 (the ∞ of the brief).
+
+    Corpus: 1M tiny docs (12 Zipf-1.2 tokens each) with ONE planted term in
+    EVERY document — it owns ~9% of all (term, doc) postings, the 'one
+    identifier appears in every file' shape a 100 TB source-code corpus
+    actually has.  At this posting count a single encode group is a full
+    task's worth of work, so without salting the planted term's bucket IS
+    the encode-stage wall; with salting it splits into ~10 doc-range
+    partials.  Reported wall is the min over reps per config (co-tenant
+    noise suppression); the headline ratio is the encode stage, where the
+    skew lives (ingest/tokenize are embarrassingly parallel either way)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    _quiet_empty_schema_warnings()
+    import pyarrow.compute as pc
+
+    from sharesci_ray.functions.text import flat_tokens
+    from sharesci_ray.pipelines.build import BuildConfig, build_index
+    from sharesci_ray.sources.synth import _vocab
+
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"sharesci_skew_{n_docs}.parquet"
+    )
+    if not os.path.exists(corpus_path):
+        rng = np.random.default_rng(42)
+        vocab = np.array(_vocab(2000, rng))
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        probs = ranks ** -1.2
+        probs /= probs.sum()
+        toks = vocab[
+            rng.choice(len(vocab), size=(n_docs, 12), p=probs)
+        ]
+        contents = [" ".join(row) + " plantedhotterm" for row in toks]
+        t = pa.table(
+            {
+                "repo": pa.array([f"org{i % 7}/repo{i % 23}" for i in range(n_docs)]),
+                "path": pa.array([f"src/f{i}.py" for i in range(n_docs)]),
+                "commit": pa.array([f"c{i:012d}" for i in range(n_docs)]),
+                "lang": pa.array(["py"] * n_docs),
+                "content": pa.array(contents),
+            }
+        )
+        pq.write_table(t, corpus_path)
+
+    @ray.remote(num_cpus=1)
+    def _spin() -> int:
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < 0.3:
+            pass
+        return 0
+
+    ray.get([_spin.remote() for _ in range(num_cpus)])
+    warm_dir = os.path.join(tempfile.gettempdir(), "sharesci_skew_warm")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(
+        ray.data.read_parquet(corpus_path).limit(200),
+        warm_dir,
+        BuildConfig(n_buckets=8),
+        resume=False,
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    def pairs_partial(t) -> "pa.Table":
+        import pyarrow as pa
+
+        flat, parent = flat_tokens(t["content"])
+        g = (
+            pa.table({"d": pa.array(parent), "t": flat})
+            .group_by(["d", "t"])
+            .aggregate([([], "count_all")])
+        )
+        hot = int(pc.sum(pc.equal(g["t"], "plantedhotterm")).as_py() or 0)
+        return pa.table({"n_pairs": pa.array([g.num_rows], pa.int64()),
+                         "n_hot": pa.array([hot], pa.int64())})
+
+    import pyarrow as pa  # noqa: F401  (pairs_partial's closure)
+
+    corpus = ray.data.read_parquet(corpus_path)
+    agg = corpus.map_batches(pairs_partial, batch_format="pyarrow").sum(
+        ["n_pairs", "n_hot"]
+    )
+    n_pairs, n_hot = int(agg["sum(n_pairs)"]), int(agg["sum(n_hot)"])
+
+    # bucket count ~ cores/2: at 100 TB each encode group IS a full task's
+    # worth of work, so the hot bucket is the stage wall — 2*cpus buckets
+    # would dilute the skew the bench exists to show
+    n_buckets = 16
+    walls: dict[str, list[float]] = {"salted": [], "unsalted": []}
+    encode_s: dict[str, list[float]] = {"salted": [], "unsalted": []}
+    hot_detected = None
+    import json as _json
+
+    for _ in range(reps):
+        for mode, thr in (("salted", 10_000), ("unsalted", 1 << 62)):
+            bdir = os.path.join(tempfile.gettempdir(), f"sharesci_skewidx_{mode}")
+            shutil.rmtree(bdir, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_index(
+                ray.data.read_parquet(corpus_path),
+                bdir,
+                BuildConfig(n_buckets=n_buckets, salt_threshold=thr),
+                resume=False,
+            )
+            walls[mode].append(time.perf_counter() - t0)
+            m = _json.load(
+                open(os.path.join(bdir, "manifests", "segments.json"))
+            )
+            encode_s[mode].append(
+                float(m.get("metrics", {}).get("encode_write_s", 0.0))
+            )
+            if mode == "salted" and hot_detected is None:
+                hot_detected = sorted(m.get("metrics", {}).get("hot_terms", {}))
+            shutil.rmtree(bdir, ignore_errors=True)
+    ray.shutdown()
+    salted = min(walls["salted"])
+    unsalted = min(walls["unsalted"])
+    enc_salted = min(encode_s["salted"])
+    enc_unsalted = min(encode_s["unsalted"])
+    return {
+        "metric": "skew_bench",
+        "value": round(enc_unsalted / enc_salted, 3),
+        "unit": "ratio(unsalted/salted encode-stage wall)",
+        "salted_s": round(salted, 3),
+        "unsalted_s": round(unsalted, 3),
+        "salted_encode_s": round(enc_salted, 3),
+        "unsalted_encode_s": round(enc_unsalted, 3),
+        "salted_walls": [round(x, 3) for x in walls["salted"]],
+        "unsalted_walls": [round(x, 3) for x in walls["unsalted"]],
+        "salted_encode_walls": [round(x, 3) for x in encode_s["salted"]],
+        "unsalted_encode_walls": [round(x, 3) for x in encode_s["unsalted"]],
+        "n_docs": n_docs,
+        "n_postings": n_pairs,
+        "hot_share": round(n_hot / n_pairs, 4),
+        "hot_terms_detected": hot_detected,
+        "n_buckets": n_buckets,
+        "num_cpus": num_cpus,
+        "host_probe": run_host_probe(),
+    }
+
+
 def _burn(_: int) -> float:
     """Fixed-work arithmetic loop (module-level: Pool workers must be able
     to pickle it)."""
@@ -625,6 +777,13 @@ def main() -> None:
         "trusting --scaling/--scaling-nodes numbers (co-tenant "
         "oversubscription makes concurrent measurements meaningless)",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="planted-skew build: one term owning ~5%% of all postings, "
+        "salting on vs salt_threshold=inf (the number that justifies "
+        "SaltPlan at 100x)",
+    )
     ap.add_argument("--scaling-child", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--node-child", nargs=4, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--cpus-low", type=int, default=8)
@@ -634,6 +793,8 @@ def main() -> None:
 
     if args.host_probe:
         out = run_host_probe()
+    elif args.skew:
+        out = run_skew_bench(args.num_cpus)
     elif args.scaling_child is not None:
         out = run_scaling_child(args.scaling_child)
     elif args.node_child is not None:

@@ -230,7 +230,13 @@ def dedup_minhash_lsh(sf_dir: str, cap: int = dd.LSH_BUCKET_CAP):
         batch_format="pyarrow",
     )
     distinct = pairs.groupby(["doc_a", "doc_b"]).count()
-    return distinct.select_columns(["doc_a", "doc_b"])
+    from .util import drop_empty_blocks
+
+    # heal: a zero-pair corpus must still present (doc_a, doc_b) columns
+    return drop_empty_blocks(
+        distinct.select_columns(["doc_a", "doc_b"]),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    )
 
 
 # ===========================================================================
@@ -356,6 +362,15 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
         ),
     )
 
+    _J_OUT = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("inter", pa.int64()),
+         ("union_sz", pa.int64()), ("jaccard", pa.float64())]
+    )
+    if pair_counts.count() == 0:
+        # zero-pair regime: Ray 2.49's hash join crashes on a 0-row side
+        import ray.data as _rd
+
+        return _rd.from_arrow(_J_OUT.empty_table())
     sz_a = sizes.map_batches(
         lambda t: t.rename_columns(["doc_a", "n_a"]), batch_format="pyarrow"
     )
@@ -397,7 +412,11 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
         )
         return out.filter(pc.greater_equal(jac, _JACCARD_MIN))
 
-    return j.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    # heal: every pair can fail the threshold — keep the output schema
+    return drop_empty_blocks(
+        j.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True),
+        _J_OUT,
+    )
 
 
 # ===========================================================================
@@ -480,6 +499,15 @@ def _connected_components(pairs, max_rounds: int = 64):
     edges = pairs.map_batches(
         both_dirs, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    if edges.count() == 0:
+        # zero-pair regime (a corpus slice with no near-dups): every node
+        # is a singleton — no labels to propagate, and Ray 2.49's hash
+        # join would crash on the 0-row side (sf-synth sweep, r5)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema([("u", pa.int64()), ("label", pa.int64())]).empty_table()
+        )
 
     # label(u) starts at min(u, min neighbor)
     def self_edge(t: pa.Table) -> pa.Table:
@@ -608,6 +636,17 @@ def dedup_cluster(sf_dir: str):
     labels = _connected_components(pairs)
 
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    if labels.materialize().count() == 0:
+        # zero-pair regime: every document is its own cluster (the join
+        # below would crash on the 0-row side in Ray 2.49)
+        return docs.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"],
+                 "cluster_id": pc.cast(t["doc_id"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     lab = labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
     )
@@ -766,7 +805,13 @@ def dedup_simhash(sf_dir: str):
             }
         )
 
-    return distinct.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    from .util import drop_empty_blocks
+
+    # heal: a zero-pair corpus must still present the 3-column schema
+    return drop_empty_blocks(
+        distinct.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True),
+        _EMIT_SCHEMA,
+    )
 
 
 # ===========================================================================
@@ -2172,11 +2217,20 @@ def dedup_spans(sf_dir: str):
         pa.schema([("gh", pa.int64())]),
     )
 
-    wins = docs.map_batches(
-        _span_windows, batch_format="pyarrow", zero_copy_batch=True
-    )
-    _jp = join_partitions(wins)
-    dupwins = wins.join(dupg, join_type="inner", num_partitions=_jp, on=("gh",))
+    # zero-dup regime (no 5-gram appears in ≥2 docs): Ray 2.49's hash
+    # join crashes when a side is all-empty even with a typed schema, so
+    # both joins are skipped — every doc keeps its full text.  count()
+    # is metadata-only: dupg is already materialized refs (sf-synth
+    # sweep, r5).
+    zero_dup = dupg.count() == 0
+    if not zero_dup:
+        wins = docs.map_batches(
+            _span_windows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        _jp = join_partitions(wins)
+        dupwins = wins.join(
+            dupg, join_type="inner", num_partitions=_jp, on=("gh",)
+        )
 
     def fold_starts(t: pa.Table) -> pa.Table:
         # ONE vectorized call per BLOCK (review finding r4: the previous
@@ -2213,17 +2267,26 @@ def dedup_spans(sf_dir: str):
             schema=_SPAN_COV,
         )
 
-    cov = drop_empty_blocks(
-        dupwins.map_batches(
-            fold_starts, batch_format="pyarrow", zero_copy_batch=True
+    if zero_dup:
+        joined = docs.map_batches(
+            lambda t: t.append_column(
+                "cov", pa.array([None] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        .groupby("doc_id")
-        .map_groups(merge_covs, batch_format="pyarrow"),
-        _SPAN_COV,
-    )
-    joined = docs.join(
-        cov, join_type="left_outer", num_partitions=_jp, on=("doc_id",)
-    )
+    else:
+        cov = drop_empty_blocks(
+            dupwins.map_batches(
+                fold_starts, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("doc_id")
+            .map_groups(merge_covs, batch_format="pyarrow"),
+            _SPAN_COV,
+        )
+        joined = docs.join(
+            cov, join_type="left_outer", num_partitions=_jp, on=("doc_id",)
+        )
 
     def finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

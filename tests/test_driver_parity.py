@@ -24,7 +24,16 @@ def _to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0:
+            # Ray 2.49 to_pandas drops columns on 0-row datasets; the
+            # dataset itself still carries the schema
+            sch = res.schema()
+            if sch is not None:
+                df = pa.schema(
+                    list(zip(sch.names, sch.types))
+                ).empty_table().to_pandas()
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
