@@ -340,6 +340,55 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
     _HS_SCHEMA = pa.schema(
         [("doc_id", pa.int64()), ("h31", pa.int64()), ("fold", pa.int64())]
     )
+
+    # Intersection lower bound (sf1 stress finding, r5): jac ≥ J forces
+    # inter·(1+J) ≥ J·(n_a+n_b) ≥ J·2·n_min, so pairs below the bound can
+    # NEVER pass the final filter and are dropped at the count — on a
+    # corpus where the shingle vocabulary saturates (df ~ cap everywhere),
+    # candidate pair INSTANCES are bounded by vocab·cap² (~126M at sf1)
+    # but pairs sharing ≥bound shingles are only the true near-dups.
+    # floor() keeps the pre-filter conservative; the exact per-pair
+    # jaccard test below is unchanged.
+    n_min_row = sizes.min("count()")
+    n_min = int(n_min_row if n_min_row is not None else 0)
+    inter_lb = max(1, int(np.floor(2.0 * _JACCARD_MIN / (1.0 + _JACCARD_MIN) * n_min)))
+
+    _PFOLD = _fold_count()
+
+    def add_pair_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                 ("pfold", pa.int64())]
+            ).empty_table()
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "pfold", pa.array(dd.fold_bucket(a, b, n_buckets=_PFOLD), pa.int64())
+        )
+
+    _PC_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("count()", pa.int64())]
+    )
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        """Per-pfold-bucket exact intersection counts — all instances of a
+        pair land in ONE bucket (key-based fold), so the in-bucket count
+        IS the global count; the lb filter then drops the random-overlap
+        noise before anything reaches the size joins.  One vectorized
+        group_by per bucket (the dedup-family fold pattern): the 2-column
+        global sort-aggregate this replaces serialized its reduce phase at
+        sf1's 126M pair instances."""
+        if g.num_rows == 0:
+            return _PC_SCHEMA.empty_table()
+        t = (
+            pa.table({"doc_a": g["doc_a"], "doc_b": g["doc_b"]})
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([([], "count_all")])
+        )
+        t = t.filter(pc.greater_equal(t["count_all"], inter_lb))
+        return t.rename_columns(["doc_a", "doc_b", "count()"]).cast(_PC_SCHEMA)
+
     pair_counts = (
         hs.map_batches(
             _with_fold(["h31"], _HS_SCHEMA, _fold_count()),
@@ -348,10 +397,11 @@ def near_dup_jaccard(sf_dir: str, cap: int = dd.SHINGLE_DF_CAP):
         )
         .groupby("fold")
         .map_groups(
-            lambda g: _emit_pairs_bucket(g, ["h31"], cap=cap), batch_format="pyarrow"
+            lambda g: add_pair_fold(_emit_pairs_bucket(g, ["h31"], cap=cap)),
+            batch_format="pyarrow",
         )
-        .groupby(["doc_a", "doc_b"])
-        .count()
+        .groupby("pfold")
+        .map_groups(count_bucket, batch_format="pyarrow")
     )  # (doc_a, doc_b, count() = intersection; one emit per shared h31)
     # sparse-keyed shuffles emit schema-less empty blocks that crash the
     # joins below (see util.drop_empty_blocks)
