@@ -869,6 +869,12 @@ def dedup_simhash(sf_dir: str):
 # ===========================================================================
 
 _COS_MIN = 0.4
+# near_dup_embedding occupancy gate: the LSH-first plan (candidate-pair
+# materialization) loses to the verify-first blocked matmul once the pair
+# count is large in absolute terms AND a substantial fraction of all n²/2
+# pairs (the no-pruning regime); a clustered corpus at huge n keeps
+# est_pairs « n², so the linear LSH-first plan survives the gate there
+_CAND_PAIR_CUTOFF = 2_000_000
 # shared ANN fixture (functions/dedup.py leaf module — ADVICE r3: ops_search
 # uses the same values in its oracle SQL; a drift would silently desync them)
 _ANN_K = dd.ANN_K
@@ -937,6 +943,111 @@ def _near_dup_embedding_scan(sf_dir: str):
                     keep = a < b
                     a, b = a[keep], b[keep]
                 else:  # cross-block ids are arbitrary: order each pair
+                    a, b = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(a)
+                out_b.append(b)
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    pair_ds = ray.data.from_items(stripes)
+    return pair_ds.map_batches(cross, batch_format="pyarrow", batch_size=1)
+
+
+# 8-bit popcount LUT: vectorizes the per-table Hamming check on survivors
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def _near_dup_verify_first(sf_dir: str):
+    """Verify-first plan for near_dup_embedding: blocked exact-cosine scan
+    with the LSH candidate rule applied as a POST-filter on the (few)
+    threshold survivors, instead of materializing the candidate pair set.
+
+    Chosen by the occupancy gate in near_dup_embedding when the candidate
+    relation is pair-explosive: with FIXED 2^planes buckets per table, the
+    Hamming ≤ MULTIPROBE rule admits a constant FRACTION of all pairs on
+    near-uniform data (≈50%/table at 5 planes), so bucket occupancy — and
+    LSH-first pair emission — grows quadratically with corpus size (the
+    sf1 stress run spilled 17 GB and ran > 1 h at 20k vectors).  Output is
+    IDENTICAL set algebra: {cos ≥ τ} ∩ {Hamming ≤ r in any table} commutes.
+    The matmul side is Θ(n²) flops but vectorized and pair-row-free —
+    exactly the work the fixed candidate semantics demand in this regime;
+    where the rule actually prunes (clustered corpora), the gate keeps the
+    linear LSH-first plan.
+    """
+    import ray
+    import ray.data
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = _LSH_DIM
+    assert _LSH_TABLES * 8 <= 63 and _LSH_PLANES <= 8  # packed int64 buckets
+
+    def prep(t: pa.Table) -> pa.Table:
+        m_raw = _embedding_matrix(t)
+        q = _quantize(m_raw)
+        pk = np.zeros(t.num_rows, dtype=np.int64)
+        for tb in range(_LSH_TABLES):
+            pk |= _bucket_of(q, tb).astype(np.int64) << (8 * tb)
+        m = _normalize(m_raw)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float64())),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    refs = emb.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    _STRIPE = 8
+    n_blocks = len(refs)
+    stripes = [
+        {"i": i, "j0": j0, "j1": min(j0 + _STRIPE, n_blocks)}
+        for i in range(n_blocks)
+        for j0 in range(i, n_blocks, _STRIPE)
+    ]
+
+    _PAIR_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+    def _unpack(b: pa.Table):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        pk = b["pk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return ids, _embedding_matrix(b), pk
+
+    def cross(batch: pa.Table, _refs=refs) -> pa.Table:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for i, j0, j1 in zip(
+            batch["i"].to_pylist(), batch["j0"].to_pylist(), batch["j1"].to_pylist()
+        ):
+            ids_i, mat_i, pk_i = _unpack(ray.get(_refs[i]))
+            for j in range(j0, j1):
+                ids_j, mat_j, pk_j = _unpack(ray.get(_refs[j]))
+                sims = mat_i @ mat_j.T
+                hit_i, hit_j = np.nonzero(
+                    (sims >= _COS_MIN) & (ids_i[:, None] != ids_j[None, :])
+                )
+                if hit_i.size:
+                    x = pk_i[hit_i] ^ pk_j[hit_j]
+                    ok = np.zeros(hit_i.size, dtype=bool)
+                    for tb in range(_LSH_TABLES):
+                        byte = ((x >> np.uint64(8 * tb)) & np.uint64(0xFF)).astype(
+                            np.uint8
+                        )
+                        ok |= _POP8[byte] <= _LSH_MULTIPROBE
+                    hit_i, hit_j = hit_i[ok], hit_j[ok]
+                a, b = ids_i[hit_i], ids_j[hit_j]
+                if i == j:
+                    keep = a < b
+                    a, b = a[keep], b[keep]
+                else:
                     a, b = np.minimum(a, b), np.maximum(a, b)
                 out_a.append(a)
                 out_b.append(b)
@@ -1246,11 +1357,20 @@ def near_dup_embedding(sf_dir: str, exact_scan: bool = False):
     near-uniform — adversarial for LSH; on a clustered real-dup corpus the
     same rule prunes orders of magnitude harder at recall ~1).
 
-    Scale shape: the expansion emits (planes+1)·tables bounded-int rows
-    per vector; pair emission is the same fold-bucketed map_groups as
-    dedup_minhash_lsh (one Python call per fold bucket); dedup + the two
-    verify joins are linear hash shuffles sized by join_partitions — no
-    stage touches block PAIRS.  Verify loads only candidate rows' vectors.
+    Scale shape — ADAPTIVE (sf1 stress finding): a constant-size occupancy
+    pre-pass (≤ tables·2^planes counters) computes the EXACT candidate-pair
+    count from the bucket adjacency before any pair is emitted.  Where the
+    rule prunes (clustered corpora: est_pairs « n²), the linear LSH-first
+    plan runs: expansion emits (planes+1)·tables bounded-int rows per
+    vector; pair emission is the same fold-bucketed map_groups as
+    dedup_minhash_lsh; dedup + the two verify joins are linear hash
+    shuffles sized by join_partitions; verify loads only candidate rows'
+    vectors.  Where it does NOT prune (near-uniform data: candidates a
+    constant fraction of all pairs, quadratic in n because the bucket space
+    is FIXED), the gate flips to verify-first — a blocked exact-cosine scan
+    with the candidate rule as a post-filter on threshold survivors — which
+    computes the identical output set with zero pair materialization (at
+    20k vectors: 905M candidate rows avoided; >1 h + 17 GB spill → ~1 s).
 
     Parity caveat (unchanged from the exact variant): engine
     normalize-then-dot vs oracle dot/(|a||b|) differ in the last ulp; the
@@ -1262,6 +1382,58 @@ def near_dup_embedding(sf_dir: str, exact_scan: bool = False):
     from .util import drop_empty_blocks, join_partitions
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # ---- occupancy gate (sf1 stress finding): with FIXED 2^planes buckets
+    # per table, the Hamming ≤ r candidate rule admits a constant FRACTION
+    # of all pairs on near-uniform data, so LSH-first pair emission grows
+    # quadratically with corpus size (20k vectors → ~905M candidate rows).
+    # Count (table, bucket) occupancy — ≤ tables·2^planes keys, constant in
+    # corpus size — and compute the EXACT candidate-pair count from the
+    # bucket adjacency; above the cutoff, run the verify-first plan
+    # (identical output set, zero candidate materialization).
+    _OCC_SCHEMA = pa.schema(
+        [("table_id", pa.int64()), ("bucket", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def occ_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OCC_SCHEMA.empty_table()
+        q = _quantize(_embedding_matrix(t))
+        tids, bks, cnts = [], [], []
+        for tb in range(_LSH_TABLES):
+            u, c = np.unique(_bucket_of(q, tb), return_counts=True)
+            tids.append(np.full(u.size, tb, dtype=np.int64))
+            bks.append(u.astype(np.int64))
+            cnts.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "table_id": pa.array(np.concatenate(tids), pa.int64()),
+                "bucket": pa.array(np.concatenate(bks), pa.int64()),
+                "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+            },
+            schema=_OCC_SCHEMA,
+        )
+
+    occ = (
+        emb.map_batches(occ_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["table_id", "bucket"])
+        .sum("cnt")
+        .take_all()  # ≤ tables · 2^planes rows — constant in corpus size
+    )
+    nb = 1 << _LSH_PLANES
+    counts = np.zeros((_LSH_TABLES, nb), dtype=np.float64)
+    for r in occ:
+        counts[int(r["table_id"]), int(r["bucket"])] = float(r["sum(cnt)"])
+    bb = np.arange(nb)
+    adj = (_POP8[(bb[:, None] ^ bb[None, :]).astype(np.uint8)] <= _LSH_MULTIPROBE
+           ).astype(np.float64)
+    est_pairs = sum(
+        (counts[tb] @ adj @ counts[tb] - counts[tb].sum()) / 2.0
+        for tb in range(_LSH_TABLES)
+    )
+    n_vec = counts[0].sum()
+    if est_pairs > _CAND_PAIR_CUTOFF and est_pairs > (n_vec * n_vec) / 8.0:
+        return _near_dup_verify_first(sf_dir)
 
     _EXP_SCHEMA = pa.schema(
         [

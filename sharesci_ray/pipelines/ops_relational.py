@@ -2447,10 +2447,22 @@ def covisit_counts(sf_dir: str):
     windowed ops); pair counts pre-aggregate per batch before the small
     pair groupby, and the final top-k carries a full deterministic
     tie-break."""
-    counts = _covisit_pair_counts(sf_dir)
-    return counts.sort(
-        ["n_users", "item_a", "item_b"], descending=[True, False, False]
-    ).limit(_COVISIT_K)
+    from .util import drop_empty_blocks
+
+    # schema pin for the zero-pair regime (sf1 stress finding: 10× events
+    # over the same user population puts EVERY user over the hyperactive
+    # cap, so the pair set is legitimately empty — and Ray 2.49's sort
+    # loses the schema of an all-empty input); pinned AFTER sort/limit so
+    # nothing downstream can drop it again, at the cost of materializing
+    # ≤ _COVISIT_K rows
+    return drop_empty_blocks(
+        _covisit_pair_counts(sf_dir)
+        .sort(["n_users", "item_a", "item_b"], descending=[True, False, False])
+        .limit(_COVISIT_K),
+        pa.schema(
+            [("item_a", pa.int64()), ("item_b", pa.int64()), ("n_users", pa.int64())]
+        ),
+    )
 
 
 def _covisit_pair_counts(sf_dir: str):

@@ -232,6 +232,31 @@ def test_near_dup_embedding_default_equals_exact_scan(ray_session):
     assert default.astype("int64").equals(exact.astype("int64"))
 
 
+def test_near_dup_embedding_verify_first_equals_lsh_first(ray_session):
+    """sf1 stress finding: the occupancy gate's verify-first plan (blocked
+    cosine scan + candidate post-filter) must return the IDENTICAL pair set
+    as the LSH-first candidate-materialization plan — the two are the same
+    set algebra ({cos ≥ τ} ∩ {Hamming ≤ r in any table}) evaluated in
+    opposite order.  Forcing the gate low exercises the flip on sf0.01,
+    where the default plan is still LSH-first."""
+    import sharesci_ray.pipelines.ops_dedup as od
+
+    sf = "/root/testdata/sf0.01"
+    lsh_first = od.near_dup_embedding(sf).to_pandas()
+    old = od._CAND_PAIR_CUTOFF
+    od._CAND_PAIR_CUTOFF = 0
+    try:
+        # n²/8 term: sf0.01 est_pairs (~40k at 200 vectors) clears it, so
+        # cutoff=0 forces the verify-first branch
+        verify_first = od.near_dup_embedding(sf).to_pandas()
+    finally:
+        od._CAND_PAIR_CUTOFF = old
+    a = set(map(tuple, lsh_first[["vec_a", "vec_b"]].to_numpy()))
+    b = set(map(tuple, verify_first[["vec_a", "vec_b"]].to_numpy()))
+    assert len(a) > 0
+    assert a == b
+
+
 def test_drop_empty_blocks_heals_sparse_shuffles(ray_session):
     """Ray 2.49 stores 0-row blocks schema-less; drop_empty_blocks must
     remove them (keeping values) and type a fully-empty dataset."""

@@ -492,6 +492,35 @@ def test_covisit_pairs_canonical(ray_session):
     assert keys == sorted(keys)
 
 
+def test_covisit_zero_pair_regime_keeps_schema(ray_session):
+    """sf1 stress finding: when EVERY user exceeds the hyperactive cap the
+    pair set is legitimately empty, and Ray 2.49's sort drops the schema of
+    the all-empty input — the op must still return a typed 0-row
+    (item_a, item_b, n_users) result, matching the oracle's empty frame."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from sharesci_ray.pipelines.ops_relational import _COVISIT_USER_CAP, covisit_counts
+
+    n_items = _COVISIT_USER_CAP + 5  # one user, capped out
+    rows = pa.table(
+        {
+            "user_id": pa.array([1] * n_items, pa.int64()),
+            "event_type": pa.array(["view"] * n_items),
+            "props": pa.array(['{"k": %d}' % i for i in range(n_items)]),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="covisit_allcapped_")
+    pq.write_table(rows, os.path.join(d, "events.parquet"))
+
+    ds = covisit_counts(d)
+    assert ds.count() == 0
+    sch = ds.schema()
+    assert sch is not None and sch.names == ["item_a", "item_b", "n_users"]
+
+
 def test_covisit_digitless_props_parity(ray_session):
     """ADVICE r3: props with no digit run must be skipped identically on
     both sides — the engine drops null items before pair emission, the
