@@ -226,14 +226,20 @@ def final_topk_dedupe(group: pa.Table, k: int) -> pa.Table:
     )
 
 
-def ivf_cand_ctes(q_pred: str | None = None, probe: int = IVF_PROBE) -> str:
+def ivf_cand_ctes(
+    q_pred: str | None = None, probe: int = IVF_PROBE, cand_pred: str = "TRUE"
+) -> str:
     """The IVF candidate-generation CTE chain over an existing
     ``emb(vec_id, q, ...)`` CTE: fixture-centroid extraction → integer
     dots → argmax list assignment (ties → smallest cid) → top-``probe``
     probing of the ``q_pred`` rows → candidate (qid, vec_id) pairs.
     ONE definition embedded by ivf_sql AND the IVF×PQ oracle
     (ops_embed._ivfpq_sql) — the ADVICE-r3 drift-containment rule; a
-    change to the assignment/probe math propagates to every twin."""
+    change to the assignment/probe math propagates to every twin.
+    ``cand_pred`` filters the CANDIDATE side only (``a.vec_id`` in scope)
+    — the oracle twin of a tombstone-deleted artifact, where retired
+    vectors stay out of every list but queries and centroids are
+    untouched (ann_ivf_maintained)."""
     if q_pred is None:
         q_pred = f"vec_id < {ANN_NQ}"
     dot = " + ".join(f"e.q[{d + 1}]*c.cq[{d + 1}]" for d in range(VEC_DIM))
@@ -262,12 +268,15 @@ def ivf_cand_ctes(q_pred: str | None = None, probe: int = IVF_PROBE) -> str:
     cand AS (
       SELECT p.qid, a.vec_id
       FROM probe p JOIN assign a ON a.cid = p.cid
-      WHERE a.vec_id != p.qid
+      WHERE a.vec_id != p.qid AND ({cand_pred})
     )"""
 
 
 def ivf_sql(
-    q_pred: str | None = None, probe: int = IVF_PROBE, k: int = ANN_K
+    q_pred: str | None = None,
+    probe: int = IVF_PROBE,
+    k: int = ANN_K,
+    cand_pred: str = "TRUE",
 ) -> str:
     """Replay quantization, all n×C integer centroid dots, argmax list
     assignment, top-``probe`` probe and exact cosine re-ranking in SQL —
@@ -282,7 +291,7 @@ def ivf_sql(
                             x -> CAST(floor(x * {QSCALE}) AS BIGINT)) AS q,
              CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings
-    ),{ivf_cand_ctes(q_pred, probe)},
+    ),{ivf_cand_ctes(q_pred, probe, cand_pred)},
     scored AS (
       SELECT c.qid AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(qe.e, be.e) AS score

@@ -1381,6 +1381,66 @@ def ann_ivf_persisted(sf_dir: str):
 
 
 # ===========================================================================
+# ann_ivf_maintained — the full maintenance cycle as a driver-checked op
+# ===========================================================================
+
+_VMAINT_CACHE: dict[str, str] = {}
+_MAINT_MOD, _MAINT_RES = 5, 2  # retire every vec_id ≡ 2 (mod 5)
+
+
+def _maintained_index_for(sf_dir: str) -> str:
+    """Build the IVF artifact, then run the FULL maintenance cycle on it:
+    stream the retired ids (vec_id ≡ _MAINT_RES mod _MAINT_MOD) through
+    delete_vectors (tombstone append) and rewrite the lists with
+    compact_vector_index — its own cache prefix so the shared
+    ann_ivf_persisted artifact is never mutated."""
+
+    def build(sf, out):
+        emb = _emb_dataset(sf)
+        build_vector_index(emb, out)
+
+        def doomed(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"vec_id": pa.array(ids[ids % _MAINT_MOD == _MAINT_RES],
+                                    pa.int64())}
+            )
+
+        delete_vectors(
+            out,
+            emb.map_batches(doomed, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        )
+        compact_vector_index(out)
+
+    return _artifact_for(_VMAINT_CACHE, "vmaint", build, sf_dir)
+
+
+def _ivf_maint_sql() -> str:
+    """The shared IVF oracle with the retired ids excluded from the
+    CANDIDATE side only — tombstone semantics exactly: queries and the
+    centroid fixture are untouched, deleted vectors just never appear in
+    any list."""
+    return vx.ivf_sql(
+        cand_pred=f"(a.vec_id % {_MAINT_MOD}) != {_MAINT_RES}"
+    )
+
+
+@op("ann_ivf_maintained", _ivf_maint_sql())
+def ann_ivf_maintained(sf_dir: str):
+    """VERDICT r4 #5, driver-checkable: top-k served from an IVF artifact
+    AFTER a delete_vectors (streamed tombstone append) + a
+    compact_vector_index (generation-salted distributed rewrite) — the
+    maintenance cycle a 100 TB corpus-refresh loop runs continuously.
+    The SQL twin replays the identical assignment/probe/cosine math with
+    the retired ids excluded from candidates, so a tombstone leak, a
+    compaction that drops a survivor, or a stale-file read all surface as
+    a hash mismatch at the driver gate (the pytest side additionally pins
+    delete+compact ≡ fresh-build-over-survivors)."""
+    return query_vector_index(_maintained_index_for(sf_dir))
+
+
+# ===========================================================================
 # knn_graph_ivf — the full k-NN graph, IVF-bucketed (no all-pairs stage)
 # ===========================================================================
 
