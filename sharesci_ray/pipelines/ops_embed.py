@@ -1878,12 +1878,13 @@ def ann_pq_topk(sf_dir: str):
 _PQ_CODE_COLS = [f"code{m}" for m in range(vx.PQ_M)]
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(cand_pred: str = "TRUE") -> str:
     """emb + the SHARED IVF candidate chain (vx.ivf_cand_ctes — the same
     fragment ann_ivf_topk's oracle embeds, so assignment/probe math can
     never drift between the twins; review finding r4) + the shared PQ
-    chain, ADC-summed over probed candidates only."""
-    return f"""{_PQ_EMB_CTE},{vx.ivf_cand_ctes()},{_pq_chain_sql()},
+    chain, ADC-summed over probed candidates only.  ``cand_pred`` filters
+    the candidate side only (tombstone semantics; ann_ivfpq_maintained)."""
+    return f"""{_PQ_EMB_CTE},{vx.ivf_cand_ctes(cand_pred=cand_pred)},{_pq_chain_sql()},
     scored AS (
       SELECT cd.qid AS query_id, cd.vec_id AS neighbor_id,
              sum(l.d)::BIGINT AS score_q
@@ -2096,6 +2097,56 @@ _PQINDEX_CACHE: dict[str, str] = {}
 
 def _pq_index_for(sf_dir: str) -> str:
     return _artifact_for(_PQINDEX_CACHE, "pqidx", build_pq_index, sf_dir)
+
+
+_PQMAINT_CACHE: dict[str, str] = {}
+
+
+def _maintained_pq_for(sf_dir: str) -> str:
+    """build_pq_index + the full maintenance cycle (streamed
+    delete_vectors of vec_id ≡ _MAINT_RES mod _MAINT_MOD, then
+    compact_vector_index) — own cache prefix, the shared pqidx artifact
+    is never mutated.  Codebooks and coarse centroids are trained at
+    build time over the FULL corpus and survive maintenance untouched,
+    exactly like the IVF centroid sidecar."""
+
+    def build(sf, out):
+        build_pq_index(sf, out)
+
+        def doomed(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"vec_id": pa.array(ids[ids % _MAINT_MOD == _MAINT_RES],
+                                    pa.int64())}
+            )
+
+        delete_vectors(
+            out,
+            _emb_dataset(sf).map_batches(
+                doomed, batch_format="pyarrow", zero_copy_batch=True
+            ),
+        )
+        compact_vector_index(out)
+
+    return _artifact_for(_PQMAINT_CACHE, "pqmaint", build, sf_dir)
+
+
+def _ivfpq_maint_sql() -> str:
+    return _ivfpq_sql(
+        cand_pred=f"(a.vec_id % {_MAINT_MOD}) != {_MAINT_RES}"
+    )
+
+
+@op("ann_ivfpq_maintained", _ivfpq_maint_sql)
+def ann_ivfpq_maintained(sf_dir: str):
+    """ann_ivf_maintained's PQ twin: ADC top-k served from the CODES
+    artifact after a streamed delete + compaction — on the PQ side the
+    compactor re-partitions code rows by the ``list_id`` they carry, so
+    maintenance never touches raw embeddings (the property that matters
+    when the raw vectors no longer exist anywhere at serving time).  SQL
+    twin: the shared IVF candidate chain with retired ids excluded, then
+    the full PQ training/ADC replay."""
+    return query_pq_index(_maintained_pq_for(sf_dir))
 
 
 @op("ann_ivfpq_persisted", _ivfpq_sql)
